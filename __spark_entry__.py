@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship parse->enrich->route->aggregate query
+at sf0.001. ``queries()`` exposes every implemented operator from
+SURVEY.md §2 as (spark, sf_dir) -> DataFrame; ``oracle_sql()`` gives the
+DuckDB mirror for each (see ml4logs_spark/oracle/sql.py for the dialect
+notes). The transcripts fact table is derived deterministically from the
+driver's ``events`` table by shared dialect-neutral SQL
+(ml4logs_spark/datagen/derivation.py), so both engines see identical rows.
 """
 
 from __future__ import annotations
@@ -12,27 +14,190 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ml4logs_spark.datagen import transcripts as tx
+from ml4logs_spark.operators import enrich as enrich_op
+from ml4logs_spark.operators import evaluate as eval_op
+from ml4logs_spark.operators import features as feat
+from ml4logs_spark.operators import parse, route, windows
+from ml4logs_spark.oracle.sql import ORACLES
+
+
+def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parse.parsed_turns(tx.transcripts(spark, sf_dir))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full pipeline -> per-sink aggregate counts at sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    t = tx.transcripts(spark, sf_dir)
+    p = parse.parsed_turns(t)
+    e = enrich_op.enrich(p, tx.role_dim(spark), tx.tool_dim(spark))
+    return route.sink_counts(e)
+
+
+# ---------------------------------------------------------------- queries
+
+def _q_transcripts_scan(spark, sf_dir):
+    return tx.transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+
+def _q_template_dim(spark, sf_dir):
+    return parse.template_dim(tx.transcripts(spark, sf_dir))
+
+
+def _q_parsed_turns(spark, sf_dir):
+    return _parsed(spark, sf_dir).select("conv_id", "turn_idx", "template_id")
+
+
+def _q_enrich_turns(spark, sf_dir):
+    e = enrich_op.enrich(_parsed(spark, sf_dir), tx.role_dim(spark), tx.tool_dim(spark))
+    return e.select(
+        "conv_id", "turn_idx", "role", "role_group", "route_weight",
+        "tool", "tool_family", "is_sensitive",
+    )
+
+
+def _q_route_sink_counts(spark, sf_dir):
+    return route.sink_counts(_parsed(spark, sf_dir)).select(
+        F.col("template_bucket").cast("long").alias("template_bucket"),
+        "role", "n_rows", "n_convs",
+    )
+
+
+def _q_conv_tool_counts(spark, sf_dir):
+    return feat.conv_tool_counts(_parsed(spark, sf_dir))
+
+
+def _q_tfidf_features(spark, sf_dir):
+    counts = feat.conv_tool_counts(_parsed(spark, sf_dir))
+    idf = feat.fit_idf(counts)
+    out = feat.apply_tfidf(counts, idf)
+    return out.select(
+        "conv_id", "tool", "template_id", "cnt",
+        F.round("tfidf", 6).alias("tfidf"),
+    )
+
+
+def _q_timedeltas(spark, sf_dir):
+    t = windows.with_timedeltas(tx.transcripts(spark, sf_dir))
+    return t.select("conv_id", "turn_idx", F.round("td", 6).alias("td"))
+
+
+def _q_next_template(spark, sf_dir):
+    p = windows.with_next_template(_parsed(spark, sf_dir))
+    return p.select("conv_id", "turn_idx", "template_id", "next_template_id")
+
+
+def _q_conv_stats(spark, sf_dir):
+    return tx.transcripts(spark, sf_dir).groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("conv_size"),
+        F.countDistinct("tool").alias("n_tools"),
+        F.unix_micros(F.min("ts")).alias("first_ts_us"),
+        F.unix_micros(F.max("ts")).alias("last_ts_us"),
+    )
+
+
+def _q_conv_offsets(spark, sf_dir):
+    return windows.conv_offsets(tx.transcripts(spark, sf_dir))
+
+
+def _q_labels_scan(spark, sf_dir):
+    return tx.labels(spark, sf_dir)
+
+
+def _q_labeled_turns(spark, sf_dir):
+    t = enrich_op.filter_known_convs(
+        tx.transcripts(spark, sf_dir), tx.labels(spark, sf_dir)
+    )
+    return t.select("conv_id", "turn_idx")
+
+
+def _q_conv_scores(spark, sf_dir):
+    s = eval_op.conv_scores(_parsed(spark, sf_dir), tx.labels(spark, sf_dir))
+    return s.select("conv_id", F.round("score", 6).alias("score"), "label")
+
+
+def _q_confusion_at_half(spark, sf_dir):
+    s = eval_op.conv_scores(_parsed(spark, sf_dir), tx.labels(spark, sf_dir))
+    return eval_op.confusion(s, 0.5)
+
+
+def _q_threshold_sweep(spark, sf_dir):
+    s = eval_op.conv_scores(_parsed(spark, sf_dir), tx.labels(spark, sf_dir))
+    return eval_op.threshold_sweep(s, n_grid=20)
+
+
+def _q_head_limit(spark, sf_dir):
+    return (
+        tx.transcripts(spark, sf_dir)
+        .orderBy("conv_id", "turn_idx")
+        .limit(50)
+        .select("conv_id", "turn_idx", "role", "text", F.unix_micros("ts").alias("ts_us"))
+    )
+
+
+def _q_union_distinct(spark, sf_dir):
+    t = tx.transcripts(spark, sf_dir)
+    a = t.filter(F.col("text").like("error code %")).select("conv_id")
+    b = t.filter(F.col("tool").isNotNull()).select("conv_id")
+    return a.unionByName(b).distinct()
+
+
+def _q_timedelta_minmax(spark, sf_dir):
+    t = windows.with_timedeltas(tx.transcripts(spark, sf_dir))
+    scaled = feat.minmax_scale(t, "td", keys=[])
+    return scaled.select(
+        "conv_id", "turn_idx", F.round("td_scaled", 6).alias("td_scaled")
+    )
+
+
+def _q_tfidf_centered(spark, sf_dir):
+    counts = feat.conv_tool_counts(_parsed(spark, sf_dir))
+    tfidf = feat.apply_tfidf(counts, feat.fit_idf(counts))
+    centered = feat.mean_center(tfidf, "tfidf", keys=["template_id"])
+    return centered.select(
+        "conv_id", "tool", "template_id",
+        F.round("tfidf_centered", 6).alias("tfidf_centered"),
+    )
+
+
+def _q_conv_value_maxpool(spark, sf_dir):
+    t = windows.with_timedeltas(tx.transcripts(spark, sf_dir))
+    return feat.conv_maxpool(t, "td").select(
+        "conv_id", F.round("max_td", 6).alias("max_td")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "transcripts_scan": _q_transcripts_scan,
+        "template_dim": _q_template_dim,
+        "parsed_turns": _q_parsed_turns,
+        "enrich_turns": _q_enrich_turns,
+        "route_sink_counts": _q_route_sink_counts,
+        "conv_tool_counts": _q_conv_tool_counts,
+        "tfidf_features": _q_tfidf_features,
+        "timedeltas": _q_timedeltas,
+        "next_template": _q_next_template,
+        "conv_stats": _q_conv_stats,
+        "conv_offsets": _q_conv_offsets,
+        "labels_scan": _q_labels_scan,
+        "labeled_turns": _q_labeled_turns,
+        "conv_scores": _q_conv_scores,
+        "confusion_at_half": _q_confusion_at_half,
+        "threshold_sweep": _q_threshold_sweep,
+        "head_limit": _q_head_limit,
+        "tool_conv_union_distinct": _q_union_distinct,
+        "timedelta_minmax": _q_timedelta_minmax,
+        "tfidf_centered": _q_tfidf_centered,
+        "conv_value_maxpool": _q_conv_value_maxpool,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

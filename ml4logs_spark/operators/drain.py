@@ -1,0 +1,179 @@
+"""Drain-style template mining, re-architected for distribution.
+
+The reference drives drain3's ``TemplateMiner.add_log_message`` once per
+line — a stateful, order-sensitive, non-associative update of a shared
+parse tree (/root/reference/src/ml4logs/features/parser/ibm_drain.py:28,
+44-45). That cannot be a parallel map. Following SURVEY.md §2.10 F1, it is
+split into:
+
+- **fit**: a from-scratch implementation of the public Drain algorithm
+  (He et al., "Drain: An Online Log Parsing Approach with Fixed Depth
+  Tree", ICWS 2017) run driver-side over a *deterministic bounded sample*
+  (first N turns under (conv_id, turn_idx) order). State stays small:
+  the parse tree holds templates, not rows.
+- **apply**: mined templates are compiled to anchored regexes, broadcast,
+  and matched with **vectorized** ``pandas.Series.str.fullmatch`` inside
+  ``mapInPandas`` (Arrow batches; no per-row Python in the hot path —
+  the per-batch loop is over the handful of candidate templates, not
+  rows). Unmatched text -> null template (the apply-time-unseen fixture;
+  reference count_features.py:46-49 drops unseen columns — we surface
+  them as UNMATCHED instead of crashing).
+
+At 10^12 rows the fit sample is a ``limit`` pushed to one partition scan;
+the apply is map-only (no shuffle).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WILDCARD = "<*>"
+_NUM = re.compile(r"^\d+$")
+
+
+@dataclass
+class _Cluster:
+    tokens: list[str]
+    size: int = 0
+
+
+@dataclass
+class DrainMiner:
+    """Fixed-depth prefix-tree log template miner (public Drain algorithm).
+
+    depth: number of leading-token levels in the tree (after the length
+    level). sim_threshold: minimum fraction of matching tokens to join an
+    existing cluster. max_children: cap on branches per node; overflow
+    routes to a catch-all wildcard branch.
+    """
+
+    depth: int = 3
+    sim_threshold: float = 0.5
+    max_children: int = 32
+    _root: dict = field(default_factory=dict)
+    _clusters: list[_Cluster] = field(default_factory=list)
+
+    @staticmethod
+    def _tokenize(text: str) -> list[str]:
+        return text.split()
+
+    def _leaf(self, tokens: list[str], create: bool) -> list[int] | None:
+        """Walk length -> first-depth tokens; numeric tokens branch to <*>."""
+        node = self._root
+        keys = [str(len(tokens))]
+        for tok in tokens[: self.depth]:
+            keys.append(WILDCARD if _NUM.match(tok) else tok)
+        for k in keys:
+            nxt = node.get(k)
+            if nxt is None:
+                if not create:
+                    return None
+                if len(node) >= self.max_children and k != WILDCARD:
+                    k = WILDCARD
+                    nxt = node.get(k)
+                    if nxt is None:
+                        nxt = node[k] = {}
+                else:
+                    nxt = node[k] = {}
+            node = nxt
+        return node.setdefault("$clusters", [])
+
+    @staticmethod
+    def _similarity(a: list[str], b: list[str]) -> float:
+        if len(a) != len(b):
+            return 0.0
+        same = sum(1 for x, y in zip(a, b) if x == y and x != WILDCARD)
+        return same / len(a) if a else 1.0
+
+    def add(self, text: str) -> int:
+        """Route one message; returns its cluster id (fit phase only)."""
+        tokens = [WILDCARD if _NUM.match(t) else t for t in self._tokenize(text)]
+        ids = self._leaf(tokens, create=True)
+        best, best_sim = None, -1.0
+        for cid in ids:
+            sim = self._similarity(tokens, self._clusters[cid].tokens)
+            if sim > best_sim:
+                best, best_sim = cid, sim
+        if best is not None and best_sim >= self.sim_threshold:
+            cl = self._clusters[best]
+            cl.tokens = [
+                x if x == y else WILDCARD for x, y in zip(cl.tokens, tokens)
+            ]
+            cl.size += 1
+            return best
+        cid = len(self._clusters)
+        self._clusters.append(_Cluster(tokens=list(tokens), size=1))
+        ids.append(cid)
+        return cid
+
+    def templates(self) -> list[tuple[str, int]]:
+        """(template, occurrences) sorted by template text (deterministic
+        under any mining order; the reference's first-seen ids are a
+        single-thread artifact — SURVEY.md §2.5)."""
+        out = [(" ".join(c.tokens), c.size) for c in self._clusters]
+        return sorted(out)
+
+
+def template_regex(template: str) -> str:
+    """Anchored regex for a mined template; <*> matches one token."""
+    parts = [re.escape(t) if t != WILDCARD else r"\S+" for t in template.split()]
+    return r"\s+".join(parts) if parts else r""
+
+
+def fit_templates(turns: DataFrame, sample_size: int = 50_000) -> list[str]:
+    """Deterministic bounded-sample fit: first ``sample_size`` turns under
+    (conv_id, turn_idx) order, mined driver-side."""
+    rows = (
+        turns.select("conv_id", "turn_idx", "text")
+        .orderBy("conv_id", "turn_idx")
+        .limit(sample_size)
+        .collect()
+    )
+    miner = DrainMiner()
+    for r in rows:
+        if r.text:
+            miner.add(r.text)
+    return [t for t, _ in miner.templates()]
+
+
+def match_templates(turns: DataFrame, templates: list[str], text_col: str = "text") -> DataFrame:
+    """Append ``drain_template`` by broadcast vectorized regex match.
+
+    Templates are grouped by token count; each Arrow batch runs one
+    ``str.fullmatch`` per *candidate* template over the still-unmatched
+    subset — the loop is O(#templates) per batch, the row work is
+    vectorized C.
+    """
+    spark = turns.sparkSession
+    compiled = [(t, template_regex(t), len(t.split())) for t in templates]
+    bc = spark.sparkContext.broadcast(compiled)
+    out_schema = turns.schema.add("drain_template", "string")
+    cols = [f.name for f in turns.schema.fields]
+
+    def run(batches):
+        cand = bc.value
+        for pdf in batches:
+            text = pdf[text_col].fillna("")
+            ntok = text.str.split().str.len().fillna(0)
+            result = pd.Series([None] * len(pdf), index=pdf.index, dtype=object)
+            unmatched = result.isna() & (text != "")
+            for tmpl, rx, k in cand:
+                if not unmatched.any():
+                    break
+                sel = unmatched & (ntok == k)
+                if not sel.any():
+                    continue
+                hit = text[sel].str.fullmatch(rx)
+                hit_idx = hit[hit].index
+                result.loc[hit_idx] = tmpl
+                unmatched.loc[hit_idx] = False
+            pdf = pdf.copy()
+            pdf["drain_template"] = result
+            yield pdf[cols + ["drain_template"]]
+
+    return turns.mapInPandas(run, schema=out_schema)

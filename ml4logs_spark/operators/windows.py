@@ -1,0 +1,65 @@
+"""Order-dependent per-conversation features (SURVEY.md §2.5).
+
+All windows partition by conv_id and order by turn_idx — the explicit
+replacement for the reference's implicit file-order invariant
+(/root/reference/src/ml4logs/data/hdfs.py:131-136). turn_idx is the
+only ordering key (ts can tie — the dup-ts fixture pins this).
+
+Scale: one shuffle on conv_id for the whole family of window features;
+computing them together in one projection reuses that single exchange.
+Skew (the giant conversation) is bounded because window state here is
+O(1) per row (lag/lead/row_number), not a materialized group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+def w_conv():
+    """Per-conversation ordered window (needs an active SparkSession)."""
+    return Window.partitionBy("conv_id").orderBy("turn_idx")
+
+
+def timedelta_col(ts_col: str = "ts") -> Column:
+    """log10(1 + Δseconds) with first turn -> 0.0.
+
+    Exact reference semantics (/root/reference/src/ml4logs/features/
+    extract_timedeltas.py:70-81): ``timedeltas = ones(N);
+    timedeltas[1:] += Δs; log10`` — i.e. first turn log10(1)=0, later
+    turns log10(1+Δs). Δs here uses microsecond precision (the input has
+    sub-second timestamps; the reference's %S-granularity parse is a
+    limitation of its regex, not a semantic).
+    """
+    us = F.unix_micros(F.col(ts_col))
+    delta_s = (us - F.lag(us).over(w_conv())) / F.lit(1000000.0)
+    return F.log10(F.coalesce(delta_s, F.lit(0.0)) + F.lit(1.0))
+
+
+def with_timedeltas(turns: DataFrame) -> DataFrame:
+    return turns.withColumn("td", timedelta_col())
+
+
+def with_next_template(parsed: DataFrame) -> DataFrame:
+    """Per-turn (input -> output) shift for sequence models.
+
+    Analog of the reference's ``x[:-1] -> x[1:]`` pairing
+    (/root/reference/src/ml4logs/models/baselines/seq2seq.py:290-298);
+    the last turn of each conversation has no successor -> null.
+    """
+    return parsed.withColumn("next_template_id", F.lead("template_id").over(w_conv()))
+
+
+def conv_offsets(turns: DataFrame) -> DataFrame:
+    """Per-conversation size + exclusive prefix-sum offset.
+
+    Parity with the reference's BlockSize/BlockOffset bookkeeping
+    (/root/reference/src/ml4logs/data/hdfs.py:106-115). Offsets are an
+    artifact of positional addressing and unused by our joins; kept as a
+    window-function demonstration (global ordered window = single-task
+    stage, fine only because input is pre-aggregated to #convs rows).
+    """
+    sizes = turns.groupBy("conv_id").agg(F.count(F.lit(1)).alias("conv_size"))
+    w = Window.orderBy("conv_id").rowsBetween(Window.unboundedPreceding, -1)
+    return sizes.withColumn("conv_offset", F.coalesce(F.sum("conv_size").over(w), F.lit(0)))

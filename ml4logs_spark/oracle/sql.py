@@ -1,0 +1,229 @@
+"""DuckDB-dialect oracle SQL mirrors of every Spark query in
+``__spark_entry__.queries()``.
+
+Each string is self-contained ANSI-ish SQL over the driver's
+pre-registered views (``events`` etc.), reusing the shared dialect-neutral
+derivation from datagen/derivation.py. The few dialect-split spots are:
+
+- ``regexp_replace`` needs the 'g' flag here (Spark is replace-all);
+- ``epoch_us(ts)`` here vs ``unix_micros(ts)`` in Spark;
+- ``range(0, n)`` table function here vs ``spark.range(n)``.
+
+All float outputs are round(x, 6) on BOTH sides; timestamps are always
+surfaced as epoch microseconds (BIGINT) so the driver's value-hash
+compare is engine-stable.
+"""
+
+from __future__ import annotations
+
+from ml4logs_spark.datagen.derivation import (
+    ROLE_DIM_SQL,
+    TOOL_DIM_SQL,
+    labels_sql,
+    mask_expr,
+    transcripts_sql,
+)
+
+EVENTS_VIEW = "events"
+
+# Shared CTE prologue: transcripts -> masked templates -> template dim ->
+# parsed turns -> dims -> labels -> long-form counts.
+_PROLOGUE = """
+WITH t AS ({transcripts}),
+pt AS (SELECT t.*, {mask} AS template FROM t),
+dim AS (
+  SELECT CAST(dense_rank() OVER (ORDER BY template) AS BIGINT) AS template_id,
+         template, count(*) AS occurrences
+  FROM pt GROUP BY template
+),
+td AS (
+  SELECT conv_id, turn_idx,
+         log10(coalesce(
+           (epoch_us(ts) - lag(epoch_us(ts)) OVER
+              (PARTITION BY conv_id ORDER BY turn_idx)) / 1000000.0,
+           0.0) + 1.0) AS tdval
+  FROM t
+),
+parsed AS (SELECT pt.*, dim.template_id FROM pt JOIN dim USING (template)),
+role_dim AS ({role_dim}),
+tool_dim AS ({tool_dim}),
+labels AS ({labels}),
+counts AS (
+  SELECT conv_id, tool, template_id, count(*) AS cnt
+  FROM parsed GROUP BY conv_id, tool, template_id
+),
+fitc AS (SELECT * FROM counts WHERE substring(md5(conv_id), 1, 1) <= 'b'),
+idf AS (
+  SELECT template_id,
+         ln((SELECT count(DISTINCT conv_id) FROM fitc) * 1.0
+            / count(DISTINCT conv_id)) AS idf
+  FROM fitc GROUP BY template_id
+),
+scored AS (
+  SELECT s.conv_id, s.score, l.label
+  FROM (
+    SELECT conv_id,
+           sum(CASE WHEN text LIKE 'error code %' THEN 1 ELSE 0 END)
+             * 1.0 / count(*) AS score
+    FROM parsed GROUP BY conv_id
+  ) s JOIN labels l USING (conv_id)
+)
+"""
+
+
+def _q(body: str) -> str:
+    return _PROLOGUE.format(
+        transcripts=transcripts_sql(EVENTS_VIEW),
+        mask=mask_expr("text", "duckdb"),
+        role_dim=ROLE_DIM_SQL,
+        tool_dim=TOOL_DIM_SQL,
+        labels=labels_sql(EVENTS_VIEW),
+    ) + body
+
+
+ORACLES: dict[str, str] = {
+    "transcripts_scan": _q(
+        "SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us FROM t"
+    ),
+    "template_dim": _q("SELECT template_id, template, occurrences FROM dim"),
+    "parsed_turns": _q(
+        "SELECT conv_id, turn_idx, template_id FROM parsed"
+    ),
+    "enrich_turns": _q(
+        """
+        SELECT p.conv_id, p.turn_idx, p.role, r.role_group, r.route_weight,
+               p.tool, td.tool_family, td.is_sensitive
+        FROM parsed p
+        LEFT JOIN role_dim r USING (role)
+        LEFT JOIN tool_dim td USING (tool)
+        """
+    ),
+    "route_sink_counts": _q(
+        """
+        SELECT template_id % 8 AS template_bucket, role,
+               count(*) AS n_rows, count(DISTINCT conv_id) AS n_convs
+        FROM parsed GROUP BY template_id % 8, role
+        """
+    ),
+    "conv_tool_counts": _q("SELECT conv_id, tool, template_id, cnt FROM counts"),
+    "tfidf_features": _q(
+        """
+        SELECT c.conv_id, c.tool, c.template_id, c.cnt,
+               round(c.cnt * i.idf, 6) AS tfidf
+        FROM counts c LEFT JOIN idf i USING (template_id)
+        """
+    ),
+    "timedeltas": _q(
+        "SELECT conv_id, turn_idx, round(tdval, 6) AS td FROM td"
+    ),
+    "next_template": _q(
+        """
+        SELECT conv_id, turn_idx, template_id,
+               lead(template_id) OVER
+                 (PARTITION BY conv_id ORDER BY turn_idx) AS next_template_id
+        FROM parsed
+        """
+    ),
+    "conv_stats": _q(
+        """
+        SELECT conv_id, count(*) AS conv_size,
+               count(DISTINCT tool) AS n_tools,
+               epoch_us(min(ts)) AS first_ts_us,
+               epoch_us(max(ts)) AS last_ts_us
+        FROM t GROUP BY conv_id
+        """
+    ),
+    "conv_offsets": _q(
+        """
+        SELECT conv_id, conv_size,
+               CAST(coalesce(sum(conv_size) OVER
+                 (ORDER BY conv_id ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0) AS BIGINT) AS conv_offset
+        FROM (SELECT conv_id, count(*) AS conv_size FROM t GROUP BY conv_id) s
+        """
+    ),
+    "labels_scan": _q("SELECT conv_id, label FROM labels"),
+    "labeled_turns": _q(
+        """
+        SELECT conv_id, turn_idx
+        FROM t WHERE conv_id IN (SELECT conv_id FROM labels)
+        """
+    ),
+    "conv_scores": _q("SELECT conv_id, round(score, 6) AS score, label FROM scored"),
+    "confusion_at_half": _q(
+        """
+        SELECT tp, fp, fn, tn,
+               round(tp * 1.0 / nullif(tp + fp, 0), 6) AS precision,
+               round(tp * 1.0 / nullif(tp + fn, 0), 6) AS recall,
+               round((2.0 * tp / nullif(tp + fp, 0) * (tp * 1.0 / nullif(tp + fn, 0)))
+                 / nullif(tp * 1.0 / nullif(tp + fp, 0)
+                          + tp * 1.0 / nullif(tp + fn, 0), 0), 6) AS f1
+        FROM (
+          SELECT CAST(sum(CASE WHEN score >= 0.5 AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                 CAST(sum(CASE WHEN score >= 0.5 AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                 CAST(sum(CASE WHEN score < 0.5 AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                 CAST(sum(CASE WHEN score < 0.5 AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn
+          FROM scored
+        ) c
+        """
+    ),
+    "threshold_sweep": _q(
+        """
+        SELECT round(g.i / 20.0, 6) AS threshold,
+               CAST(sum(CASE WHEN s.score >= g.i / 20.0 AND s.label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN s.score >= g.i / 20.0 AND NOT s.label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN s.score < g.i / 20.0 AND s.label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               round(2.0 * sum(CASE WHEN s.score >= g.i / 20.0 AND s.label THEN 1 ELSE 0 END)
+                 / nullif(2 * sum(CASE WHEN s.score >= g.i / 20.0 AND s.label THEN 1 ELSE 0 END)
+                          + sum(CASE WHEN s.score >= g.i / 20.0 AND NOT s.label THEN 1 ELSE 0 END)
+                          + sum(CASE WHEN s.score < g.i / 20.0 AND s.label THEN 1 ELSE 0 END), 0), 6) AS f1
+        FROM scored s CROSS JOIN (SELECT range AS i FROM range(0, 21)) g
+        GROUP BY g.i
+        """
+    ),
+    "head_limit": _q(
+        """
+        SELECT conv_id, turn_idx, role, text, epoch_us(ts) AS ts_us
+        FROM t ORDER BY conv_id, turn_idx LIMIT 50
+        """
+    ),
+    "tool_conv_union_distinct": _q(
+        """
+        SELECT DISTINCT conv_id FROM (
+          SELECT conv_id FROM t WHERE text LIKE 'error code %'
+          UNION ALL
+          SELECT conv_id FROM t WHERE tool IS NOT NULL
+        ) u
+        """
+    ),
+    "timedelta_minmax": _q(
+        """
+        SELECT conv_id, turn_idx,
+               round(CASE WHEN mx = mn THEN 0.0
+                 ELSE least(greatest((tdval - mn) / (mx - mn), 0.0), 1.0)
+               END, 6) AS td_scaled
+        FROM td CROSS JOIN (
+          SELECT min(tdval) AS mn, max(tdval) AS mx FROM td
+          WHERE substring(md5(conv_id), 1, 1) <= 'b'
+        ) bounds
+        """
+    ),
+    "tfidf_centered": _q(
+        """
+        SELECT c.conv_id, c.tool, c.template_id,
+               round(c.cnt * i.idf
+                     - coalesce(m.mu, 0.0), 6) AS tfidf_centered
+        FROM counts c
+        LEFT JOIN idf i USING (template_id)
+        LEFT JOIN (
+          SELECT c2.template_id, avg(c2.cnt * i2.idf) AS mu
+          FROM counts c2 LEFT JOIN idf i2 USING (template_id)
+          WHERE substring(md5(c2.conv_id), 1, 1) <= 'b'
+          GROUP BY c2.template_id
+        ) m ON m.template_id = c.template_id
+        """
+    ),
+    "conv_value_maxpool": _q(
+        "SELECT conv_id, round(max(tdval), 6) AS max_td FROM td GROUP BY conv_id"
+    ),
+}

@@ -1,0 +1,111 @@
+"""Local replica of the driver's correctness gate.
+
+Runs each ``__spark_entry__.queries()[name]`` on Spark and the matching
+``oracle_sql()[name]`` on DuckDB (views = parquet files in the sf dir),
+then compares row counts, column names, and order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            if getattr(s.dt, "tz", None) is not None:
+                s = s.dt.tz_localize(None)
+            df[c] = s.astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = np.round(s.astype("float64"), 6)
+        elif pd.api.types.is_bool_dtype(s):
+            df[c] = s.astype("boolean")
+        elif s.dtype == object:
+            df[c] = s.where(pd.notna(s), None)
+        else:
+            try:
+                df[c] = s.astype("Int64")
+            except (TypeError, ValueError):
+                pass
+    return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry
+    from ml4logs_spark.session import get_spark
+
+    spark = get_spark(cores=8)
+    con = duckdb.connect()
+    for p in sorted(Path(sf_dir).glob("*.parquet")):
+        con.execute(f"CREATE VIEW {p.stem} AS SELECT * FROM '{p}'")
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:
+            print(f"FAIL {name}: spark error: {ex}")
+            failed.append(name)
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"SKIP {name}: no oracle (rows-only, {len(sdf)} rows)")
+            continue
+        try:
+            ddf = con.execute(sql).df()
+        except Exception as ex:
+            print(f"FAIL {name}: duckdb error: {ex}")
+            failed.append(name)
+            continue
+        if sorted(sdf.columns) != sorted(ddf.columns):
+            print(f"FAIL {name}: columns {sorted(sdf.columns)} vs {sorted(ddf.columns)}")
+            failed.append(name)
+            continue
+        s, d = normalize(sdf), normalize(ddf)
+        if len(s) != len(d):
+            print(f"FAIL {name}: rows {len(s)} vs {len(d)}")
+            failed.append(name)
+            continue
+        bad = None
+        for c in s.columns:
+            a, b = s[c], d[c]
+            if pd.api.types.is_float_dtype(a):
+                eq = (a.fillna(1e301) - b.fillna(1e301)).abs() < 1e-9
+            else:
+                eq = a.fillna("~N~") == b.fillna("~N~") if a.dtype == object else (
+                    a.astype("object").where(a.notna(), "~N~")
+                    == b.astype("object").where(b.notna(), "~N~")
+                )
+            if not bool(eq.all()):
+                bad = c
+                break
+        if bad:
+            mism = s[bad][~eq].head(3)
+            print(f"FAIL {name}: column {bad} differs, e.g. spark={list(mism)} duck={list(d[bad][~eq].head(3))}")
+            failed.append(name)
+        else:
+            print(f"OK   {name}: {len(s)} rows")
+    spark.stop()
+    print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
