@@ -1,0 +1,133 @@
+"""Benchmark harness: end-to-end pipeline throughput at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>, "turns": N,
+   "turns_per_sec": T, "cores": C}
+
+Protocol
+--------
+- The transcripts fact table is materialized ONCE (outside timing) to
+  repo-local parquet — the pipeline's real input is a table scan, not
+  the derivation (at cluster scale it is an Iceberg table; the
+  derivation exists only because the sandbox testdata has no transcripts
+  table).
+- Each query is forced with a noop-format write: full computation, zero
+  rows serialized to Python (.count() would let Catalyst prune work).
+- $SPARK_GRAFT_REPLICATE=k scales the input k-fold (per-conv structure
+  preserved) for the two-parallelism scaling-efficiency evidence
+  (tools/bench_scaling.py; BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def ensure_input(spark, sf_dir: str, replicate: int) -> str:
+    """Materialize (once) the bench input table; returns its directory."""
+    from ml4logs_spark.datagen import transcripts as tx
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1] + (f"_x{replicate}" if replicate > 1 else "")
+    out = os.path.join(REPO, ".data", f"bench_{tag}")
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        t = tx.replicate(tx.transcripts(spark, sf_dir), replicate)
+        (
+            t.repartition(64, "conv_id")
+            .write.mode("overwrite")
+            .parquet(f"{out}/transcripts.parquet")
+        )
+        open(marker, "w").write("ok")
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "1"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from ml4logs_spark.session import get_spark
+    from ml4logs_spark.datagen import transcripts as tx
+    from ml4logs_spark.operators import enrich as enrich_op
+    from ml4logs_spark.operators import features as feat
+    from ml4logs_spark.operators import parse, route, windows
+
+    ncores = int(cores) if str(cores).isdigit() else 32
+    spark = get_spark(app_name="ml4logs_bench", cores=cores,
+                      shuffle_partitions=max(16, 2 * ncores))
+
+    data_dir = ensure_input(spark, sf_dir, replicate)
+    turns = tx.read_materialized(spark, data_dir)
+    n_turns = turns.count()  # warms JVM + page cache outside timing
+
+    timings: dict[str, float] = {}
+
+    def timed(name, thunk):
+        t0 = time.perf_counter()
+        thunk()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    role_d, tool_d = tx.role_dim(spark), tx.tool_dim(spark)
+
+    # End-to-end: template fit + parse -> enrich -> route counts +
+    # feature aggregates + window features, one pass over the table per
+    # branch (the metric BASELINE.json targets).
+    def e2e():
+        dim = parse.template_dim(turns)
+        p = parse.parsed_turns(turns, dim)
+        e = enrich_op.enrich(p, role_d, tool_d)
+        force(route.sink_counts(e))
+        # counts is the small conv x tool x template relation — caching it
+        # (not the fact table, which wouldn't fit at 100 TB) lets the
+        # fit/apply TF-IDF split reuse one aggregation pass.
+        counts = feat.conv_tool_counts(e).cache()
+        force(feat.apply_tfidf(counts, feat.fit_idf(counts)))
+        counts.unpersist()
+        force(windows.with_timedeltas(turns).select("conv_id", "turn_idx", "td"))
+
+    e2e()  # warm-up: JIT + broadcast paths; steady-state is what scales
+    timed("e2e_pipeline", e2e)
+
+    dim = parse.template_dim(turns).cache()
+    dim.count()
+    timed("parse_assign", lambda: force(
+        parse.parsed_turns(turns, dim).select("conv_id", "turn_idx", "template_id")))
+    timed("enrich", lambda: force(
+        enrich_op.enrich(parse.parsed_turns(turns, dim), role_d, tool_d)))
+    timed("sink_counts", lambda: force(
+        route.sink_counts(parse.parsed_turns(turns, dim))))
+    timed("conv_tool_counts", lambda: force(
+        feat.conv_tool_counts(parse.parsed_turns(turns, dim))))
+    timed("timedeltas", lambda: force(
+        windows.with_timedeltas(turns).select("conv_id", "turn_idx", "td")))
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "parse_enrich_route_aggregate_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / timings["e2e_pipeline"], 1),
+        "cores": cores,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

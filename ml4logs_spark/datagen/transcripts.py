@@ -66,3 +66,20 @@ def materialize(spark: SparkSession, sf_dir: str, out_dir: str, buckets: int = 3
 
 def read_materialized(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(f"{out_dir}/transcripts.parquet")
+
+
+def replicate(t: DataFrame, k: int) -> DataFrame:
+    """Deterministically scale the fact table k-fold for bench runs.
+
+    Each replica keeps per-conversation structure (same turns, same ts)
+    under a suffixed conv_id — the conversation count grows k-fold, the
+    per-conv size distribution (and the planted skew) is preserved.
+    """
+    if k <= 1:
+        return t
+    spark = t.sparkSession
+    reps = spark.range(k).select(F.col("id").alias("_rep"))
+    return t.crossJoin(F.broadcast(reps)).select(
+        F.concat_ws("-r", F.col("conv_id"), F.col("_rep").cast("string")).alias("conv_id"),
+        "turn_idx", "role", "text", "tool", "ts",
+    )

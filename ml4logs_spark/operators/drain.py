@@ -33,7 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 WILDCARD = "<*>"
-_NUM = re.compile(r"^\d+$")
+# Per He et al. ICWS'17 step 2: any token containing digits is a parameter.
+_NUM = re.compile(r"\d")
 
 
 @dataclass
@@ -67,7 +68,7 @@ class DrainMiner:
         node = self._root
         keys = [str(len(tokens))]
         for tok in tokens[: self.depth]:
-            keys.append(WILDCARD if _NUM.match(tok) else tok)
+            keys.append(WILDCARD if _NUM.search(tok) else tok)
         for k in keys:
             nxt = node.get(k)
             if nxt is None:
@@ -92,7 +93,7 @@ class DrainMiner:
 
     def add(self, text: str) -> int:
         """Route one message; returns its cluster id (fit phase only)."""
-        tokens = [WILDCARD if _NUM.match(t) else t for t in self._tokenize(text)]
+        tokens = [WILDCARD if _NUM.search(t) else t for t in self._tokenize(text)]
         ids = self._leaf(tokens, create=True)
         best, best_sim = None, -1.0
         for cid in ids:
@@ -149,10 +150,16 @@ def match_templates(turns: DataFrame, templates: list[str], text_col: str = "tex
     subset — the loop is O(#templates) per batch, the row work is
     vectorized C.
     """
+    from pyspark.sql import types as T
+
     spark = turns.sparkSession
     compiled = [(t, template_regex(t), len(t.split())) for t in templates]
     bc = spark.sparkContext.broadcast(compiled)
-    out_schema = turns.schema.add("drain_template", "string")
+    # NB: never df.schema.add(...) — it mutates the plan's schema object
+    # in place and breaks analysis; build a fresh StructType.
+    out_schema = T.StructType(
+        list(turns.schema.fields) + [T.StructField("drain_template", T.StringType())]
+    )
     cols = [f.name for f in turns.schema.fields]
 
     def run(batches):

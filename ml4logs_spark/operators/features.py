@@ -45,13 +45,21 @@ def fit_idf(counts: DataFrame) -> DataFrame:
     B = number of distinct (conv_id) blocks in the fit set; df(template) =
     number of fit blocks where the template occurs at least once.
     Returns the small (template_id, idf) state table.
+
+    Fully lazy: B is a broadcast 1-row aggregate crossed into the df
+    table — no driver-side action, so callers can compose/cache freely
+    and the whole fit is one job.
     """
     fit = counts.filter(train_split_flag())
-    b = fit.select("conv_id").distinct().count()
-    return fit.groupBy("template_id").agg(
-        F.countDistinct("conv_id").alias("df")
-    ).select(
-        "template_id", F.log(F.lit(float(b)) / F.col("df")).alias("idf")
+    b = fit.agg(F.countDistinct("conv_id").alias("_b"))
+    return (
+        fit.groupBy("template_id")
+        .agg(F.countDistinct("conv_id").alias("df"))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "template_id",
+            F.log(F.col("_b").cast("double") / F.col("df")).alias("idf"),
+        )
     )
 
 

@@ -1,0 +1,85 @@
+"""Drain miner fit/apply tests (SURVEY.md §2.10 F1).
+
+The miner is the one custom non-relational operator; these pin (a) fit
+determinism, (b) template quality on the planted grammar, (c) vectorized
+apply correctness including the unseen-at-fit fixture."""
+
+import pandas as pd
+
+from ml4logs_spark.operators import drain
+
+
+def test_miner_masks_planted_grammar():
+    m = drain.DrainMiner()
+    lines = [
+        "svc click request 87 accepted from user 13",
+        "svc click request 9 accepted from user 2",
+        "svc error request 5 accepted from user 140",
+        "error code 42 while processing view payload",
+        "error code 7 while processing view payload",
+        "heartbeat session 3 ok",
+    ]
+    for ln in lines:
+        m.add(ln)
+    templates = [t for t, _ in m.templates()]
+    assert "svc click request <*> accepted from user <*>" in templates
+    assert "error code <*> while processing view payload" in templates
+    assert "heartbeat session <*> ok" in templates
+
+
+def test_miner_merges_variable_token():
+    m = drain.DrainMiner()
+    m.add("tool tool_1 invoked with arg 5 by member 9")
+    m.add("tool tool_3 invoked with arg 7 by member 2")
+    ts = [t for t, _ in m.templates()]
+    # tool_1 vs tool_3 are non-numeric differing tokens -> wildcard merge
+    assert ts == ["tool <*> invoked with arg <*> by member <*>"]
+
+
+def test_miner_occurrence_counts():
+    m = drain.DrainMiner()
+    for i in range(5):
+        m.add(f"heartbeat session {i} ok")
+    assert m.templates() == [("heartbeat session <*> ok", 5)]
+
+
+def test_fit_deterministic(turns):
+    a = drain.fit_templates(turns, sample_size=500)
+    b = drain.fit_templates(turns, sample_size=500)
+    assert a == b and len(a) > 0
+
+
+def test_apply_assigns_every_planted_turn(spark, turns):
+    tpls = drain.fit_templates(turns, sample_size=2000)
+    out = drain.match_templates(turns, tpls)
+    pdf = out.select("conv_id", "turn_idx", "text", "drain_template").toPandas()
+    nonempty = pdf[pdf.text != ""]
+    # fit saw every template family (grammar is small) -> full coverage
+    assert nonempty.drain_template.notna().all()
+    # empty text stays unmatched (null), never crashes
+    assert pdf[pdf.text == ""].drain_template.isna().all()
+
+
+def test_apply_consistent_with_mask_parse(spark, turns):
+    """Each masked template maps to exactly one mined template — the
+    mined parse is a (possibly coarser) deterministic function of the
+    static parse on this grammar."""
+    from ml4logs_spark.functions.masking import mask_text
+
+    tpls = drain.fit_templates(turns, sample_size=2000)
+    out = drain.match_templates(turns, tpls).withColumn("mask", mask_text())
+    pdf = out.select("mask", "drain_template").toPandas()
+    pdf = pdf[pdf.drain_template.notna()]
+    fanout = pdf.groupby("mask").drain_template.nunique()
+    assert (fanout == 1).all()
+
+
+def test_unseen_at_fit_maps_to_null_not_crash(spark):
+    tpls = ["heartbeat session <*> ok"]
+    df = spark.createDataFrame(
+        [("c1", 0, "heartbeat session 9 ok"), ("c1", 1, "totally novel text 42")],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = drain.match_templates(df, tpls).toPandas().sort_values("turn_idx")
+    assert out.drain_template.tolist()[0] == "heartbeat session <*> ok"
+    assert pd.isna(out.drain_template.tolist()[1])
