@@ -17,11 +17,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ml4logs_spark.datagen import transcripts as tx
+from ml4logs_spark.operators import dedup as dedup_op
 from ml4logs_spark.operators import enrich as enrich_op
 from ml4logs_spark.operators import evaluate as eval_op
 from ml4logs_spark.operators import features as feat
-from ml4logs_spark.operators import parse, route, windows
+from ml4logs_spark.operators import multimodal, parse, route, similarity, textqa, windows
+from ml4logs_spark.oracle.docs_sql import DOC_ORACLES
 from ml4logs_spark.oracle.sql import ORACLES
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,6 +183,91 @@ def _q_conv_value_maxpool(spark, sf_dir):
     )
 
 
+# ------------------------------------------------- documents / embeddings
+
+def _q_dedup_exact_groups(spark, sf_dir):
+    return dedup_op.exact_dup_groups(_docs(spark, sf_dir))
+
+
+def _q_dedup_exact_survivors(spark, sf_dir):
+    return dedup_op.exact_dedup(_docs(spark, sf_dir)).select("doc_id")
+
+
+def _q_minhash_signatures(spark, sf_dir):
+    return dedup_op.minhash_signatures(_docs(spark, sf_dir))
+
+
+def _q_lsh_candidate_pairs(spark, sf_dir):
+    return dedup_op.lsh_candidate_pairs(_docs(spark, sf_dir))
+
+
+def _q_lsh_jaccard_pairs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return dedup_op.jaccard_pairs(d, dedup_op.lsh_candidate_pairs(d))
+
+
+def _q_near_dups(spark, sf_dir):
+    return dedup_op.near_dups(_docs(spark, sf_dir), 0.8)
+
+
+def _q_simhash16(spark, sf_dir):
+    return dedup_op.simhash16(_docs(spark, sf_dir))
+
+
+def _q_doc_stats(spark, sf_dir):
+    s = textqa.doc_stats(_docs(spark, sf_dir))
+    return s.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        "chars_per_token", "stopword_ratio", "quality_score",
+    )
+
+
+def _q_lang_guess(spark, sf_dir):
+    return textqa.lang_guess(_docs(spark, sf_dir))
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    return textqa.doc_fingerprint(_docs(spark, sf_dir))
+
+
+def _q_media_meta(spark, sf_dir):
+    return multimodal.media_meta(_docs(spark, sf_dir))
+
+
+def _q_media_features(spark, sf_dir):
+    # rows-only check: mapInPandas decode-stub plumbing (no SQL analog)
+    m = multimodal.docs_as_media(_docs(spark, sf_dir))
+    out = multimodal.extract_features(m)
+    return out.select("doc_id", "n_bytes", "checksum", F.col("feature")[0].alias("f0"))
+
+
+def _q_embedding_norms(spark, sf_dir):
+    e = similarity.with_norm(_emb(spark, sf_dir))
+    return e.select("vec_id", F.round("l2_norm", 6).alias("l2_norm"))
+
+
+def _q_ann_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(_emb(spark, sf_dir), query_ids=list(range(5)), k=10)
+
+
+def _q_lsh_cosine_topk(spark, sf_dir):
+    # rows-only: ANN scale path (bucketed), recall graded in tests
+    return similarity.lsh_topk(_emb(spark, sf_dir), query_ids=list(range(5)), k=10)
+
+
+def _q_drain_templates(spark, sf_dir):
+    # rows-only: mined-template assignment via vectorized pandas UDF
+    from ml4logs_spark.operators import drain
+
+    t = tx.transcripts(spark, sf_dir)
+    tpls = drain.fit_templates(t, sample_size=5000)
+    out = drain.match_templates(t, tpls)
+    return out.select("conv_id", "turn_idx", "drain_template")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts_scan": _q_transcripts_scan,
@@ -196,8 +291,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timedelta_minmax": _q_timedelta_minmax,
         "tfidf_centered": _q_tfidf_centered,
         "conv_value_maxpool": _q_conv_value_maxpool,
+        "dedup_exact_groups": _q_dedup_exact_groups,
+        "dedup_exact_survivors": _q_dedup_exact_survivors,
+        "minhash_signatures": _q_minhash_signatures,
+        "lsh_candidate_pairs": _q_lsh_candidate_pairs,
+        "lsh_jaccard_pairs": _q_lsh_jaccard_pairs,
+        "near_dups": _q_near_dups,
+        "simhash16": _q_simhash16,
+        "doc_stats": _q_doc_stats,
+        "lang_guess": _q_lang_guess,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "media_meta": _q_media_meta,
+        "media_features": _q_media_features,
+        "embedding_norms": _q_embedding_norms,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "lsh_cosine_topk": _q_lsh_cosine_topk,
+        "drain_templates": _q_drain_templates,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    # media_features / lsh_cosine_topk / drain_templates are deliberately
+    # absent: pandas-UDF plumbing and LSH-ANN recall have no faithful SQL
+    # analog -> driver records the weaker rows-only check.
+    return {**ORACLES, **DOC_ORACLES}

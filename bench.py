@@ -99,7 +99,17 @@ def main() -> None:
         force(windows.with_timedeltas(turns).select("conv_id", "turn_idx", "td"))
 
     e2e()  # warm-up: JIT + broadcast paths; steady-state is what scales
-    timed("e2e_pipeline", e2e)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
+    if reps > 1:
+        import statistics
+        runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            e2e()
+            runs.append(time.perf_counter() - t0)
+        timings["e2e_pipeline"] = round(statistics.median(runs), 3)
+    else:
+        timed("e2e_pipeline", e2e)
 
     dim = parse.template_dim(turns).cache()
     dim.count()

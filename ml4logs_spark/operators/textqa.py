@@ -1,0 +1,85 @@
+"""Text analysis for training-data curation: stats, quality, language ID,
+token counting, fingerprints. All pure Catalyst expressions (JVM-side);
+the DuckDB oracle mirrors live in ml4logs_spark/oracle/sql.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny marker-word lists for the n-gram/stopword language heuristic;
+# checked in priority order, strict-greater wins, default 'unk'
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "los", "y", "que"],
+    "fr": ["le", "la", "et", "les", "des", "un"],
+    "de": ["der", "die", "und", "das", "ein", "zu"],
+}
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+BPE_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+STOPWORDS = ["the", "a", "and", "of", "to", "is", "in", "for", "on", "with"]
+
+
+def _toks(text_col: str = "text") -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def doc_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc curation stats + a deterministic quality score.
+
+    quality = stopword_ratio bounded into [0,1] blended with a length
+    prior — the shape of heuristic quality scores used for pretraining
+    corpus filtering (length/punct/stopword ratios).
+    """
+    toks = _toks()
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(STOPWORDS))
+    )
+    bpe_count = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_REGEX), 0))
+    stop_ratio = stop_hits / F.greatest(n_tok, F.lit(1))
+    len_prior = F.least(n_chars / F.lit(400.0), F.lit(1.0))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        bpe_count.alias("n_bpe_tokens"),
+        F.round(n_chars / F.greatest(n_tok, F.lit(1)), 6).alias("chars_per_token"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(0.5 * len_prior + 0.5 * F.least(stop_ratio * F.lit(4.0), F.lit(1.0)), 6)
+        .alias("quality_score"),
+    )
+
+
+def lang_guess(docs: DataFrame) -> DataFrame:
+    """Marker-word language ID; priority order breaks ties, 'unk' if no
+    marker hits. Accuracy against the dataset's ``lang`` column is a
+    statistic, not a contract (the synthetic corpus is English-ish)."""
+    toks = _toks()
+
+    def _hit_count(words: list[str]) -> Column:
+        # NB: F.filter lambdas must be 1-arg; a second parameter is bound
+        # to the element index, silently corrupting a default-arg closure.
+        return F.size(F.filter(toks, lambda t: F.lower(t).isin(words)))
+
+    hits = {lang: _hit_count(words) for lang, words in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    guess = F.lit("unk")
+    # build reversed so earlier languages win ties via `when` ordering
+    expr = F.when(F.lit(False), F.lit(""))
+    for lang in LANG_MARKERS:
+        expr = expr.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang))
+    return docs.select("doc_id", "lang", expr.otherwise(guess).alias("lang_guess"))
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Normalized-content fingerprint: md5 over lowercased,
+    whitespace-collapsed text (order-stable content addressing)."""
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return docs.select(
+        "doc_id", F.md5(F.trim(norm)).alias("fingerprint")
+    )

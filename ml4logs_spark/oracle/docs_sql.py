@@ -1,0 +1,155 @@
+"""DuckDB oracle mirrors for the documents/embeddings queries.
+
+Same portability rules as oracle/sql.py: md5-hex everywhere (no engine
+hash), floats rounded at the output boundary, list functions mapped
+Spark<->DuckDB:
+
+  Spark slice(toks, i, 3)        <-> DuckDB list_slice(toks, i, i+2)
+  Spark concat_ws(' ', arr)      <-> DuckDB array_to_string(arr, ' ')
+  Spark array_min/transform      <-> DuckDB list_min/list_transform
+  Spark F.filter(arr, pred)      <-> DuckDB list_filter
+  Spark aggregate(zip_with(...)) <-> DuckDB list_dot_product(DOUBLE[])
+"""
+
+from __future__ import annotations
+
+from ml4logs_spark.operators.textqa import BPE_REGEX, LANG_MARKERS, STOPWORDS
+
+N_MINHASH = 8
+LSH_BANDS = 4
+
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(str_split(text, ' ')) - 2, 1)), "
+    "i -> array_to_string(list_slice(str_split(text, ' '), i, i + 2), ' ')))"
+)
+
+_MH_EXPRS = ",\n         ".join(
+    f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS mh{i}"
+    for i in range(N_MINHASH)
+)
+
+_BANDS = "\nUNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(mh{2*b} || mh{2*b+1}) AS h FROM sig"
+    for b in range(LSH_BANDS)
+)
+
+_DOCS_PROLOGUE = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         {_MH_EXPRS}
+  FROM sh
+),
+bands AS ({_BANDS}),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band, h)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+  SELECT c.doc_a, c.doc_b,
+         round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+               / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
+           AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b
+)
+"""
+
+
+def _dq(body: str) -> str:
+    return _DOCS_PROLOGUE + body
+
+
+def _in_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+_STOP_HITS = (
+    f"len(list_filter(str_split(text, ' '), t -> lower(t) IN ({_in_list(STOPWORDS)})))"
+)
+
+_SIMHASH_BITS = " + ".join(
+    "(CASE WHEN list_sum(list_transform(list_distinct(str_split(text, ' ')), "
+    f"t -> CASE WHEN instr('0123456789abcdef', substring(md5(t), {d + 1}, 1)) - 1 >= 8 "
+    f"THEN 1 ELSE -1 END)) >= 0 THEN {2 ** d} ELSE 0 END)"
+    for d in range(16)
+)
+
+_LANG_HITS = {
+    lang: (
+        f"len(list_filter(str_split(text, ' '), t -> lower(t) IN ({_in_list(ws)})))"
+    )
+    for lang, ws in LANG_MARKERS.items()
+}
+_BEST = "greatest(" + ", ".join(_LANG_HITS.values()) + ")"
+_LANG_CASE = "CASE " + " ".join(
+    f"WHEN {h} > 0 AND {h} = {_BEST} THEN '{lang}'" for lang, h in _LANG_HITS.items()
+) + " ELSE 'unk' END"
+
+_COS = (
+    "list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))"
+)
+
+DOC_ORACLES: dict[str, str] = {
+    "dedup_exact_groups": (
+        "SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id "
+        "FROM documents GROUP BY md5(text)"
+    ),
+    "dedup_exact_survivors": (
+        "SELECT doc_id FROM documents WHERE doc_id IN "
+        "(SELECT min(doc_id) FROM documents GROUP BY md5(text))"
+    ),
+    "minhash_signatures": _dq(
+        "SELECT doc_id, " + ", ".join(f"mh{i}" for i in range(N_MINHASH)) + " FROM sig"
+    ),
+    "lsh_candidate_pairs": _dq("SELECT doc_a, doc_b FROM cand"),
+    "lsh_jaccard_pairs": _dq("SELECT doc_a, doc_b, jaccard FROM jac"),
+    "near_dups": _dq("SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.8"),
+    "simhash16": f"SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM documents",
+    "doc_stats": f"""
+        SELECT doc_id,
+               len(str_split(text, ' ')) AS n_tokens,
+               length(text) AS n_chars,
+               len(regexp_extract_all(text, '{BPE_REGEX}')) AS n_bpe_tokens,
+               round(length(text) * 1.0 / greatest(len(str_split(text, ' ')), 1), 6)
+                 AS chars_per_token,
+               round({_STOP_HITS} * 1.0 / greatest(len(str_split(text, ' ')), 1), 6)
+                 AS stopword_ratio,
+               round(0.5 * least(length(text) / 400.0, 1.0)
+                     + 0.5 * least({_STOP_HITS} * 4.0
+                                   / greatest(len(str_split(text, ' ')), 1), 1.0), 6)
+                 AS quality_score
+        FROM documents
+    """,
+    "lang_guess": f"SELECT doc_id, lang, {_LANG_CASE} AS lang_guess FROM documents",
+    "doc_fingerprint": (
+        "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
+        "AS fingerprint FROM documents"
+    ),
+    "media_meta": (
+        "SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, "
+        "source AS container, 'text/plain' AS mime FROM documents"
+    ),
+    "embedding_norms": (
+        "SELECT vec_id, round(sqrt(list_dot_product("
+        "CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2_norm "
+        "FROM embeddings"
+    ),
+    "ann_cosine_topk": f"""
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               CAST(row_number() OVER (
+                 PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id) AS INT) AS rank,
+               round({_COS}, 6) AS cosine
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+        QUALIFY rank <= 10
+    """,
+}

