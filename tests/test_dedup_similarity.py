@@ -1,0 +1,127 @@
+"""Dedup + similarity operators: synthetic fixtures with known answers."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "s0", 43),
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s0", 43),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat", "en", "s1", 43),  # near dup of 0
+        (3, "completely different content about spark engines", "en", "s1", 48),
+        (4, "el la de los y que palabras en espanol aqui", "es", "s2", 43),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_exact_dedup(spark, docs):
+    from ml4logs_spark.operators import dedup
+
+    groups = dedup.exact_dup_groups(docs).toPandas()
+    dup = groups[groups.n_docs > 1]
+    assert len(dup) == 1 and dup.keep_id.iloc[0] == 0
+
+    survivors = sorted(dedup.exact_dedup(docs).toPandas().doc_id)
+    assert survivors == [0, 2, 3, 4]
+
+
+def test_minhash_identical_docs_same_signature(spark, docs):
+    from ml4logs_spark.operators import dedup
+
+    sig = dedup.minhash_signatures(docs).toPandas().set_index("doc_id")
+    assert (sig.loc[0] == sig.loc[1]).all()
+    # near-dup shares most minhashes; disjoint doc shares none
+    share_near = (sig.loc[0] == sig.loc[2]).sum()
+    share_far = (sig.loc[0] == sig.loc[3]).sum()
+    assert share_near > share_far
+
+
+def test_lsh_finds_near_dup_pair(spark, docs):
+    from ml4logs_spark.operators import dedup
+
+    nd = dedup.near_dups(docs, threshold=0.5).toPandas()
+    pairs = set(map(tuple, nd[["doc_a", "doc_b"]].values))
+    assert (0, 1) in pairs  # exact dup: jaccard 1.0
+    assert nd[(nd.doc_a == 0) & (nd.doc_b == 1)].jaccard.iloc[0] == 1.0
+    # near-dup (one word differs) found by LSH banding and above 0.5
+    assert (0, 2) in pairs and (1, 2) in pairs
+
+
+def test_jaccard_value(spark, docs):
+    from ml4logs_spark.operators import dedup
+
+    pairs = spark.createDataFrame([(0, 2)], "doc_a long, doc_b long")
+    j = dedup.jaccard_pairs(docs, pairs).toPandas()
+    # 9 tokens -> 7 shingles each; 6 shared (only last shingle chain differs)
+    assert 0.5 < j.jaccard.iloc[0] < 1.0
+
+
+def test_simhash_close_for_near_dups(spark, docs):
+    from ml4logs_spark.operators import dedup
+
+    sh = dedup.simhash16(docs).toPandas().set_index("doc_id").simhash
+    ham = lambda a, b: bin(int(a) ^ int(b)).count("1")
+    assert ham(sh[0], sh[1]) == 0  # identical docs
+    assert ham(sh[0], sh[2]) <= ham(sh[0], sh[3])
+
+
+def test_lang_guess_markers(spark, docs):
+    from ml4logs_spark.operators import textqa
+
+    out = textqa.lang_guess(docs).toPandas().set_index("doc_id").lang_guess
+    assert out[0] == "en" and out[4] == "es"
+
+
+def test_cosine_topk_exact(spark):
+    from ml4logs_spark.operators import similarity
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # farthest from 0
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk(emb, query_ids=[0], k=3).toPandas()
+    assert out[out["rank"] == 1].cand_id.iloc[0] == 1
+    assert out[out["rank"] == 3].cand_id.iloc[0] == 3
+    # verify value against numpy
+    a, b = np.array(vecs[0][1]), np.array(vecs[1][1])
+    expect = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    got = out[out["rank"] == 1].cosine.iloc[0]
+    assert abs(got - round(expect, 6)) < 1e-6
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    from ml4logs_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16)).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = similarity.cosine_topk(emb, query_ids=[0, 1], k=5).toPandas()
+    approx = similarity.lsh_topk(emb, query_ids=[0, 1], k=5, n_planes=4).toPandas()
+    # sanity: approx returns subsets scored identically to exact for
+    # overlapping pairs (same cosine values)
+    m = approx.merge(exact, on=["query_id", "cand_id"], suffixes=("_a", "_e"))
+    assert (m.cosine_a == m.cosine_e).all()
+    assert len(approx) > 0
+
+
+def test_media_features_stub_plumbing(spark, docs):
+    from ml4logs_spark.operators import multimodal
+
+    m = multimodal.docs_as_media(docs)
+    out = multimodal.extract_features(m).toPandas()
+    assert len(out) == docs.count()
+    assert (out.n_bytes > 0).all()
+    assert out.feature.map(len).eq(4).all()
+    # deterministic: rerun gives identical features
+    again = multimodal.extract_features(m).toPandas()
+    assert out.sort_values("doc_id").checksum.tolist() == \
+        again.sort_values("doc_id").checksum.tolist()
