@@ -49,10 +49,17 @@ def route_write(parsed: DataFrame, out_dir: str, mode: str = "overwrite") -> Non
     At cluster scale this is an Iceberg ``writeTo(...).append`` with the
     same partition spec (see sources/tables.py for the format seam); the
     directory-partitioned parquet layout is the offline fallback.
+
+    The pre-write exchange is salted: repartitioning on the sink key
+    alone (32 distinct values) would pin each sink to ONE task — the
+    biggest sink becomes the straggler. Salting by hashed (conv_id,
+    turn_idx) spreads every sink over SALT_BUCKETS tasks while
+    partitionBy still lays out one directory per sink.
     """
+    salt = F.pmod(F.hash("conv_id", "turn_idx"), F.lit(SALT_BUCKETS))
     (
         with_sink_key(parsed)
-        .repartition(F.col("template_bucket"), F.col("role"))
+        .repartition(F.col("template_bucket"), F.col("role"), salt)
         .write.mode(mode)
         .partitionBy("template_bucket", "role")
         .parquet(out_dir)

@@ -1,0 +1,82 @@
+"""Structured Streaming variant of parse -> enrich -> windowed aggregate.
+
+The reference is strictly batch (SURVEY.md §2.9 — no watermarks, windows,
+or state anywhere in its tree), so this module is a capability extension,
+not a parity requirement: the same parse/enrich expressions run over
+``readStream`` with event-time windows + watermark for late turns. The
+static dims join as stream-static broadcast joins; per-sink counts become
+windowed streaming aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ml4logs_spark.functions.masking import mask_text
+
+TRANSCRIPT_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("role", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("tool", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+])
+
+
+def stream_transcripts(spark: SparkSession, in_dir: str) -> DataFrame:
+    """File-source stream of transcript turns (new parquet files = new
+    micro-batch; at scale this is the Kafka/Iceberg-CDC source)."""
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(in_dir)
+    )
+
+
+def windowed_sink_counts(
+    stream: DataFrame,
+    template_dim: DataFrame,
+    watermark: str = "10 minutes",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Per-(event-time window, template_bucket, role) streaming counts.
+
+    Late turns beyond the watermark are dropped (state-bounded); the
+    template dim is a static broadcast side.
+    """
+    parsed = stream.withColumn("template", mask_text()).join(
+        F.broadcast(template_dim.select("template_id", "template")),
+        "template",
+        "left",
+    )
+    bucket = F.pmod(F.coalesce(F.col("template_id"), F.lit(0)), F.lit(8))
+    return (
+        parsed.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            bucket.alias("template_bucket"),
+            F.col("role"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "template_bucket", "role", "n_rows",
+        )
+    )
+
+
+def run_to_memory(counts: DataFrame, name: str = "stream_counts"):
+    """Drain all available input into an in-memory table (test harness);
+    production sinks would be ``toTable``/Kafka with checkpointing."""
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
