@@ -1,0 +1,98 @@
+"""Physical-plan audit: assert the plans we'd want at 100 TB.
+
+Runs against a *materialized* transcripts table (the pipeline's real
+input shape — the in-flight derivation exists only because the sandbox
+testdata lacks a transcripts table and adds its own window exchange).
+
+Checks:
+- column pruning reached the parquet scan (ReadSchema narrow);
+- predicate pushdown (PushedFilters populated on filtered scans);
+- dim joins are BroadcastHashJoin, never SortMergeJoin;
+- aggregations are partial+final HashAggregate (map-side combine);
+- vectorized scans (Batched: true);
+- window features cost exactly one hash exchange.
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    from ml4logs_spark.session import get_spark
+    from ml4logs_spark.datagen import transcripts as tx
+    from ml4logs_spark.operators import enrich as enrich_op
+    from ml4logs_spark.operators import features as feat
+    from ml4logs_spark.operators import parse, windows
+
+    spark = get_spark(cores=4, shuffle_partitions=8)
+    audit_dir = ".data/audit"
+    if not os.path.exists(f"{audit_dir}/transcripts.parquet"):
+        tx.materialize(spark, sf_dir, audit_dir)
+    t = tx.read_materialized(spark, audit_dir)
+    failures = []
+
+    def check(name, cond, detail=""):
+        print(("PASS " if cond else "FAIL ") + name + (f"  [{detail}]" if detail and not cond else ""))
+        if not cond:
+            failures.append(name)
+
+    # 1. template_dim: dim-side scan reads only `text`; partial+final agg
+    p = plan_of(parse.template_dim(t))
+    check("template_dim: scan pruned to text", "ReadSchema: struct<text:string>" in p)
+    check("template_dim: partial+final HashAggregate", p.count("HashAggregate") >= 2)
+    check("template_dim: vectorized scan", "Batched: true" in p)
+
+    # 2. parsed_turns: broadcast join, no sort-merge
+    p = plan_of(parse.parsed_turns(t))
+    check("parsed_turns: BroadcastHashJoin", "BroadcastHashJoin" in p)
+    check("parsed_turns: no SortMergeJoin", "SortMergeJoin" not in p)
+
+    # 3. enrich: every dim join broadcast
+    e = enrich_op.enrich(parse.parsed_turns(t), tx.role_dim(spark), tx.tool_dim(spark))
+    p = plan_of(e)
+    check("enrich: all joins broadcast", p.count("BroadcastHashJoin") >= 3 and "SortMergeJoin" not in p)
+
+    # 4. counts: one fact-side shuffle (partial agg -> exchange -> final).
+    # The dim is cached so its own tiny build exchange drops out of the
+    # plan, isolating the fact-table cost.
+    dim = parse.template_dim(t).cache()
+    dim.count()
+    p = plan_of(feat.conv_tool_counts(parse.parsed_turns(t, dim)))
+    n_exchange = p.count("Exchange hashpartitioning")
+    check("conv_tool_counts: single fact-side shuffle", n_exchange == 1, f"exchanges={n_exchange}")
+
+    # 5. window features: exactly one conv_id exchange
+    p = plan_of(windows.with_timedeltas(t).select("conv_id", "turn_idx", "td"))
+    check("timedeltas: single window exchange",
+          p.count("Exchange hashpartitioning") == 1)
+    check("timedeltas: scan pruned to 3 cols",
+          "ReadSchema: struct<conv_id:string,turn_idx:int,ts:timestamp>" in p)
+
+    # 6. predicate pushdown on filtered scan
+    m = t.filter("role = 'user'").select("conv_id")
+    p = plan_of(m)
+    check("filtered scan: PushedFilters role",
+          "PushedFilters: [IsNotNull(role), EqualTo(role,user)]" in p, p[:300])
+    check("filtered scan: ReadSchema 2 cols",
+          "ReadSchema: struct<conv_id:string,role:string>" in p)
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
