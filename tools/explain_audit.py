@@ -71,7 +71,10 @@ def main() -> int:
     dim = parse.template_dim(t).cache()
     dim.count()
     p = plan_of(feat.conv_tool_counts(parse.parsed_turns(t, dim)))
-    n_exchange = p.count("Exchange hashpartitioning")
+    # InMemoryRelation's stored child-plan text re-lists the dim build;
+    # only exchanges above it are live operators.
+    live = p.split("InMemoryRelation")[0]
+    n_exchange = live.count("Exchange hashpartitioning")
     check("conv_tool_counts: single fact-side shuffle", n_exchange == 1, f"exchanges={n_exchange}")
 
     # 5. window features: exactly one conv_id exchange
