@@ -176,6 +176,61 @@ def _q_tfidf_centered(spark, sf_dir):
     )
 
 
+def _q_timedelta_standardize(spark, sf_dir):
+    t = windows.with_timedeltas(tx.transcripts(spark, sf_dir))
+    z = feat.standardize(t, "td", keys=[])
+    return z.select("conv_id", "turn_idx", F.round("td_z", 6).alias("td_z"))
+
+
+def _q_conv_template_seq(spark, sf_dir):
+    p = _parsed(spark, sf_dir)
+    seq = F.transform(
+        F.sort_array(F.collect_list(F.struct("turn_idx", "template_id"))),
+        lambda s: s["template_id"].cast("string"),
+    )
+    return p.groupBy("conv_id").agg(
+        F.concat_ws(",", seq).alias("template_seq")
+    )
+
+
+def _q_conv_bucket_pivot(spark, sf_dir):
+    p = route.with_sink_key(_parsed(spark, sf_dir))
+    out = (
+        p.groupBy("conv_id")
+        .pivot("template_bucket", list(range(8)))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return out.select(
+        "conv_id", *[F.col(str(b)).alias(f"b{b}") for b in range(8)]
+    )
+
+
+def _q_enrich_rollup(spark, sf_dir):
+    e = enrich_op.enrich(_parsed(spark, sf_dir), tx.role_dim(spark), tx.tool_dim(spark))
+    g = e.rollup("role_group", "tool_family").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.grouping("role_group").alias("_gr"),
+        F.grouping("tool_family").alias("_gt"),
+    )
+    return g.select(
+        F.when(F.col("_gr") == 1, F.lit("ALL"))
+        .otherwise(F.coalesce("role_group", F.lit("NONE"))).alias("role_group"),
+        F.when(F.col("_gt") == 1, F.lit("ALL"))
+        .otherwise(F.coalesce("tool_family", F.lit("NONE"))).alias("tool_family"),
+        "n",
+    )
+
+
+def _q_approx_distinct_convs(spark, sf_dir):
+    # rows-only: HLL sketch values are engine-specific by nature
+    t = tx.transcripts(spark, sf_dir)
+    return t.groupBy("role").agg(
+        F.approx_count_distinct("conv_id").alias("approx_convs"),
+        F.countDistinct("conv_id").alias("exact_convs"),
+    )
+
+
 def _q_conv_value_maxpool(spark, sf_dir):
     t = windows.with_timedeltas(tx.transcripts(spark, sf_dir))
     return feat.conv_maxpool(t, "td").select(
@@ -291,6 +346,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timedelta_minmax": _q_timedelta_minmax,
         "tfidf_centered": _q_tfidf_centered,
         "conv_value_maxpool": _q_conv_value_maxpool,
+        "timedelta_standardize": _q_timedelta_standardize,
+        "conv_template_seq": _q_conv_template_seq,
+        "conv_bucket_pivot": _q_conv_bucket_pivot,
+        "enrich_rollup": _q_enrich_rollup,
+        "approx_distinct_convs": _q_approx_distinct_convs,
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_exact_survivors": _q_dedup_exact_survivors,
         "minhash_signatures": _q_minhash_signatures,

@@ -226,4 +226,47 @@ ORACLES: dict[str, str] = {
     "conv_value_maxpool": _q(
         "SELECT conv_id, round(max(tdval), 6) AS max_td FROM td GROUP BY conv_id"
     ),
+    "timedelta_standardize": _q(
+        """
+        SELECT conv_id, turn_idx,
+               round(CASE WHEN sd IS NULL OR sd = 0 THEN 0.0
+                          ELSE (tdval - mu) / sd END, 6) AS td_z
+        FROM td CROSS JOIN (
+          SELECT avg(tdval) AS mu, stddev_samp(tdval) AS sd FROM td
+          WHERE substring(md5(conv_id), 1, 1) <= 'b'
+        ) stats
+        """
+    ),
+    "conv_template_seq": _q(
+        """
+        SELECT conv_id,
+               array_to_string(list(CAST(template_id AS STRING)
+                                    ORDER BY turn_idx), ',') AS template_seq
+        FROM parsed GROUP BY conv_id
+        """
+    ),
+    "conv_bucket_pivot": _q(
+        "SELECT conv_id, "
+        + ", ".join(
+            f"CAST(sum(CASE WHEN template_id % 8 = {b} THEN 1 ELSE 0 END) AS BIGINT) AS b{b}"
+            for b in range(8)
+        )
+        + " FROM parsed GROUP BY conv_id"
+    ),
+    "enrich_rollup": _q(
+        """
+        SELECT CASE WHEN GROUPING(role_group) = 1 THEN 'ALL'
+                    ELSE coalesce(role_group, 'NONE') END AS role_group,
+               CASE WHEN GROUPING(tool_family) = 1 THEN 'ALL'
+                    ELSE coalesce(tool_family, 'NONE') END AS tool_family,
+               count(*) AS n
+        FROM (
+          SELECT p.conv_id, r.role_group, td2.tool_family
+          FROM parsed p
+          LEFT JOIN role_dim r USING (role)
+          LEFT JOIN tool_dim td2 USING (tool)
+        ) e
+        GROUP BY ROLLUP (role_group, tool_family)
+        """
+    ),
 }
