@@ -176,6 +176,17 @@ def _q_tfidf_centered(spark, sf_dir):
     )
 
 
+def _q_conv_sessions(spark, sf_dir):
+    s = windows.with_sessions(tx.transcripts(spark, sf_dir))
+    return s.select("conv_id", "turn_idx", F.col("session_idx").cast("long").alias("session_idx"))
+
+
+def _q_session_stats(spark, sf_dir):
+    s = windows.session_stats(tx.transcripts(spark, sf_dir))
+    return s.select("conv_id", F.col("session_idx").cast("long").alias("session_idx"),
+                    "n_turns", "duration_s")
+
+
 def _q_timedelta_standardize(spark, sf_dir):
     t = windows.with_timedeltas(tx.transcripts(spark, sf_dir))
     z = feat.standardize(t, "td", keys=[])
@@ -346,6 +357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timedelta_minmax": _q_timedelta_minmax,
         "tfidf_centered": _q_tfidf_centered,
         "conv_value_maxpool": _q_conv_value_maxpool,
+        "conv_sessions": _q_conv_sessions,
+        "session_stats": _q_session_stats,
         "timedelta_standardize": _q_timedelta_standardize,
         "conv_template_seq": _q_conv_template_seq,
         "conv_bucket_pivot": _q_conv_bucket_pivot,

@@ -51,6 +51,42 @@ def with_next_template(parsed: DataFrame) -> DataFrame:
     return parsed.withColumn("next_template_id", F.lead("template_id").over(w_conv()))
 
 
+def with_sessions(turns: DataFrame, gap_seconds: int = 3600) -> DataFrame:
+    """Gap-based sessionization within conversations.
+
+    A turn starts a new session when it is the conversation's first turn
+    or its gap from the previous turn exceeds ``gap_seconds``. session_idx
+    is the running count of boundaries — one window exchange on conv_id,
+    O(1) state per row (no collected groups), so the giant-conversation
+    fixture streams through a single task without materializing.
+
+    (Capability extension: the reference has no time-window semantics at
+    all — SURVEY.md §2.9; this is the batch analog of streaming session
+    windows.)
+    """
+    us = F.unix_micros(F.col("ts"))
+    delta_s = (us - F.lag(us).over(w_conv())) / F.lit(1000000.0)
+    boundary = F.when(
+        delta_s.isNull() | (delta_s > gap_seconds), F.lit(1)
+    ).otherwise(F.lit(0))
+    return turns.withColumn(
+        "session_idx",
+        F.sum(boundary).over(
+            w_conv().rowsBetween(Window.unboundedPreceding, 0)
+        ) - 1,
+    )
+
+
+def session_stats(turns: DataFrame, gap_seconds: int = 3600) -> DataFrame:
+    """Per-(conv, session): size + duration seconds."""
+    s = with_sessions(turns, gap_seconds)
+    us = F.unix_micros(F.col("ts"))
+    return s.groupBy("conv_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.round((F.max(us) - F.min(us)) / F.lit(1000000.0), 6).alias("duration_s"),
+    )
+
+
 def conv_offsets(turns: DataFrame) -> DataFrame:
     """Per-conversation size + exclusive prefix-sum offset.
 

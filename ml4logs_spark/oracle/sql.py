@@ -226,6 +226,43 @@ ORACLES: dict[str, str] = {
     "conv_value_maxpool": _q(
         "SELECT conv_id, round(max(tdval), 6) AS max_td FROM td GROUP BY conv_id"
     ),
+    "conv_sessions": _q(
+        """
+        SELECT conv_id, turn_idx,
+               CAST(sum(boundary) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT)
+                 AS session_idx
+        FROM (
+          SELECT conv_id, turn_idx,
+                 CASE WHEN (epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY conv_id ORDER BY turn_idx)) / 1000000.0 > 3600
+                      OR lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) IS NULL
+                      THEN 1 ELSE 0 END AS boundary
+          FROM t
+        ) b
+        """
+    ),
+    "session_stats": _q(
+        """
+        SELECT conv_id, session_idx, count(*) AS n_turns,
+               round((max(us) - min(us)) / 1000000.0, 6) AS duration_s
+        FROM (
+          SELECT conv_id, epoch_us(ts) AS us,
+                 CAST(sum(boundary) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT)
+                   AS session_idx
+          FROM (
+            SELECT conv_id, turn_idx, ts,
+                   CASE WHEN (epoch_us(ts) - lag(epoch_us(ts)) OVER
+                         (PARTITION BY conv_id ORDER BY turn_idx)) / 1000000.0 > 3600
+                        OR lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) IS NULL
+                        THEN 1 ELSE 0 END AS boundary
+            FROM t
+          ) b
+        ) s
+        GROUP BY conv_id, session_idx
+        """
+    ),
     "timedelta_standardize": _q(
         """
         SELECT conv_id, turn_idx,
