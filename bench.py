@@ -36,21 +36,28 @@ def force(df) -> None:
 
 
 def ensure_input(spark, sf_dir: str, replicate: int) -> str:
-    """Materialize (once) the bench input table; returns its directory."""
+    """Materialize (once) the bench input as a bucketed+sorted table.
+
+    bucketBy(conv_id) + sortBy(conv_id, turn_idx) is the local analog of
+    an Iceberg partition/sort-order spec: every conv-keyed window and
+    aggregation downstream runs shuffle-free (tools/explain_audit.py
+    verifies 0 exchanges), which is what makes the pipeline scale — the
+    shuffle was the worst-scaling component. Returns the table name.
+    """
     from ml4logs_spark.datagen import transcripts as tx
 
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1] + (f"_x{replicate}" if replicate > 1 else "")
-    out = os.path.join(REPO, ".data", f"bench_{tag}")
-    marker = os.path.join(out, "_DONE")
-    if not os.path.exists(marker):
+    tbl = f"bench_{tag}".replace(".", "_")
+    if not spark.catalog.tableExists(tbl):
         t = tx.replicate(tx.transcripts(spark, sf_dir), replicate)
         (
-            t.repartition(64, "conv_id")
-            .write.mode("overwrite")
-            .parquet(f"{out}/transcripts.parquet")
+            t.repartition(64, "conv_id")  # one file per bucket
+            .write.bucketBy(64, "conv_id")
+            .sortBy("conv_id", "turn_idx")
+            .mode("overwrite")
+            .saveAsTable(tbl)
         )
-        open(marker, "w").write("ok")
-    return out
+    return tbl
 
 
 def main() -> None:
@@ -67,10 +74,17 @@ def main() -> None:
 
     ncores = int(cores) if str(cores).isdigit() else 32
     spark = get_spark(app_name="ml4logs_bench", cores=cores,
-                      shuffle_partitions=max(16, 2 * ncores))
+                      shuffle_partitions=max(16, 2 * ncores),
+                      extra_conf={
+                          # persistent catalog so the bucketed input table
+                          # survives across bench processes (single-writer
+                          # derby; bench runs are sequential)
+                          "spark.sql.catalogImplementation": "hive",
+                          "spark.sql.warehouse.dir": os.path.join(REPO, ".data", "warehouse"),
+                      })
 
-    data_dir = ensure_input(spark, sf_dir, replicate)
-    turns = tx.read_materialized(spark, data_dir)
+    tbl = ensure_input(spark, sf_dir, replicate)
+    turns = spark.table(tbl)
     n_turns = turns.count()  # warms JVM + page cache outside timing
 
     timings: dict[str, float] = {}
