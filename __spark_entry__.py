@@ -137,6 +137,11 @@ def _q_confusion_at_half(spark, sf_dir):
     return eval_op.confusion(s, 0.5)
 
 
+def _q_error_threshold(spark, sf_dir):
+    s = eval_op.conv_scores(_parsed(spark, sf_dir), tx.labels(spark, sf_dir))
+    return eval_op.error_threshold(s)
+
+
 def _q_threshold_sweep(spark, sf_dir):
     s = eval_op.conv_scores(_parsed(spark, sf_dir), tx.labels(spark, sf_dir))
     return eval_op.threshold_sweep(s, n_grid=20)
@@ -352,6 +357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_scores": _q_conv_scores,
         "confusion_at_half": _q_confusion_at_half,
         "threshold_sweep": _q_threshold_sweep,
+        "error_threshold": _q_error_threshold,
         "head_limit": _q_head_limit,
         "tool_conv_union_distinct": _q_union_distinct,
         "timedelta_minmax": _q_timedelta_minmax,

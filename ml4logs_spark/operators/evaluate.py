@@ -47,6 +47,16 @@ def confusion(scored: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def error_threshold(scored: DataFrame) -> DataFrame:
+    """Anomaly threshold = mean(score) + 2*std(score) over normal convs
+    (/root/reference/src/ml4logs/models/baselines/seq2seq.py:100-110)."""
+    normal = scored.filter(~F.col("label"))
+    return normal.agg(
+        F.round(F.avg("score") + 2 * F.stddev_samp("score"), 6).alias("threshold"),
+        F.count(F.lit(1)).alias("n_normal"),
+    )
+
+
 def threshold_sweep(scored: DataFrame, n_grid: int = 20) -> DataFrame:
     """Score a linspace threshold grid in one pass; best F1 first
     (models/utils.py:95-113 + np.linspace grid, seq2seq.py:275).

@@ -167,6 +167,13 @@ ORACLES: dict[str, str] = {
         ) c
         """
     ),
+    "error_threshold": _q(
+        """
+        SELECT round(avg(score) + 2 * stddev_samp(score), 6) AS threshold,
+               count(*) AS n_normal
+        FROM scored WHERE NOT label
+        """
+    ),
     "threshold_sweep": _q(
         """
         SELECT round(g.i / 20.0, 6) AS threshold,
