@@ -61,6 +61,7 @@ def ensure_input(spark, sf_dir: str, replicate: int) -> str:
 
 
 def main() -> None:
+    os.chdir(REPO)  # derby metastore_db resolves relative to cwd
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
     replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "1"))
