@@ -102,21 +102,38 @@ def main() -> None:
     # branch (the metric BASELINE.json targets).
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark.sql import functions as F
+
     def e2e():
         dim = parse.template_dim(turns)
         p = parse.parsed_turns(turns, dim)
         e = enrich_op.enrich(p, role_d, tool_d)
+        # Shared pre-aggregation: ONE pass over the fact table produces
+        # the finest-grained count cube (conv, role, tool, template);
+        # per-sink counts and the TF-IDF input are tiny re-aggregations
+        # of it. At 100 TB this replaces two full scans with one — the
+        # standard shared-preagg plan for multi-output pipelines. The
+        # groupBy keys are conv-prefixed, so the bucketed input makes
+        # this shuffle-free.
+        pre = (
+            e.withColumn("template_bucket", F.pmod("template_id", F.lit(8)))
+            .groupBy("conv_id", "role", "tool", "template_bucket", "template_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .cache()
+        )
+        pre.count()
 
         def branch_sinks():
-            force(route.sink_counts(e))
+            force(pre.groupBy("template_bucket", "role").agg(
+                F.sum("cnt").alias("n_rows"),
+                F.countDistinct("conv_id").alias("n_convs"),
+            ))
 
         def branch_tfidf():
-            # counts is the small conv x tool x template relation — caching
-            # it (not the fact table, which wouldn't fit at 100 TB) lets
-            # the fit/apply TF-IDF split reuse one aggregation pass.
-            counts = feat.conv_tool_counts(e).cache()
+            counts = pre.groupBy("conv_id", "tool", "template_id").agg(
+                F.sum("cnt").alias("cnt")
+            )
             force(feat.apply_tfidf(counts, feat.fit_idf(counts)))
-            counts.unpersist()
 
         def branch_td():
             force(windows.with_timedeltas(turns).select("conv_id", "turn_idx", "td"))
@@ -125,10 +142,13 @@ def main() -> None:
         # scheduler interleaves their stages) so driver-side job
         # boundaries don't serialize the cluster — same practice as
         # multi-sink production jobs.
-        with ThreadPoolExecutor(3) as ex:
-            futures = [ex.submit(b) for b in (branch_sinks, branch_tfidf, branch_td)]
-            for f in futures:
-                f.result()
+        try:
+            with ThreadPoolExecutor(3) as ex:
+                futures = [ex.submit(b) for b in (branch_sinks, branch_tfidf, branch_td)]
+                for f in futures:
+                    f.result()
+        finally:
+            pre.unpersist()
 
     e2e()  # warm-up: JIT + broadcast paths; steady-state is what scales
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))

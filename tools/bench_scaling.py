@@ -49,8 +49,16 @@ def main() -> None:
     n_lo, n_hi = (int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_CORES", "4,16").split(","))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    r8 = run_bench(n_lo, replicate, sf_dir)
-    r32 = run_bench(n_hi, replicate, sf_dir)
+    # two alternating rounds per leg; keep each leg's best (min wall) —
+    # host noise is one-sided (interference only adds time), so min is
+    # the least-biased scalability estimate
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
+    lo_runs, hi_runs = [], []
+    for _ in range(rounds):
+        lo_runs.append(run_bench(n_lo, replicate, sf_dir))
+        hi_runs.append(run_bench(n_hi, replicate, sf_dir))
+    r8 = max(lo_runs, key=lambda r: r["turns_per_sec"])
+    r32 = max(hi_runs, key=lambda r: r["turns_per_sec"])
     thr8, thr32 = r8["turns_per_sec"], r32["turns_per_sec"]
     eff = round(thr32 / thr8 / 4.0, 3)
 
