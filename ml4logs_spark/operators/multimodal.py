@@ -51,10 +51,13 @@ _FEATURE_SCHEMA = T.StructType([
 ])
 
 
-def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Decode kernel. Real codec path is stubbed in this container; the
-    deterministic fake keeps schema/batch shape real for tests."""
-    if HAVE_CODECS:
+def _decode_batch(pdf: pd.DataFrame, use_real_codecs: bool = False) -> pd.DataFrame:
+    """Decode kernel. The deterministic fake is the default (keeps
+    schema/batch shape real for tests); the real codec path is opt-in
+    and explicitly unimplemented in this container."""
+    if use_real_codecs:
+        if not HAVE_CODECS:
+            raise ImportError("no codec libraries in this environment")
         raise NotImplementedError(
             "real image/audio decode not wired; swap this branch for "
             "PIL/librosa decode of pdf['payload']"
