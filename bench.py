@@ -73,10 +73,21 @@ def main() -> None:
     from ml4logs_spark.operators import features as feat
     from ml4logs_spark.operators import parse, route, windows
 
-    ncores = int(cores) if str(cores).isdigit() else 32
+    cores = str(cores)
+    if cores.isdigit():
+        ncores = int(cores)
+    elif cores.startswith("local-cluster["):
+        n_exec, c_exec = (int(x) for x in cores.split("[")[1].split("]")[0].split(",")[:2])
+        ncores = n_exec * c_exec
+    else:
+        ncores = 32
+    lc_conf = (
+        {"spark.executor.memory": os.environ.get("ML4S_EXECUTOR_MEM", "5g")}
+        if cores.startswith("local-cluster[") else {}
+    )
     spark = get_spark(app_name="ml4logs_bench", cores=cores,
                       shuffle_partitions=max(16, 2 * ncores),
-                      extra_conf={
+                      extra_conf={**lc_conf,
                           # persistent catalog so the bucketed input table
                           # survives across bench processes (single-writer
                           # derby; bench runs are sequential)

@@ -27,7 +27,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def run_bench(cores: int, replicate: int, sf_dir: str) -> dict:
+def run_bench(cores, replicate: int, sf_dir: str) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cores),
@@ -46,7 +46,12 @@ def run_bench(cores: int, replicate: int, sf_dir: str) -> dict:
 
 def main() -> None:
     replicate = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    n_lo, n_hi = (int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_CORES", "4,16").split(","))
+    spec = os.environ.get("SPARK_GRAFT_SCALE_CORES",
+                          "local-cluster[1,4,6144];local-cluster[4,4,6144]")
+    sep = ";" if ";" in spec else ","
+    n_lo, n_hi = spec.split(sep)
+    n_lo = int(n_lo) if n_lo.isdigit() else n_lo
+    n_hi = int(n_hi) if n_hi.isdigit() else n_hi
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     # two alternating rounds per leg; keep each leg's best (min wall) —
