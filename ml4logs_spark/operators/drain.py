@@ -126,12 +126,24 @@ def template_regex(template: str) -> str:
     return r"\s+".join(parts) if parts else r""
 
 
-def fit_templates(turns: DataFrame, sample_size: int = 50_000) -> list[str]:
-    """Deterministic bounded-sample fit: first ``sample_size`` turns under
-    (conv_id, turn_idx) order, mined driver-side."""
+def fit_templates(
+    turns: DataFrame, sample_size: int = 50_000, sample_frac_hex: str | None = None
+) -> list[str]:
+    """Deterministic bounded-sample fit, mined driver-side.
+
+    A global orderBy+limit would be a full sort at 10^12 rows; instead a
+    deterministic md5-prefix filter prunes to a pseudo-random fraction
+    FIRST (map-only, pushdown-friendly), and only that small slice is
+    sorted. ``sample_frac_hex``: keep rows whose md5(conv_id#turn_idx)
+    starts below this hex prefix ('04' = ~1/64). None = no pruning
+    (small inputs).
+    """
+    sampled = turns.select("conv_id", "turn_idx", "text")
+    if sample_frac_hex is not None:
+        key = F.md5(F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")))
+        sampled = sampled.filter(F.substring(key, 1, len(sample_frac_hex)) < sample_frac_hex)
     rows = (
-        turns.select("conv_id", "turn_idx", "text")
-        .orderBy("conv_id", "turn_idx")
+        sampled.orderBy("conv_id", "turn_idx")
         .limit(sample_size)
         .collect()
     )

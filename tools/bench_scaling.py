@@ -68,13 +68,13 @@ def main() -> None:
     eff = round(thr32 / thr8 / 4.0, 3)
 
     result = {
-        "protocol": f"same job, same input, local[{n_lo}] vs local[{n_hi}] (driver-sanctioned substitute for N vs 4N executors)",
+        "protocol": f"same job, same input, {n_lo} vs {n_hi} (N vs 4N executor emulation; local-cluster = separate executor JVMs)",
         "input_turns": r8["turns"],
         "replicate": replicate,
-        "local8": r8,
-        "local32": r32,
-        "throughput_8": thr8,
-        "throughput_32": thr32,
+        "lo": r8,
+        "hi": r32,
+        "throughput_lo": thr8,
+        "throughput_hi": thr32,
         "scaling_efficiency": eff,
         "target": 0.8,
         "pass": eff >= 0.8,
@@ -88,14 +88,16 @@ def main() -> None:
 Per BASELINE.json the target is end-to-end parse->enrich->route->aggregate
 throughput with scaling efficiency >= 0.8 from N to 4N executors. The
 sandbox protocol (no real cluster): the same job on the same input at
-local[{n_lo}] vs local[{n_hi}], efficiency = (thr_hi / thr_lo) / 4.
+`{n_lo}` vs `{n_hi}`, efficiency = (thr_hi / thr_lo) / 4. local-cluster[n,c,mem]
+spawns n real executor JVMs with c cores each — the faithful emulation of
+n executors (separate heaps, real inter-JVM shuffle), unlike plain local[k].
 
 | config | input turns | e2e wall (s) | turns/sec |
 |---|---|---|---|
-| local[{n_lo}]  | {r8['turns']:,} | {r8['queries']['e2e_pipeline']} | {thr8:,.1f} |
-| local[{n_hi}] | {r32['turns']:,} | {r32['queries']['e2e_pipeline']} | {thr32:,.1f} |
+| `{n_lo}`  | {r8['turns']:,} | {r8['queries']['e2e_pipeline']} | {thr8:,.1f} |
+| `{n_hi}` | {r32['turns']:,} | {r32['queries']['e2e_pipeline']} | {thr32:,.1f} |
 
-**Scaling efficiency ({n_lo} -> {n_hi} cores): {eff}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+**Scaling efficiency ({n_lo} -> {n_hi}): {eff}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
 
 Input: driver testdata sf0.1 transcripts derivation replicated x{replicate}
 ({r8['turns']:,} turns), materialized to parquet before timing. Fresh JVM
@@ -112,8 +114,8 @@ spark-submit --py-files dist/ml4logs_spark.zip \\
 ```
 """
     (bench_dir / "BASELINE.md").write_text(md)
-    print(json.dumps(result["local8"]["queries"]))
-    print(json.dumps(result["local32"]["queries"]))
+    print(json.dumps(result["lo"]["queries"]))
+    print(json.dumps(result["hi"]["queries"]))
     print(f"efficiency={eff} pass={eff >= 0.8}")
 
 
