@@ -174,6 +174,19 @@ def main() -> None:
     else:
         timed("e2e_pipeline", e2e)
 
+    if os.environ.get("SPARK_GRAFT_E2E_ONLY") == "1":
+        total = round(sum(timings.values()), 3)
+        out = {
+            "metric": "parse_enrich_route_aggregate_wall",
+            "value": total, "unit": "sec", "queries": timings, "sf": sf,
+            "turns": n_turns,
+            "turns_per_sec": round(n_turns / timings["e2e_pipeline"], 1),
+            "cores": cores,
+        }
+        spark.stop()
+        print(json.dumps(out))
+        return
+
     dim = parse.template_dim(turns).cache()
     dim.count()
     timed("parse_assign", lambda: force(
