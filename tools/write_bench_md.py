@@ -22,6 +22,13 @@ def main() -> None:
     lo = strong.get("lo") or strong.get("local8")
     hi = strong.get("hi") or strong.get("local32")
     eff = strong["scaling_efficiency"]
+    stage_keys = ["parse_assign", "enrich", "sink_counts", "conv_tool_counts", "timedeltas"]
+    if all(k in lo["queries"] and k in hi["queries"] for k in stage_keys):
+        per_stage = "Per-stage strong scaling (best runs): " + ", ".join(
+            f"{k} {lo['queries'][k]}s -> {hi['queries'][k]}s" for k in stage_keys
+        ) + "."
+    else:
+        per_stage = "(e2e-only run: per-stage timings omitted.)"
 
     md = f"""# BENCH/BASELINE.md — scaling-efficiency evidence
 
@@ -42,7 +49,7 @@ JVMs (separate heaps, inter-JVM shuffle), not threads in one JVM.
 
 **Strong-scaling efficiency: {eff}** (target 0.8)
 
-Per-stage strong scaling (best runs): parse {lo['queries']['parse_assign']}s -> {hi['queries']['parse_assign']}s, enrich {lo['queries']['enrich']}s -> {hi['queries']['enrich']}s, sink_counts {lo['queries']['sink_counts']}s -> {hi['queries']['sink_counts']}s, conv_tool_counts {lo['queries']['conv_tool_counts']}s -> {hi['queries']['conv_tool_counts']}s, timedeltas {lo['queries']['timedeltas']}s -> {hi['queries']['timedeltas']}s.
+{per_stage}
 """
     if weak:
         wlo, whi = weak["lo"], weak["hi"]
