@@ -254,6 +254,66 @@ def _q_conv_value_maxpool(spark, sf_dir):
     )
 
 
+def _q_conv_embedding_maxpool(spark, sf_dir):
+    # A6 full semantics: element-wise per-group max over array<float>
+    # (reference max-pools (N,F) embedding matrices per block). Output
+    # pos-exploded long form so the value-hash compare stays scalar.
+    pooled = feat.array_maxpool(_emb(spark, sf_dir), "label", "embedding", dim=64)
+    return pooled.select(
+        "label", F.posexplode("max_embedding").alias("dim_idx", "max_val")
+    ).select(
+        "label",
+        (F.col("dim_idx") + 1).cast("long").alias("dim_idx"),
+        F.round("max_val", 6).alias("max_val"),
+    )
+
+
+def _q_merged_features(spark, sf_dir):
+    # J3 full semantics: hstack per-turn feature arrays via key join +
+    # F.concat; surfaced as element columns for the scalar hash compare.
+    t = tx.transcripts(spark, sf_dir)
+    a = windows.with_timedeltas(t).select(
+        "conv_id", "turn_idx", F.array(F.round("td", 6)).alias("features")
+    )
+    b = _parsed(spark, sf_dir).select(
+        "conv_id", "turn_idx",
+        F.array(
+            F.col("template_id").cast("double"),
+            F.length("text").cast("double"),
+        ).alias("features"),
+    )
+    m = feat.merge_features(a, b, ["conv_id", "turn_idx"])
+    return m.select(
+        "conv_id", "turn_idx",
+        F.element_at("features", 1).alias("f_td"),
+        F.element_at("features", 2).alias("f_template"),
+        F.element_at("features", 3).alias("f_len"),
+    )
+
+
+def _q_turn_embeddings(spark, sf_dir):
+    # F2: embedding PRODUCTION via iterator-of-batches pandas UDF with a
+    # per-executor encoder; the deterministic stub encoder makes the UDF
+    # seam itself oracle-checkable.
+    from ml4logs_spark.operators import encode
+
+    e = encode.turn_embeddings(tx.transcripts(spark, sf_dir), dim=8)
+    return e.select(
+        "conv_id", "turn_idx", F.posexplode("embedding").alias("dim_idx", "val")
+    ).select(
+        "conv_id", "turn_idx",
+        F.col("dim_idx").cast("long").alias("dim_idx"),
+        F.round("val", 6).alias("val"),
+    )
+
+
+def _q_dense_fit_counts(spark, sf_dir):
+    # dense (conv x fit-template) zero-filled matrix, fit-time schema
+    # (_add_missing_columns semantics: zero-fill unseen-at-transform,
+    # drop unseen-at-fit).
+    return feat.dense_fit_counts(feat.conv_tool_counts(_parsed(spark, sf_dir)))
+
+
 # ------------------------------------------------- documents / embeddings
 
 def _q_dedup_exact_groups(spark, sf_dir):
@@ -363,6 +423,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timedelta_minmax": _q_timedelta_minmax,
         "tfidf_centered": _q_tfidf_centered,
         "conv_value_maxpool": _q_conv_value_maxpool,
+        "conv_embedding_maxpool": _q_conv_embedding_maxpool,
+        "merged_features": _q_merged_features,
+        "turn_embeddings": _q_turn_embeddings,
+        "dense_fit_counts": _q_dense_fit_counts,
         "conv_sessions": _q_conv_sessions,
         "session_stats": _q_session_stats,
         "timedelta_standardize": _q_timedelta_standardize,

@@ -139,21 +139,30 @@ def simhash16(docs: DataFrame) -> DataFrame:
     Each hex digit position d of md5(token) is one projection: tokens
     vote +1 if nibble >= 8 else -1; bit d = (sum >= 0). Deterministic in
     both engines (no platform hash), vectorized via higher-order fns.
+
+    Single-pass: each token is md5-hashed exactly ONCE; all 16 bit votes
+    accumulate in one ``aggregate`` with an array accumulator (round 1
+    re-hashed every token 16x — same answer, 16x the md5 cost). A hex
+    char ``c >= '8'`` is exactly ``nibble >= 8`` because [0-9a-f] are
+    lexicographically ordered.
     """
     toks = F.array_distinct(F.split(F.col("text"), " "))
-    bit_cols = []
-    for d in range(16):
-        nib = lambda t, d=d: F.instr(
-            F.lit("0123456789abcdef"),
-            F.substring(F.md5(t), d + 1, 1),
-        ) - 1
-        vote = F.aggregate(
-            toks,
-            F.lit(0),
-            lambda acc, t: acc + F.when(nib(t) >= 8, 1).otherwise(-1),
-        )
-        bit_cols.append(F.when(vote >= 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** d))
-    total = bit_cols[0]
-    for c in bit_cols[1:]:
-        total = total + c
-    return docs.select("doc_id", total.cast("long").alias("simhash"))
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), 16),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.split(F.substring(F.md5(t), 1, 16), ""),
+                lambda c: F.when(c >= F.lit("8"), F.lit(1)).otherwise(F.lit(-1)),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    weights = F.array(*[F.lit(2**d) for d in range(16)])
+    sim = F.aggregate(
+        F.zip_with(votes, weights, lambda v, w: F.when(v >= 0, w).otherwise(F.lit(0))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return docs.select("doc_id", sim.cast("long").alias("simhash"))

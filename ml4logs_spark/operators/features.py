@@ -127,3 +127,71 @@ def conv_maxpool(turns: DataFrame, value_col: str) -> DataFrame:
     """Per-conversation max-pool of a per-turn feature
     (/root/reference/src/ml4logs/features/aggregate.py:60-68)."""
     return turns.groupBy("conv_id").agg(F.max(value_col).alias(f"max_{value_col}"))
+
+
+def array_maxpool(df: DataFrame, key: str, vec_col: str, dim: int) -> DataFrame:
+    """Element-wise per-group max over an ``array<float>`` column — the
+    full A6 semantics: the reference max-pools (N, F) embedding matrices
+    per block (/root/reference/src/ml4logs/features/aggregate.py:60-68).
+
+    One hash aggregate with ``dim`` max buffers (JVM-side, partial+final
+    combine): the shuffle carries #groups x dim doubles, never the rows.
+    That beats posexplode (which would shuffle N x dim rows) and needs no
+    Python. ``dim`` is the fixed feature width (model property, known at
+    plan time, like the reference's F).
+    """
+    aggs = [
+        F.max(F.element_at(vec_col, i + 1).cast("double")).alias(f"_m{i}")
+        for i in range(dim)
+    ]
+    pooled = df.groupBy(key).agg(*aggs)
+    return pooled.select(
+        key, F.array(*[F.col(f"_m{i}") for i in range(dim)]).alias(f"max_{vec_col}")
+    )
+
+
+def merge_features(
+    a: DataFrame, b: DataFrame, keys: list[str], feat_col: str = "features"
+) -> DataFrame:
+    """hstack two per-row feature arrays — the full J3 semantics
+    (/root/reference/src/ml4logs/data/utils.py:62-77 merges feature
+    matrices column-wise under positional alignment).
+
+    Positional alignment is made explicit: an equi-join on the row keys
+    (conv_id, turn_idx) then ``F.concat`` of the arrays. Inner join =
+    the reference's same-length assert; on the bucketed fact table both
+    sides are co-partitioned so the join is shuffle-free.
+    """
+    fa = a.select(*keys, F.col(feat_col).alias("_fa"))
+    fb = b.select(*keys, F.col(feat_col).alias("_fb"))
+    return fa.join(fb, keys).select(
+        *keys, F.concat("_fa", "_fb").alias(feat_col)
+    )
+
+
+def fit_template_dim(counts: DataFrame) -> DataFrame:
+    """Templates seen in the train split — the fit-time column schema
+    (count_features.py:33-44 fit vocabulary)."""
+    return counts.filter(train_split_flag()).select("template_id").distinct()
+
+
+def dense_fit_counts(counts: DataFrame) -> DataFrame:
+    """Dense (conv x fit-template) zero-filled count matrix in long form.
+
+    The reference's ``_add_missing_columns`` schema-evolution semantics
+    (count_features.py:46-49, 72-76): every fit-time template is present
+    for every conversation (zero-filled when unseen at transform), and
+    templates UNSEEN AT FIT are dropped. The grid is convs x broadcast
+    fit-template dim (the dim is model state, small); the observed counts
+    left-join onto it. Dense B x E materialization is the reference's
+    dense-matrix contract — the hot path keeps the sparse long form
+    (conv_tool_counts); use this only at the model boundary.
+    """
+    convs = counts.select("conv_id").distinct()
+    agg = counts.groupBy("conv_id", "template_id").agg(F.sum("cnt").alias("_cnt"))
+    grid = convs.crossJoin(F.broadcast(fit_template_dim(counts)))
+    return grid.join(agg, ["conv_id", "template_id"], "left").select(
+        "conv_id",
+        "template_id",
+        F.coalesce("_cnt", F.lit(0)).cast("long").alias("cnt"),
+    )

@@ -47,16 +47,22 @@ def cosine_topk(
         .filter(F.col("cand_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            _dot(F.col("qvec"), F.col("cvec"))
-            / (F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
-               * F.sqrt(_dot(F.col("cvec"), F.col("cvec")))),
+            # round BEFORE ranking: fold-order double noise (~1e-15) can
+            # differ between engines and flip ranks of near-ties; ranking
+            # on round(cos, 6) + cand_id is deterministic everywhere.
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
+                   * F.sqrt(_dot(F.col("cvec"), F.col("cvec")))),
+                6,
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "cand_id", "rank", F.round("cosine", 6).alias("cosine"))
+        .select("query_id", "cand_id", "rank", "cosine")
     )
 
 
@@ -107,14 +113,17 @@ def lsh_topk(
         .filter(F.col("cand_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            _dot(F.col("qvec"), F.col("cvec"))
-            / (F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
-               * F.sqrt(_dot(F.col("cvec"), F.col("cvec")))),
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
+                   * F.sqrt(_dot(F.col("cvec"), F.col("cvec")))),
+                6,
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "cand_id", "rank", F.round("cosine", 6).alias("cosine"))
+        .select("query_id", "cand_id", "rank", "cosine")
     )

@@ -87,15 +87,41 @@ def session_stats(turns: DataFrame, gap_seconds: int = 3600) -> DataFrame:
     )
 
 
-def conv_offsets(turns: DataFrame) -> DataFrame:
+def conv_offsets(turns: DataFrame, n_parts: int | None = None) -> DataFrame:
     """Per-conversation size + exclusive prefix-sum offset.
 
     Parity with the reference's BlockSize/BlockOffset bookkeeping
-    (/root/reference/src/ml4logs/data/hdfs.py:106-115). Offsets are an
-    artifact of positional addressing and unused by our joins; kept as a
-    window-function demonstration (global ordered window = single-task
-    stage, fine only because input is pre-aggregated to #convs rows).
+    (/root/reference/src/ml4logs/data/hdfs.py:106-115), computed as a
+    DISTRIBUTED two-phase prefix sum — no global un-partitioned window
+    (round 1 used ``Window.orderBy(conv_id)``: one task sorts all #convs
+    rows, a scale-killer at 10^9+ conversations):
+
+    1. range-partition sizes by conv_id; exclusive running sum WITHIN
+       each range partition (window partitioned by the range id);
+    2. per-partition totals (#partitions rows — tiny) get their own
+       exclusive prefix sum and broadcast-join back as the base offset.
+
+    Range partitions compose in conv_id order, so base + local == the
+    global exclusive prefix sum. The only ordered-unpartitioned window
+    left runs over #partitions rows, not #convs.
     """
     sizes = turns.groupBy("conv_id").agg(F.count(F.lit(1)).alias("conv_size"))
-    w = Window.orderBy("conv_id").rowsBetween(Window.unboundedPreceding, -1)
-    return sizes.withColumn("conv_offset", F.coalesce(F.sum("conv_size").over(w), F.lit(0)))
+    parts = n_parts or turns.sparkSession.sparkContext.defaultParallelism
+    ranged = sizes.repartitionByRange(parts, "conv_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid").orderBy("conv_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "_local", F.coalesce(F.sum("conv_size").over(w_local), F.lit(0))
+    )
+    totals = ranged.groupBy("_pid").agg(F.sum("conv_size").alias("_tot"))
+    w_base = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    bases = totals.withColumn(
+        "_base", F.coalesce(F.sum("_tot").over(w_base), F.lit(0))
+    ).select("_pid", "_base")
+    return local.join(F.broadcast(bases), "_pid").select(
+        "conv_id", "conv_size", (F.col("_local") + F.col("_base")).alias("conv_offset")
+    )

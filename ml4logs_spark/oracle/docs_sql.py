@@ -138,15 +138,24 @@ DOC_ORACLES: dict[str, str] = {
         "SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, "
         "source AS container, 'text/plain' AS mime FROM documents"
     ),
+    "conv_embedding_maxpool": (
+        "SELECT label, g.i AS dim_idx, "
+        "round(max(CAST(list_extract(embedding, g.i) AS DOUBLE)), 6) AS max_val "
+        "FROM embeddings CROSS JOIN (SELECT range AS i FROM range(1, 65)) g "
+        "GROUP BY label, g.i"
+    ),
     "embedding_norms": (
         "SELECT vec_id, round(sqrt(list_dot_product("
         "CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2_norm "
         "FROM embeddings"
     ),
+    # rank over round(cos, 6) mirrors the Spark side: unrounded doubles
+    # can differ ~1e-15 between engines and flip near-tied ranks.
     "ann_cosine_topk": f"""
         SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
                CAST(row_number() OVER (
-                 PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id) AS INT) AS rank,
+                 PARTITION BY q.vec_id
+                 ORDER BY round({_COS}, 6) DESC, c.vec_id) AS INT) AS rank,
                round({_COS}, 6) AS cosine
         FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
         WHERE q.vec_id < 5

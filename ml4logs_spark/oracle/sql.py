@@ -81,6 +81,15 @@ def _q(body: str) -> str:
     ) + body
 
 
+# Stub-encoder mirror (operators/encode.py HashEncoder): value_i =
+# int(md5(text:i)[:4], 16) / 65535 - 0.5, the 4 leading nibbles read via
+# instr over the hex alphabet (no engine-specific hex->int cast).
+_MD5_TI = "md5(coalesce(t.text, '') || ':' || g.i)"
+_NIBBLE_VAL = " + ".join(
+    f"(instr('0123456789abcdef', substring({_MD5_TI}, {k + 1}, 1)) - 1) * {16 ** (3 - k)}"
+    for k in range(4)
+)
+
 ORACLES: dict[str, str] = {
     "transcripts_scan": _q(
         "SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us FROM t"
@@ -232,6 +241,35 @@ ORACLES: dict[str, str] = {
     ),
     "conv_value_maxpool": _q(
         "SELECT conv_id, round(max(tdval), 6) AS max_td FROM td GROUP BY conv_id"
+    ),
+    "merged_features": _q(
+        """
+        SELECT td.conv_id, td.turn_idx, round(td.tdval, 6) AS f_td,
+               CAST(p.template_id AS DOUBLE) AS f_template,
+               CAST(length(p.text) AS DOUBLE) AS f_len
+        FROM td JOIN parsed p USING (conv_id, turn_idx)
+        """
+    ),
+    "turn_embeddings": _q(
+        f"""
+        SELECT t.conv_id, t.turn_idx, g.i AS dim_idx,
+               round(({_NIBBLE_VAL}) / 65535.0 - 0.5, 6) AS val
+        FROM t CROSS JOIN (SELECT range AS i FROM range(0, 8)) g
+        """
+    ),
+    "dense_fit_counts": _q(
+        """
+        SELECT g.conv_id, g.template_id, CAST(coalesce(a.cnt, 0) AS BIGINT) AS cnt
+        FROM (
+          SELECT c1.conv_id, f1.template_id
+          FROM (SELECT DISTINCT conv_id FROM counts) c1
+          CROSS JOIN (SELECT DISTINCT template_id FROM fitc) f1
+        ) g
+        LEFT JOIN (
+          SELECT conv_id, template_id, CAST(sum(cnt) AS BIGINT) AS cnt
+          FROM counts GROUP BY conv_id, template_id
+        ) a ON a.conv_id = g.conv_id AND a.template_id = g.template_id
+        """
     ),
     "conv_sessions": _q(
         """

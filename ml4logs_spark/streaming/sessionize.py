@@ -41,25 +41,29 @@ def make_sessionizer(gap_seconds: int = 3600, with_timeout: bool = False):
             state.remove()
             return
         last_us, session_idx = state.get if state.exists else (None, -1)
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("turn_idx")
-            us = pdf["ts"].astype("int64") // 1000  # ns -> us
-            sessions = []
-            for u in us:
-                if last_us is None or (u - last_us) > gap_us:
-                    session_idx += 1
-                last_us = int(u)
-                sessions.append(session_idx)
-            out.append(pd.DataFrame({
-                "conv_id": key[0],
-                "turn_idx": pdf["turn_idx"].values,
-                "session_idx": sessions,
-            }))
+        # A conversation's rows may span several Arrow chunks within one
+        # micro-batch; sorting chunks individually would compute session
+        # indices out of turn order. Concatenate the whole group first.
+        chunks = list(pdfs)
+        if not chunks:
+            state.update((last_us, session_idx))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("turn_idx")
+        us = pdf["ts"].astype("int64") // 1000  # ns -> us
+        sessions = []
+        for u in us:
+            if last_us is None or (u - last_us) > gap_us:
+                session_idx += 1
+            last_us = int(u)
+            sessions.append(session_idx)
         state.update((last_us, session_idx))
         if with_timeout:
             state.setTimeoutDuration(24 * 3600 * 1000)
-        yield from out
+        yield pd.DataFrame({
+            "conv_id": key[0],
+            "turn_idx": pdf["turn_idx"].values,
+            "session_idx": sessions,
+        })
 
     return sessionize
 
