@@ -49,6 +49,57 @@ def test_labels_csv(spark, tmp_path):
     assert out.label.tolist() == [False, True]
 
 
+def test_multifile_glob_stable_order(spark, tmp_path):
+    """turn_idx must be a physical property of the files — identical
+    across a multi-file glob, recompute after repartition, and both
+    order modes (the round-1 monotonically_increasing_id key was not)."""
+    # one block spanning two rotated files; rotation order = name order
+    (tmp_path / "a.log").write_text(
+        "081109 203615 148 INFO dfs.DataNode: first blk_7 line\n"
+        "081109 203616 148 INFO dfs.DataNode: second blk_7 line\n"
+    )
+    (tmp_path / "b.log").write_text(
+        "081109 203617 148 INFO dfs.DataNode: third blk_7 line\n"
+    )
+    from ml4logs_spark.sources.rawlog import read_hdfs_log
+
+    glob = str(tmp_path / "*.log")
+    expected = [
+        (0, "first blk_7 line"),
+        (1, "second blk_7 line"),
+        (2, "third blk_7 line"),
+    ]
+    for order in ("wholetext", "offset"):
+        t = read_hdfs_log(spark, glob, order=order)
+        got = (
+            t.toPandas().sort_values("turn_idx")[["turn_idx", "text"]]
+            .apply(tuple, axis=1).tolist()
+        )
+        assert got == expected, order
+        # recompute after an adversarial repartition: same assignment
+        got2 = (
+            read_hdfs_log(spark, glob, order=order)
+            .repartition(7)
+            .toPandas().sort_values("turn_idx")[["turn_idx", "text"]]
+            .apply(tuple, axis=1).tolist()
+        )
+        assert got2 == expected, order
+
+
+def test_offset_mode_matches_wholetext(spark, tmp_path):
+    p = tmp_path / "hdfs.log"
+    p.write_text(LOG_LINES)
+    from ml4logs_spark.sources.rawlog import read_hdfs_log
+
+    a = read_hdfs_log(spark, str(p), order="wholetext").toPandas()
+    b = read_hdfs_log(spark, str(p), order="offset").toPandas()
+    key = ["conv_id", "turn_idx", "text"]
+    assert (
+        a[key].sort_values(key).values.tolist()
+        == b[key].sort_values(key).values.tolist()
+    )
+
+
 def test_rawlog_feeds_pipeline(spark, tmp_path):
     """The raw-log source composes with the same downstream operators."""
     from ml4logs_spark.operators import parse, windows
