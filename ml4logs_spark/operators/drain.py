@@ -126,19 +126,44 @@ def template_regex(template: str) -> str:
     return r"\s+".join(parts) if parts else r""
 
 
+def _auto_frac_hex(turns: DataFrame, sample_size: int) -> str | None:
+    """Pick an md5-prefix threshold that keeps ~4x sample_size rows.
+
+    One count() pass (column-pruned to nothing; metadata-only on plain
+    parquet scans) replaces streaming EVERY row through the
+    TakeOrdered comparator. 2 hex digits = 1/256 resolution; the 4x
+    margin makes a binomial undershoot below sample_size negligible.
+    """
+    n = turns.count()
+    want = 4 * sample_size
+    if n <= want:
+        return None
+    threshold = max(1, -(-want * 256 // n))  # ceil(want/n * 256)
+    if threshold >= 256:
+        return None
+    return f"{threshold:02x}"
+
+
 def fit_templates(
-    turns: DataFrame, sample_size: int = 50_000, sample_frac_hex: str | None = None
+    turns: DataFrame,
+    sample_size: int = 50_000,
+    sample_frac_hex: str | None = "auto",
 ) -> list[str]:
     """Deterministic bounded-sample fit, mined driver-side.
 
-    A global orderBy+limit would be a full sort at 10^12 rows; instead a
-    deterministic md5-prefix filter prunes to a pseudo-random fraction
-    FIRST (map-only, pushdown-friendly), and only that small slice is
-    sorted. ``sample_frac_hex``: keep rows whose md5(conv_id#turn_idx)
-    starts below this hex prefix ('04' = ~1/64). None = no pruning
-    (small inputs).
+    A global orderBy+limit compiles to TakeOrderedAndProject (per-
+    partition top-K, not a full sort) but still streams every row
+    through the comparator at 10^12 rows; instead a deterministic
+    md5-prefix filter prunes to a pseudo-random fraction FIRST
+    (map-only), and only that small slice is ordered.
+    ``sample_frac_hex``: keep rows whose md5(conv_id#turn_idx) starts
+    below this hex prefix ('04' = ~1/64). The default "auto" derives the
+    prefix from a row-count estimate so pruning is ON whenever the input
+    is larger than 4x the sample; None disables pruning explicitly.
     """
     sampled = turns.select("conv_id", "turn_idx", "text")
+    if sample_frac_hex == "auto":
+        sample_frac_hex = _auto_frac_hex(sampled, sample_size)
     if sample_frac_hex is not None:
         key = F.md5(F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")))
         sampled = sampled.filter(F.substring(key, 1, len(sample_frac_hex)) < sample_frac_hex)

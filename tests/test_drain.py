@@ -49,6 +49,32 @@ def test_fit_deterministic(turns):
     assert a == b and len(a) > 0
 
 
+def test_auto_pruning_same_templates(spark):
+    """Default-on auto sample pruning mines the same template set as the
+    unpruned fit on a corpus large enough to trigger it."""
+    rows = [
+        ("c%04d" % (i % 97), i, line)
+        for i in range(2000)
+        for line in [
+            [
+                f"svc click request {i} accepted from user {i % 13}",
+                f"error code {i % 7} while processing view payload",
+                f"heartbeat session {i} ok",
+            ][i % 3]
+        ]
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    pruned = drain.fit_templates(df, sample_size=200)            # auto default
+    assert drain._auto_frac_hex(df, 200) is not None             # pruning active
+    full = drain.fit_templates(df, sample_size=200, sample_frac_hex=None)
+    assert pruned == full and len(pruned) == 3
+
+
+def test_auto_pruning_off_for_small_inputs(turns):
+    # sf0.001 fixture is smaller than 4x the default sample -> no pruning
+    assert drain._auto_frac_hex(turns, 50_000) is None
+
+
 def test_apply_assigns_every_planted_turn(spark, turns):
     tpls = drain.fit_templates(turns, sample_size=2000)
     out = drain.match_templates(turns, tpls)
