@@ -187,6 +187,32 @@ def main() -> None:
         print(json.dumps(out))
         return
 
+    # -------- documents/embeddings path: simhash cost + ANN recall ----
+    # (outside the headline turns/sec metric; recorded so the ANN scale
+    # path is GRADED on recall, not just smoke-run)
+    docs_out: dict = {}
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    docs_path = f"{sf_dir}/documents.parquet"
+    if os.path.exists(emb_path) and os.path.exists(docs_path):
+        from ml4logs_spark.operators import dedup as dedup_op
+        from ml4logs_spark.operators import similarity
+
+        docs = spark.read.parquet(docs_path)
+        t0 = time.perf_counter()
+        force(dedup_op.simhash16(docs))
+        docs_out["simhash_docs_sec"] = round(time.perf_counter() - t0, 3)
+        emb = spark.read.parquet(emb_path)
+        qids = list(range(5))
+        t0 = time.perf_counter()
+        recall = similarity.ann_recall(emb, qids, k=10)
+        docs_out.update({
+            "ann_recall_at_10": recall,
+            "ann_recall_floor": 0.7,
+            "ann_recall_pass": recall >= 0.7,
+            "ann_config": "8 planes x 4 bands (isotropic-gaussian worst case)",
+            "ann_sec": round(time.perf_counter() - t0, 3),
+        })
+
     dim = parse.template_dim(turns).cache()
     dim.count()
     timed("parse_assign", lambda: force(
@@ -210,6 +236,7 @@ def main() -> None:
         "turns": n_turns,
         "turns_per_sec": round(n_turns / timings["e2e_pipeline"], 1),
         "cores": cores,
+        "docs": docs_out,
     }
     spark.stop()
     print(json.dumps(out))

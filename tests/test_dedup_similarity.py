@@ -105,12 +105,18 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     exact = similarity.cosine_topk(emb, query_ids=[0, 1], k=5).toPandas()
-    approx = similarity.lsh_topk(emb, query_ids=[0, 1], k=5, n_planes=4).toPandas()
+    approx = similarity.lsh_topk(
+        emb, query_ids=[0, 1], k=5, n_planes=4, dim=16
+    ).toPandas()
     # sanity: approx returns subsets scored identically to exact for
     # overlapping pairs (same cosine values)
     m = approx.merge(exact, on=["query_id", "cand_id"], suffixes=("_a", "_e"))
     assert (m.cosine_a == m.cosine_e).all()
     assert len(approx) > 0
+    # recall floor under the default OR-amplified banding; isotropic
+    # gaussians are the LSH worst case, so this is a conservative bar
+    recall = similarity.ann_recall(emb, [0, 1], k=5, n_planes=8, dim=16)
+    assert recall >= 0.6, recall
 
 
 def test_media_features_stub_plumbing(spark, docs):
