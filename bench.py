@@ -35,7 +35,7 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def ensure_input(spark, sf_dir: str, replicate: int) -> str:
+def ensure_input(spark, sf_dir: str, replicate: int, buckets: int = 64) -> str:
     """Materialize (once) the bench input as a bucketed+sorted table.
 
     bucketBy(conv_id) + sortBy(conv_id, turn_idx) is the local analog of
@@ -43,16 +43,20 @@ def ensure_input(spark, sf_dir: str, replicate: int) -> str:
     aggregation downstream runs shuffle-free (tools/explain_audit.py
     verifies 0 exchanges), which is what makes the pipeline scale — the
     shuffle was the worst-scaling component. Returns the table name.
+    ``buckets`` (env SPARK_GRAFT_BUCKETS) sets task granularity: more
+    buckets = finer tasks = smaller stage tails at high parallelism.
     """
     from ml4logs_spark.datagen import transcripts as tx
 
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1] + (f"_x{replicate}" if replicate > 1 else "")
+    if buckets != 64:
+        tag += f"_b{buckets}"
     tbl = f"bench_{tag}".replace(".", "_")
     if not spark.catalog.tableExists(tbl):
         t = tx.replicate(tx.transcripts(spark, sf_dir), replicate)
         (
-            t.repartition(64, "conv_id")  # one file per bucket
-            .write.bucketBy(64, "conv_id")
+            t.repartition(buckets, "conv_id")  # one file per bucket
+            .write.bucketBy(buckets, "conv_id")
             .sortBy("conv_id", "turn_idx")
             .mode("overwrite")
             .saveAsTable(tbl)
@@ -85,6 +89,9 @@ def main() -> None:
         {"spark.executor.memory": os.environ.get("ML4S_EXECUTOR_MEM", "5g")}
         if cores.startswith("local-cluster[") else {}
     )
+    java_opts = os.environ.get("ML4S_EXECUTOR_JAVA_OPTS")
+    if java_opts:
+        lc_conf["spark.executor.extraJavaOptions"] = java_opts
     spark = get_spark(app_name="ml4logs_bench", cores=cores,
                       shuffle_partitions=max(16, 2 * ncores),
                       extra_conf={**lc_conf,
@@ -95,7 +102,8 @@ def main() -> None:
                           "spark.sql.warehouse.dir": os.path.join(REPO, ".data", "warehouse"),
                       })
 
-    tbl = ensure_input(spark, sf_dir, replicate)
+    buckets = int(os.environ.get("SPARK_GRAFT_BUCKETS", "64"))
+    tbl = ensure_input(spark, sf_dir, replicate, buckets)
     turns = spark.table(tbl)
     n_turns = turns.count()  # warms JVM + page cache outside timing
 

@@ -54,28 +54,46 @@ def main() -> None:
     n_hi = int(n_hi) if n_hi.isdigit() else n_hi
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    # two alternating rounds per leg; keep each leg's best (min wall) —
-    # host noise is one-sided (interference only adds time), so min is
-    # the least-biased scalability estimate
+    # alternating rounds per leg; the headline uses each leg's MEDIAN
+    # throughput (each round's turns_per_sec is itself a within-process
+    # median over SPARK_GRAFT_BENCH_REPS e2e repetitions). min/max per
+    # leg are recorded alongside so the estimate is auditable — a
+    # best-run pick is a one-sided estimator and is NOT used.
+    import statistics
+
     rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
     lo_runs, hi_runs = [], []
     for _ in range(rounds):
         lo_runs.append(run_bench(n_lo, replicate, sf_dir))
         hi_runs.append(run_bench(n_hi, replicate, sf_dir))
-    r8 = max(lo_runs, key=lambda r: r["turns_per_sec"])
-    r32 = max(hi_runs, key=lambda r: r["turns_per_sec"])
-    thr8, thr32 = r8["turns_per_sec"], r32["turns_per_sec"]
+
+    def leg_summary(runs):
+        tps = sorted(r["turns_per_sec"] for r in runs)
+        med = statistics.median(tps)
+        # the run whose tps is closest to the median represents the leg
+        rep = min(runs, key=lambda r: abs(r["turns_per_sec"] - med))
+        return med, rep, tps
+
+    thr8, r8, lo_tps = leg_summary(lo_runs)
+    thr32, r32, hi_tps = leg_summary(hi_runs)
     eff = round(thr32 / thr8 / 4.0, 3)
+    eff_min = round(min(hi_tps) / max(lo_tps) / 4.0, 3)
+    eff_max = round(max(hi_tps) / min(lo_tps) / 4.0, 3)
 
     result = {
         "protocol": f"same job, same input, {n_lo} vs {n_hi} (N vs 4N executor emulation; local-cluster = separate executor JVMs)",
         "input_turns": r8["turns"],
         "replicate": replicate,
+        "buckets": int(os.environ.get("SPARK_GRAFT_BUCKETS", "64")),
         "lo": r8,
         "hi": r32,
+        "lo_tps_rounds": lo_tps,
+        "hi_tps_rounds": hi_tps,
         "throughput_lo": thr8,
         "throughput_hi": thr32,
         "scaling_efficiency": eff,
+        "scaling_efficiency_range": [eff_min, eff_max],
+        "estimator": "median turns_per_sec per leg over rounds (each round = within-process median of reps)",
         "target": 0.8,
         "pass": eff >= 0.8,
     }
@@ -83,40 +101,27 @@ def main() -> None:
     bench_dir.mkdir(exist_ok=True)
     (bench_dir / "scaling.json").write_text(json.dumps(result, indent=2))
 
-    md = f"""# BENCH/BASELINE.md — scaling-efficiency evidence
+    # append to the durable datapoint log (rendered by write_bench_md.py
+    # so regeneration never drops committed evidence)
+    dp_path = bench_dir / "datapoints.json"
+    dps = json.loads(dp_path.read_text()) if dp_path.exists() else []
+    dps.append({
+        "protocol": f"{n_lo} vs {n_hi}",
+        "input_turns": r8["turns"],
+        "replicate": replicate,
+        "buckets": result["buckets"],
+        "java_opts": os.environ.get("ML4S_EXECUTOR_JAVA_OPTS", ""),
+        "estimator": "median",
+        "efficiency": eff,
+        "efficiency_range": [eff_min, eff_max],
+    })
+    dp_path.write_text(json.dumps(dps, indent=2))
 
-Per BASELINE.json the target is end-to-end parse->enrich->route->aggregate
-throughput with scaling efficiency >= 0.8 from N to 4N executors. The
-sandbox protocol (no real cluster): the same job on the same input at
-`{n_lo}` vs `{n_hi}`, efficiency = (thr_hi / thr_lo) / 4. local-cluster[n,c,mem]
-spawns n real executor JVMs with c cores each — the faithful emulation of
-n executors (separate heaps, real inter-JVM shuffle), unlike plain local[k].
-
-| config | input turns | e2e wall (s) | turns/sec |
-|---|---|---|---|
-| `{n_lo}`  | {r8['turns']:,} | {r8['queries']['e2e_pipeline']} | {thr8:,.1f} |
-| `{n_hi}` | {r32['turns']:,} | {r32['queries']['e2e_pipeline']} | {thr32:,.1f} |
-
-**Scaling efficiency ({n_lo} -> {n_hi}): {eff}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
-
-Input: driver testdata sf0.1 transcripts derivation replicated x{replicate}
-({r8['turns']:,} turns), materialized to parquet before timing. Fresh JVM
-per configuration; e2e chain = template-dim fit + parse + broadcast enrich
-+ per-sink counts + TF-IDF fit/apply + window timedeltas, each branch
-forced via noop write (no driver collect).
-
-Cluster launch analog (real deployment):
-
-```
-spark-submit --py-files dist/ml4logs_spark.zip \\
-  --num-executors N --executor-cores 4 --executor-memory 8g \\
-  jobs/run_pipeline.py --input <iceberg table> --out <warehouse>
-```
-"""
-    (bench_dir / "BASELINE.md").write_text(md)
+    # BENCH/BASELINE.md is generated ONLY by write_bench_md.py, from the
+    # JSON artifacts — no hand-written numbers to drift.
     print(json.dumps(result["lo"]["queries"]))
     print(json.dumps(result["hi"]["queries"]))
-    print(f"efficiency={eff} pass={eff >= 0.8}")
+    print(f"efficiency={eff} range=[{eff_min},{eff_max}] pass={eff >= 0.8}")
 
 
 if __name__ == "__main__":

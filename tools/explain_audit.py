@@ -84,7 +84,36 @@ def main() -> int:
     check("timedeltas: scan pruned to 3 cols",
           "ReadSchema: struct<conv_id:string,turn_idx:int,ts:timestamp>" in p)
 
-    # 6. predicate pushdown on filtered scan
+    # 6. conv_offsets: distributed prefix sum — the data-proportional
+    # window must be partitioned (by the range-partition id); the ONLY
+    # single-partition stage allowed is the per-partition-totals side,
+    # whose row count is #partitions, not #convs.
+    p = plan_of(windows.conv_offsets(t))
+    check("conv_offsets: range repartition present", "rangepartitioning(conv_id" in p)
+    check("conv_offsets: big window partitioned by _pid",
+          "windowspecdefinition(_pid" in p)
+    n_single = p.count("Exchange SinglePartition")
+    check("conv_offsets: single-partition stages only for partition totals",
+          n_single <= 1, f"SinglePartition exchanges={n_single}")
+    check("conv_offsets: base joined broadcast", "BroadcastHashJoin" in p)
+
+    # 7. embedding production: map-only Arrow UDF — zero exchanges
+    from ml4logs_spark.operators import encode
+    p = plan_of(encode.turn_embeddings(t))
+    check("turn_embeddings: Arrow-batched python eval",
+          "ArrowEvalPython" in p or "MapInPandas" in p)
+    check("turn_embeddings: map-only (no exchange)", "Exchange" not in p)
+
+    # 8. array max-pool: partial+final hash agg, one shuffle of pooled
+    # rows (never the exploded elements)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = plan_of(feat.array_maxpool(emb, "label", "embedding", dim=64))
+    check("array_maxpool: partial+final HashAggregate", p.count("HashAggregate") >= 2)
+    check("array_maxpool: no explode before the shuffle", "Generate" not in p)
+    check("array_maxpool: single shuffle",
+          p.count("Exchange hashpartitioning") == 1)
+
+    # 9. predicate pushdown on filtered scan
     m = t.filter("role = 'user'").select("conv_id")
     p = plan_of(m)
     check("filtered scan: PushedFilters role",

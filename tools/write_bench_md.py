@@ -1,8 +1,10 @@
 """Regenerate BENCH/BASELINE.md from the measured scaling artifacts.
 
-Combines strong scaling (BENCH/scaling.json), weak scaling
-(BENCH/weak_scaling.json), and a pure-CPU host-ceiling microbenchmark
-into the single evidence document the BASELINE.json criterion asks for.
+All numbers come from the JSON artifacts — BENCH/scaling.json (strong),
+BENCH/weak_scaling.json (weak), BENCH/datapoints.json (every recorded
+strong-scaling datapoint incl. superseded methodologies) and the
+bench-run docs section if present. No hand-written measurement claims:
+regeneration can never drift from (or drop) committed evidence.
 """
 
 from __future__ import annotations
@@ -18,17 +20,29 @@ def main() -> None:
     strong = json.loads((BENCH / "scaling.json").read_text())
     weak_p = BENCH / "weak_scaling.json"
     weak = json.loads(weak_p.read_text()) if weak_p.exists() else None
+    dp_p = BENCH / "datapoints.json"
+    datapoints = json.loads(dp_p.read_text()) if dp_p.exists() else []
 
     lo = strong.get("lo") or strong.get("local8")
     hi = strong.get("hi") or strong.get("local32")
     eff = strong["scaling_efficiency"]
+    eff_pass = eff >= strong.get("target", 0.8)
+    rng = strong.get("scaling_efficiency_range")
+    estimator = strong.get("estimator", "best run per leg (round-1 method)")
     stage_keys = ["parse_assign", "enrich", "sink_counts", "conv_tool_counts", "timedeltas"]
     if all(k in lo["queries"] and k in hi["queries"] for k in stage_keys):
-        per_stage = "Per-stage strong scaling (best runs): " + ", ".join(
+        per_stage = "Per-stage strong scaling (median-representative runs): " + ", ".join(
             f"{k} {lo['queries'][k]}s -> {hi['queries'][k]}s" for k in stage_keys
         ) + "."
     else:
         per_stage = "(e2e-only run: per-stage timings omitted.)"
+
+    verdict_line = (
+        f"**Strong-scaling efficiency: {eff}** (target 0.8: "
+        f"{'PASS' if eff_pass else 'NOT MET'})"
+    )
+    if rng:
+        verdict_line += f" — round-to-round range [{rng[0]}, {rng[1]}]"
 
     md = f"""# BENCH/BASELINE.md — scaling-efficiency evidence
 
@@ -47,12 +61,15 @@ JVMs (separate heaps, inter-JVM shuffle), not threads in one JVM.
 | `{lo['cores']}` | {lo['turns']:,} | {lo['queries']['e2e_pipeline']} | {lo['turns_per_sec']:,.1f} |
 | `{hi['cores']}` | {hi['turns']:,} | {hi['queries']['e2e_pipeline']} | {hi['turns_per_sec']:,.1f} |
 
-**Strong-scaling efficiency: {eff}** (target 0.8)
+{verdict_line}
+
+Estimator: {estimator}.
 
 {per_stage}
 """
     if weak:
         wlo, whi = weak["lo"], weak["hi"]
+        weff = weak["weak_scaling_efficiency"]
         md += f"""
 ## Weak scaling (4x data on 4x executors — the 100 TB growth model)
 
@@ -61,25 +78,38 @@ JVMs (separate heaps, inter-JVM shuffle), not threads in one JVM.
 | `{wlo['cores']}` | {wlo['turns']:,} | {wlo['queries']['e2e_pipeline']} |
 | `{whi['cores']}` | {whi['turns']:,} | {whi['queries']['e2e_pipeline']} |
 
-**Weak-scaling efficiency: {weak['weak_scaling_efficiency']}** (1.0 = perfect:
-4x the data finishes in the same wall time on 4x the executors).
+**Weak-scaling efficiency: {weff}** (1.0 = perfect: 4x the data finishes
+in the same wall time on 4x the executors). Weak scaling is supporting
+context for the 100 TB growth model; the stated criterion is the strong
+number above.
 """
-    md += """
+    if datapoints:
+        md += """
+## All recorded strong-scaling datapoints
+
+| protocol | turns | buckets | java opts | estimator | efficiency |
+|---|---|---|---|---|---|
+"""
+        for d in datapoints:
+            md += (
+                f"| {d['protocol']} | {d['input_turns']:,} | {d.get('buckets', 64)} "
+                f"| {d.get('java_opts', '') or '—'} | {d.get('estimator', '?')} "
+                f"| {d['efficiency']} |\n"
+            )
+
+    md += f"""
 ## Reading the numbers
 
-- The measured strong-scaling residual is stage-tail imbalance at input-
-  split granularity (the x512 input is ~1.5 GB — 12-16 coalesced scan
-  partitions over 16 cores leaves single-wave tails), a small-data
-  artifact that shrinks as per-task data grows toward cluster scale; the
-  pure-CPU host microbenchmark scales at ~0.99 from 2 to 8 procs and
-  ~0.96 to 16, so the ceiling is not hardware.
+- Strong-scaling status: measured {eff} vs the 0.8 criterion —
+  {"criterion met" if eff_pass else "criterion NOT met as written"}.
 - All conv-keyed stages run shuffle-free against the bucketed+sorted
   input table (Iceberg sort-order analog; see tools/explain_audit.py:
   0 exchanges), so there is no shuffle wall at any scale.
-- Throughput context: the reference's Drain preprocess envelope is
-  ~700 lines/sec/core single-threaded (BASELINE.md root); this engine
-  measures ~50,000+ turns/sec on 16 local cores at sf0.1 end-to-end —
-  about 200x per-core — before any cluster fan-out.
+- Input: driver testdata sf0.1 transcripts derivation replicated
+  x{strong.get('replicate', '?')} ({lo['turns']:,} turns), materialized as a
+  bucketed table ({strong.get('buckets', 64)} buckets) before timing; each
+  branch forced via noop write (no driver collect); fresh JVM per
+  configuration.
 
 Cluster launch (real deployment):
 
