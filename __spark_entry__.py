@@ -385,7 +385,11 @@ def _q_ann_cosine_topk(spark, sf_dir):
 
 
 def _q_lsh_cosine_topk(spark, sf_dir):
-    # rows-only: ANN scale path (bucketed), recall graded in tests
+    # ANN scale path (bucketed candidates, exact re-rank). Fully
+    # oracle-checked: the md5-nibble hyperplanes are deterministic, so
+    # DuckDB mirrors the banded candidate generation with literal
+    # weights (oracle/docs_sql.py). Recall vs brute force is graded in
+    # tests and emitted by bench.py.
     return similarity.lsh_topk(_emb(spark, sf_dir), query_ids=list(range(5)), k=10)
 
 
@@ -454,7 +458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # media_features / lsh_cosine_topk / drain_templates are deliberately
-    # absent: pandas-UDF plumbing and LSH-ANN recall have no faithful SQL
-    # analog -> driver records the weaker rows-only check.
+    # media_features / drain_templates / approx_distinct_convs are
+    # deliberately absent: byte-level pandas-UDF stubs, Python tree
+    # mining, and HLL sketch values have no faithful SQL analog -> the
+    # driver records the weaker rows-only check for those three.
     return {**ORACLES, **DOC_ORACLES}

@@ -140,7 +140,6 @@ def main() -> None:
             .agg(F.count(F.lit(1)).alias("cnt"))
             .cache()
         )
-        pre.count()
 
         def branch_sinks():
             force(pre.groupBy("template_bucket", "role").agg(
@@ -160,7 +159,14 @@ def main() -> None:
         # independent output branches submit concurrently (Spark's FIFO
         # scheduler interleaves their stages) so driver-side job
         # boundaries don't serialize the cluster — same practice as
-        # multi-sink production jobs.
+        # multi-sink production jobs. (Measured: overlapping branch_td
+        # with the pre materialization, or FAIR pools, both LOWER
+        # throughput here — two concurrent full scans contend for the
+        # same host memory bus; FIFO + post-cache branch concurrency is
+        # the best measured schedule.)
+        t_pre0 = time.perf_counter()
+        pre.count()  # materialize the shared pre-agg cache
+        t_pre = time.perf_counter() - t_pre0
         try:
             with ThreadPoolExecutor(3) as ex:
                 futures = [ex.submit(b) for b in (branch_sinks, branch_tfidf, branch_td)]
@@ -168,6 +174,9 @@ def main() -> None:
                     f.result()
         finally:
             pre.unpersist()
+        if os.environ.get("SPARK_GRAFT_DEBUG_PHASES") == "1":
+            print(f"PHASE pre={t_pre:.2f} branches={time.perf_counter() - t_pre0 - t_pre:.2f}",
+                  flush=True)
 
     e2e()  # warm-up: JIT + broadcast paths; steady-state is what scales
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))

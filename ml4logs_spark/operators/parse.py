@@ -45,9 +45,12 @@ def template_dim(turns: DataFrame) -> DataFrame:
     the deliberate change to a stable order).
     """
     agg = with_template(turns).groupBy("template").agg(F.count(F.lit(1)).alias("occurrences"))
-    # Window without partition is fine: input is already collapsed to
-    # #templates rows (tiny) — not a scale hazard.
-    w = Window.orderBy("template")
+    # Single-partition ranking is DELIBERATE and bounded: the input is
+    # already collapsed to #templates rows (grammar-bounded, tiny). The
+    # constant partition key makes that intent explicit (same physical
+    # plan as an unpartitioned window, without the accidental-global-
+    # window warning reserved for data-proportional inputs).
+    w = Window.partitionBy(F.lit(0)).orderBy("template")
     return agg.select(
         F.dense_rank().over(w).cast("long").alias("template_id"),
         "template",

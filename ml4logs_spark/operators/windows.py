@@ -118,7 +118,11 @@ def conv_offsets(turns: DataFrame, n_parts: int | None = None) -> DataFrame:
         "_local", F.coalesce(F.sum("conv_size").over(w_local), F.lit(0))
     )
     totals = ranged.groupBy("_pid").agg(F.sum("conv_size").alias("_tot"))
-    w_base = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    # bounded by #partitions rows — deliberate single-partition window
+    w_base = (
+        Window.partitionBy(F.lit(0)).orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     bases = totals.withColumn(
         "_base", F.coalesce(F.sum("_tot").over(w_base), F.lit(0))
     ).select("_pid", "_base")

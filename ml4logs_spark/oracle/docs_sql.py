@@ -13,6 +13,7 @@ Spark<->DuckDB:
 
 from __future__ import annotations
 
+from ml4logs_spark.operators.similarity import _hyperplane
 from ml4logs_spark.operators.textqa import BPE_REGEX, LANG_MARKERS, STOPWORDS
 
 N_MINHASH = 8
@@ -98,6 +99,33 @@ _COS = (
     " * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))"
 )
 
+# Banded-LSH ANN mirror: the hyperplanes are DETERMINISTIC constants
+# (md5-nibble construction, similarity._hyperplane), so the whole
+# bucketed candidate generation + exact re-rank reproduces in SQL with
+# the weights embedded as double literals (repr round-trips exactly).
+# This upgrades lsh_cosine_topk from a rows-only check to a full
+# value-hash oracle. Defaults must match similarity.lsh_topk.
+_ANN_PLANES, _ANN_BANDS, _ANN_DIM = 8, 4, 64
+_ANN_R = _ANN_PLANES // _ANN_BANDS
+
+
+def _ann_sig_expr(b: int) -> str:
+    terms = []
+    for j in range(_ANN_R):
+        w = _hyperplane(b * _ANN_R + j, _ANN_DIM)
+        lst = "[" + ", ".join(repr(x) for x in w) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {lst}) >= 0 "
+            f"THEN {2 ** j} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_ANN_BSIG = "\nUNION ALL ".join(
+    f"SELECT vec_id, {b} AS band, {_ann_sig_expr(b)} AS sig FROM embeddings"
+    for b in range(_ANN_BANDS)
+)
+
 DOC_ORACLES: dict[str, str] = {
     "dedup_exact_groups": (
         "SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id "
@@ -159,6 +187,24 @@ DOC_ORACLES: dict[str, str] = {
                round({_COS}, 6) AS cosine
         FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
         WHERE q.vec_id < 5
+        QUALIFY rank <= 10
+    """,
+    "lsh_cosine_topk": f"""
+        WITH bsig AS ({_ANN_BSIG}),
+        cand AS (
+          SELECT qb.vec_id AS query_id, cb.vec_id AS cand_id
+          FROM bsig qb JOIN bsig cb USING (band, sig)
+          WHERE qb.vec_id < 5 AND cb.vec_id <> qb.vec_id
+          GROUP BY qb.vec_id, cb.vec_id
+        )
+        SELECT cand.query_id, cand.cand_id,
+               CAST(row_number() OVER (
+                 PARTITION BY cand.query_id
+                 ORDER BY round({_COS}, 6) DESC, cand.cand_id) AS INT) AS rank,
+               round({_COS}, 6) AS cosine
+        FROM cand
+        JOIN embeddings q ON q.vec_id = cand.query_id
+        JOIN embeddings c ON c.vec_id = cand.cand_id
         QUALIFY rank <= 10
     """,
 }
