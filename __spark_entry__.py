@@ -393,6 +393,13 @@ def _q_lsh_cosine_topk(spark, sf_dir):
     return similarity.lsh_topk(_emb(spark, sf_dir), query_ids=list(range(5)), k=10)
 
 
+def _q_ivf_cosine_topk(spark, sf_dir):
+    # IVF-bucketed ANN (coarse quantizer cells + probe re-rank), the
+    # data-adaptive complement of the LSH path; deterministic codebook
+    # makes it fully oracle-checkable.
+    return similarity.ivf_topk(_emb(spark, sf_dir), query_ids=list(range(5)), k=10)
+
+
 def _q_drain_templates(spark, sf_dir):
     # rows-only: mined-template assignment via vectorized pandas UDF
     from ml4logs_spark.operators import drain
@@ -453,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": _q_embedding_norms,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "lsh_cosine_topk": _q_lsh_cosine_topk,
+        "ivf_cosine_topk": _q_ivf_cosine_topk,
         "drain_templates": _q_drain_templates,
     }
 

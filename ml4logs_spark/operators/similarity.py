@@ -189,6 +189,110 @@ def lsh_topk(
     )
 
 
+def ivf_cells(
+    emb: DataFrame, n_centroids: int = 16, vec_col: str = "embedding"
+) -> DataFrame:
+    """IVF coarse-quantizer assignment: (vec_id, cell).
+
+    Centroids are the first ``n_centroids`` vectors by vec_id — a fixed,
+    deterministic codebook standing in for an offline k-means fit (the
+    fit is model state, like the TF-IDF idf table; swapping in trained
+    centroids changes only this dim). Assignment = argmax cosine over
+    the broadcast codebook via ``max_by`` — ONE hash aggregate, no
+    window sort, no shuffle of vectors beyond the group-by of
+    N x n_centroids scored rows with map-side combine."""
+    cent = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col(vec_col).alias("centvec")
+    )
+    scored = (
+        emb.select("vec_id", F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "sim",
+            F.round(
+                _dot(F.col("v"), F.col("centvec"))
+                / (F.sqrt(_dot(F.col("v"), F.col("v")))
+                   * F.sqrt(_dot(F.col("centvec"), F.col("centvec")))),
+                6,
+            ),
+        )
+    )
+    # max struct = (max sim, then max -cent_id = min cent_id): the same
+    # deterministic tie-break as ORDER BY sim DESC, cent_id ASC
+    ord_key = F.struct(F.col("sim").alias("s"), (-F.col("cent_id")).alias("c"))
+    return scored.groupBy("vec_id").agg(
+        F.max_by("cent_id", ord_key).alias("cell")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probes: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: each query probes its ``n_probes`` nearest
+    centroid cells; candidates = vectors assigned to those cells; exact
+    cosine re-rank. The complement of the LSH path: data-adaptive cells
+    (with a trained codebook) vs data-oblivious hyperplanes. Candidate
+    generation is an equi-join on cell ids — never all-pairs."""
+    cells = ivf_cells(emb, n_centroids, vec_col)
+    cent = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col(vec_col).alias("centvec")
+    )
+    q_scored = (
+        emb.filter(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"), F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "sim",
+            F.round(
+                _dot(F.col("qv"), F.col("centvec"))
+                / (F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                   * F.sqrt(_dot(F.col("centvec"), F.col("centvec")))),
+                6,
+            ),
+        )
+    )
+    w_p = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(w_p))
+        .filter(F.col("rn") <= n_probes)
+        .select("query_id", F.col("cent_id").alias("cell"))
+    )
+    pairs = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+        .distinct()
+    )
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        pairs.join(F.broadcast(q), "query_id")
+        .join(c, "cand_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
+                   * F.sqrt(_dot(F.col("cvec"), F.col("cvec")))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", "cosine")
+    )
+
+
 def ann_recall(emb: DataFrame, query_ids: list[int], k: int = 10, **lsh_kw) -> float:
     """Recall@k of the LSH path vs the exact brute-force baseline."""
     exact = cosine_topk(emb, query_ids, k).select("query_id", "cand_id")

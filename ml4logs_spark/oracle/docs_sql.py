@@ -189,6 +189,43 @@ DOC_ORACLES: dict[str, str] = {
         WHERE q.vec_id < 5
         QUALIFY rank <= 10
     """,
+    # IVF mirror: centroids are deterministic (first 16 vec_ids), cell
+    # assignment ranks by round(cos,6) DESC then cent_id — identical
+    # tie-break to Spark's max_by struct key.
+    "ivf_cosine_topk": f"""
+        WITH csim AS (
+          SELECT e.vec_id, c.vec_id AS cent_id,
+                 round({_COS.replace('q.embedding', 'e.embedding')}, 6) AS sim
+          FROM embeddings e JOIN embeddings c ON c.vec_id < 16
+        ),
+        cells AS (
+          SELECT vec_id, cent_id AS cell FROM (
+            SELECT vec_id, cent_id, row_number() OVER (
+              PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+            FROM csim) r WHERE rn = 1
+        ),
+        probes AS (
+          SELECT vec_id AS query_id, cent_id AS cell FROM (
+            SELECT vec_id, cent_id, row_number() OVER (
+              PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+            FROM csim WHERE vec_id < 5) r WHERE rn <= 4
+        ),
+        cand AS (
+          SELECT p.query_id, cl.vec_id AS cand_id
+          FROM probes p JOIN cells cl ON cl.cell = p.cell
+          WHERE cl.vec_id <> p.query_id
+          GROUP BY p.query_id, cl.vec_id
+        )
+        SELECT cand.query_id, cand.cand_id,
+               CAST(row_number() OVER (
+                 PARTITION BY cand.query_id
+                 ORDER BY round({_COS}, 6) DESC, cand.cand_id) AS INT) AS rank,
+               round({_COS}, 6) AS cosine
+        FROM cand
+        JOIN embeddings q ON q.vec_id = cand.query_id
+        JOIN embeddings c ON c.vec_id = cand.cand_id
+        QUALIFY rank <= 10
+    """,
     "lsh_cosine_topk": f"""
         WITH bsig AS ({_ANN_BSIG}),
         cand AS (

@@ -119,6 +119,24 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     assert recall >= 0.6, recall
 
 
+def test_ivf_topk_recall_and_exactness(spark):
+    from ml4logs_spark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(60, 16)).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = similarity.cosine_topk(emb, query_ids=[0, 1], k=5).toPandas()
+    approx = similarity.ivf_topk(
+        emb, query_ids=[0, 1], k=5, n_centroids=8, n_probes=3
+    ).toPandas()
+    # overlapping pairs score identically (exact re-rank inside cells)
+    m = approx.merge(exact, on=["query_id", "cand_id"], suffixes=("_a", "_e"))
+    assert (m.cosine_a == m.cosine_e).all()
+    hits = len(m)
+    assert hits / len(exact) >= 0.4, hits  # probe subset of 8 cells
+
+
 def test_media_features_stub_plumbing(spark, docs):
     from ml4logs_spark.operators import multimodal
 
