@@ -393,6 +393,13 @@ def _q_lsh_cosine_topk(spark, sf_dir):
     return similarity.lsh_topk(_emb(spark, sf_dir), query_ids=list(range(5)), k=10)
 
 
+def _q_embedding_near_dups(spark, sf_dir):
+    # embedding-cosine near-dup pairs: LSH-banded candidates (never
+    # all-pairs) + exact cosine verify; symmetric whole-corpus analog
+    # of dedup.near_dups for vectors.
+    return similarity.embedding_near_dups(_emb(spark, sf_dir), threshold=0.3)
+
+
 def _q_ivf_cosine_topk(spark, sf_dir):
     # IVF-bucketed ANN (coarse quantizer cells + probe re-rank), the
     # data-adaptive complement of the LSH path; deterministic codebook
@@ -461,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "lsh_cosine_topk": _q_lsh_cosine_topk,
         "ivf_cosine_topk": _q_ivf_cosine_topk,
+        "embedding_near_dups": _q_embedding_near_dups,
         "drain_templates": _q_drain_templates,
     }
 

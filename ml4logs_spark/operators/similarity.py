@@ -189,6 +189,44 @@ def lsh_topk(
     )
 
 
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    n_planes: int = 8,
+    n_bands: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector analog of
+    dedup.near_dups: candidates collide in any LSH band (equi-join on
+    buckets, O(n x bands), never all-pairs), then exact cosine verify
+    against the threshold. Symmetric (doc_a < doc_b), whole-corpus."""
+    bs = band_signatures(emb, n_planes=n_planes, n_bands=n_bands,
+                         dim=dim, vec_col=vec_col)
+    a = bs.alias("a")
+    b = bs.alias("b")
+    pairs = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col(vec_col).alias("va"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col(vec_col).alias("vb"))
+    scored = pairs.join(ea, "vec_a").join(eb, "vec_b").withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("va"), F.col("vb"))
+            / (F.sqrt(_dot(F.col("va"), F.col("va")))
+               * F.sqrt(_dot(F.col("vb"), F.col("vb")))),
+            6,
+        ),
+    )
+    return scored.filter(F.col("cosine") >= threshold).select(
+        "vec_a", "vec_b", "cosine"
+    )
+
+
 def ivf_cells(
     emb: DataFrame, n_centroids: int = 16, vec_col: str = "embedding"
 ) -> DataFrame:

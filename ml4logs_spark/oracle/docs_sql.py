@@ -189,6 +189,20 @@ DOC_ORACLES: dict[str, str] = {
         WHERE q.vec_id < 5
         QUALIFY rank <= 10
     """,
+    "embedding_near_dups": f"""
+        WITH bsig AS ({_ANN_BSIG}),
+        pairs AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM bsig a JOIN bsig b USING (band, sig)
+          WHERE a.vec_id < b.vec_id
+          GROUP BY a.vec_id, b.vec_id
+        )
+        SELECT p.vec_a, p.vec_b, round({_COS}, 6) AS cosine
+        FROM pairs p
+        JOIN embeddings q ON q.vec_id = p.vec_a
+        JOIN embeddings c ON c.vec_id = p.vec_b
+        WHERE round({_COS}, 6) >= 0.3
+    """,
     # IVF mirror: centroids are deterministic (first 16 vec_ids), cell
     # assignment ranks by round(cos,6) DESC then cent_id — identical
     # tie-break to Spark's max_by struct key.

@@ -121,6 +121,29 @@ def test_dense_fit_counts_schema_evolution(spark):
     assert len(z) == len(fit_templates) and (z.cnt == 0).all()
 
 
+def test_multimodal_frame_sample_and_resize(spark):
+    from ml4logs_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    m = multimodal.docs_as_media(docs)
+    frames = multimodal.sample_frames(m, n_frames=4).toPandas()
+    assert len(frames) == 20 * 4  # 1 -> N explode
+    assert set(frames.frame_idx) == {0, 1, 2, 3}
+    assert (frames.n_bytes == frames.frame.map(len)).all()
+    # deterministic: rerun identical
+    again = multimodal.sample_frames(m, n_frames=4).toPandas()
+    k = ["doc_id", "frame_idx"]
+    assert frames.sort_values(k).frame.tolist() == again.sort_values(k).frame.tolist()
+
+    thumbs = multimodal.resize_media(m, 4, 4).toPandas()
+    assert len(thumbs) == 20
+    assert (thumbs.n_bytes <= 16).all() and (thumbs.width == 4).all()
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        multimodal.sample_frames(m, use_real_codecs=True)
+
+
 def test_sessionizer_multichunk_order():
     """Rows of one conversation split across Arrow chunks (and delivered
     with turn order split across the chunks) must still sessionize in
