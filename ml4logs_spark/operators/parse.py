@@ -47,10 +47,12 @@ def template_dim(turns: DataFrame) -> DataFrame:
     agg = with_template(turns).groupBy("template").agg(F.count(F.lit(1)).alias("occurrences"))
     # Single-partition ranking is DELIBERATE and bounded: the input is
     # already collapsed to #templates rows (grammar-bounded, tiny). The
-    # constant partition key makes that intent explicit (same physical
-    # plan as an unpartitioned window, without the accidental-global-
-    # window warning reserved for data-proportional inputs).
-    w = Window.partitionBy(F.lit(0)).orderBy("template")
+    # constant partition key marks that intent and suppresses the
+    # accidental-global-window warning reserved for data-proportional
+    # inputs; it must be NON-FOLDABLE (a literal would be optimized away,
+    # restoring the empty partition spec) — an empty substring of a real
+    # column is constant per row but opaque to constant folding.
+    w = Window.partitionBy(F.substring("template", 1, 0)).orderBy("template")
     return agg.select(
         F.dense_rank().over(w).cast("long").alias("template_id"),
         "template",

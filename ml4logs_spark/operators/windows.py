@@ -118,9 +118,12 @@ def conv_offsets(turns: DataFrame, n_parts: int | None = None) -> DataFrame:
         "_local", F.coalesce(F.sum("conv_size").over(w_local), F.lit(0))
     )
     totals = ranged.groupBy("_pid").agg(F.sum("conv_size").alias("_tot"))
-    # bounded by #partitions rows — deliberate single-partition window
+    # bounded by #partitions rows — deliberate single-partition window;
+    # the non-foldable constant key (empty substring of a real column)
+    # survives the optimizer, unlike a literal (see parse.template_dim)
     w_base = (
-        Window.partitionBy(F.lit(0)).orderBy("_pid")
+        Window.partitionBy(F.substring(F.col("_pid").cast("string"), 1, 0))
+        .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     bases = totals.withColumn(
