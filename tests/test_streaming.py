@@ -38,3 +38,65 @@ def test_stream_counts_match_batch(spark, turns, tmp_path):
     b = batch.sort_values(key).reset_index(drop=True)
     assert len(a) == len(b)
     assert (a.n_rows.values == b.n_rows.values).all()
+
+
+def test_stream_exact_dedup_matches_batch(spark, turns, tmp_path):
+    """Streaming dropDuplicates on the content hash keeps exactly one
+    row per distinct text once the stream drains (all data inside one
+    watermark horizon -> identical to the batch exact dedup)."""
+    from ml4logs_spark.streaming import dedup as sdedup
+    from ml4logs_spark.streaming import stream_pipeline as sp
+
+    in_dir = str(tmp_path / "dedup_in")
+    turns.repartition(6).write.parquet(in_dir)
+
+    stream = sp.stream_transcripts(spark, in_dir)
+    deduped = sdedup.stream_exact_dedup(stream, watermark="365 days")
+    q = (
+        deduped.select("text_hash")
+        .writeStream.format("memory")
+        .queryName("t_stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_stream_dedup").toPandas()
+    q.stop()
+
+    from pyspark.sql import functions as F2
+    n_distinct = turns.select(
+        F2.md5(F2.coalesce("text", F2.lit(""))).alias("h")
+    ).distinct().count()
+    # exactly one survivor per distinct content, no hash appears twice
+    assert len(got) == n_distinct
+    assert got.text_hash.nunique() == n_distinct
+
+
+def test_stream_first_seen_counts_bounded(spark, turns, tmp_path):
+    from ml4logs_spark.streaming import dedup as sdedup
+    from ml4logs_spark.streaming import stream_pipeline as sp
+
+    in_dir = str(tmp_path / "dedup_counts_in")
+    turns.repartition(4).write.parquet(in_dir)
+    stream = sp.stream_transcripts(spark, in_dir)
+    counts = sdedup.stream_first_seen_counts(
+        stream, watermark="365 days", window="24 hours"
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("t_first_seen")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_first_seen").toPandas()
+    q.stop()
+    assert len(got) > 0
+    # unique-content counts can never exceed total distinct texts
+    from pyspark.sql import functions as F2
+    n_distinct = turns.select(
+        F2.md5(F2.coalesce("text", F2.lit(""))).alias("h")
+    ).distinct().count()
+    assert got.n_unique.sum() <= n_distinct

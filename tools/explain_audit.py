@@ -113,6 +113,16 @@ def main() -> int:
     check("array_maxpool: single shuffle",
           p.count("Exchange hashpartitioning") == 1)
 
+    # 8b. ANN paths: candidate generation must never be an unbounded
+    # cartesian product — LSH pairs equi-join on buckets; IVF's only
+    # nested-loop is the broadcast of the tiny codebook/probes.
+    from ml4logs_spark.operators import similarity
+    p = plan_of(similarity.embedding_near_dups(emb, threshold=0.3))
+    check("embedding_near_dups: no cartesian product", "CartesianProduct" not in p)
+    p = plan_of(similarity.ivf_topk(emb, query_ids=[0, 1], k=5))
+    check("ivf_topk: no cartesian product", "CartesianProduct" not in p)
+    check("ivf_topk: codebook joins broadcast", "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p)
+
     # 9. predicate pushdown on filtered scan
     m = t.filter("role = 'user'").select("conv_id")
     p = plan_of(m)
