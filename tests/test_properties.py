@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis) for operator invariants that
+golden fixtures can't sweep: arbitrary conversation-size multisets for
+the distributed prefix sum, arbitrary float distributions (including
+constant/degenerate groups) for the fit/apply scalers."""
+
+import math
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from ml4logs_spark.operators import features as feat
+from ml4logs_spark.operators import windows
+
+SLOW = dict(max_examples=8, deadline=None)
+
+
+@settings(**SLOW)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=40),
+    parts=st.integers(min_value=1, max_value=7),
+)
+def test_conv_offsets_prefix_sum_property(spark, sizes, parts):
+    """Distributed two-phase prefix sum == pandas cumsum, for any
+    conversation-size multiset and any partition count."""
+    rows = [
+        (f"c{i:04d}", t, "u", "x", None, None)
+        for i, n in enumerate(sizes)
+        for t in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp"
+    )
+    got = (
+        windows.conv_offsets(df, n_parts=parts)
+        .toPandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    expect = pd.DataFrame({
+        "conv_id": [f"c{i:04d}" for i in range(len(sizes))],
+        "conv_size": sizes,
+    })
+    expect["conv_offset"] = expect.conv_size.cumsum().shift(1, fill_value=0)
+    assert got.conv_size.tolist() == expect.conv_size.tolist()
+    assert got.conv_offset.tolist() == expect.conv_offset.tolist()
+
+
+@settings(**SLOW)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=2, max_size=30,
+    )
+)
+def test_minmax_scale_clip_property(spark, vals):
+    """Scaled train values always land in [0, 1]; degenerate span -> 0."""
+    rows = [(f"c{i}", float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "conv_id string, td double")
+    out = feat.minmax_scale(df, "td", keys=[]).toPandas()
+    assert ((out.td_scaled >= 0) & (out.td_scaled <= 1)).all()
+    train = out[out.conv_id.map(
+        lambda c: __import__("hashlib").md5(c.encode()).hexdigest()[0] <= "b"
+    )]
+    if len(train) and train.td.max() == train.td.min():
+        assert (train.td_scaled == 0.0).all()
+
+
+@settings(**SLOW)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False),
+        min_size=2, max_size=25,
+    )
+)
+def test_standardize_property(spark, vals):
+    """z of train rows has |mean| ~ 0 when train std > 0; zero-variance
+    or singleton train -> all z == 0 (the reference's guard)."""
+    rows = [(f"c{i}", float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "conv_id string, td double")
+    out = feat.standardize(df, "td", keys=[]).toPandas()
+    import hashlib
+
+    train = out[out.conv_id.map(
+        lambda c: hashlib.md5(c.encode()).hexdigest()[0] <= "b"
+    )]
+    if len(train) >= 2 and train.td.std(ddof=1) > 1e-9:
+        assert abs(train.td_z.mean()) < 1e-6
+    elif len(train):
+        assert (train.td_z == 0.0).all()
+    assert out.td_z.notna().all()
+
+
+@settings(**SLOW)
+@given(
+    la=st.integers(min_value=1, max_value=6),
+    lb=st.integers(min_value=1, max_value=6),
+    n=st.integers(min_value=1, max_value=10),
+)
+def test_merge_features_width_property(spark, la, lb, n):
+    a = spark.createDataFrame(
+        [(f"c{i}", 0, [float(j) for j in range(la)]) for i in range(n)],
+        "conv_id string, turn_idx int, features array<double>",
+    )
+    b = spark.createDataFrame(
+        [(f"c{i}", 0, [float(-j) for j in range(lb)]) for i in range(n)],
+        "conv_id string, turn_idx int, features array<double>",
+    )
+    out = feat.merge_features(a, b, ["conv_id", "turn_idx"]).toPandas()
+    assert len(out) == n
+    assert out.features.map(len).eq(la + lb).all()
