@@ -364,6 +364,12 @@ def _q_doc_fingerprint(spark, sf_dir):
     return textqa.doc_fingerprint(_docs(spark, sf_dir))
 
 
+def _q_doc_rolling_fingerprint(spark, sf_dir):
+    # winnowing-style rolling hash (min window hash) — robust to
+    # prepend/append edits, unlike the flat md5 fingerprint
+    return textqa.doc_rolling_fingerprint(_docs(spark, sf_dir))
+
+
 def _q_media_meta(spark, sf_dir):
     return multimodal.media_meta(_docs(spark, sf_dir))
 
@@ -462,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "lang_guess": _q_lang_guess,
         "doc_fingerprint": _q_doc_fingerprint,
+        "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
         "embedding_norms": _q_embedding_norms,

@@ -83,3 +83,44 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.md5(F.trim(norm)).alias("fingerprint")
     )
+
+
+ROLL_BASE = 31
+ROLL_MOD = 1_000_003
+
+
+def doc_rolling_fingerprint(docs: DataFrame, w: int = 3) -> DataFrame:
+    """Rolling-hash (Rabin–Karp / winnowing-style) fingerprint.
+
+    Each w-token window gets a polynomial hash over per-token values
+    (value = first 4 md5 nibbles, so both engines agree without a
+    platform hash); the document fingerprint is the MINIMUM window hash
+    — min-sampling as in winnowing (Schleimer et al., SIGMOD'03) with a
+    single global window. Robust to appended/prepended content in a way
+    the flat md5 fingerprint is not: two documents sharing any w-token
+    run that happens to contain the minimum collide here.
+
+    All higher-order JVM functions, map-only; integer math (BIGINT) is
+    engine-exact. Token-value arrays are padded with two zeros so short
+    documents (< w tokens) hash their available prefix under ANSI mode
+    (out-of-bounds element_at throws in Spark 4).
+    """
+    toks = F.split(F.col("text"), " ")
+    vals = F.concat(
+        F.transform(
+            toks,
+            lambda t: (F.conv(F.substring(F.md5(t), 1, 4), 16, 10)).cast("long"),
+        ),
+        F.array(F.lit(0).cast("long"), F.lit(0).cast("long")),
+    )
+    n_win = F.greatest(F.size(toks) - F.lit(w - 1), F.lit(1))
+    b = ROLL_BASE
+    window_hash = lambda i: (
+        F.element_at(vals, i) * (b ** 2)
+        + F.element_at(vals, i + 1) * b
+        + F.element_at(vals, i + 2)
+    ) % F.lit(ROLL_MOD)
+    hashes = F.transform(F.sequence(F.lit(1), n_win), window_hash)
+    return docs.select(
+        "doc_id", F.array_min(hashes).cast("long").alias("roll_fp")
+    )

@@ -162,6 +162,23 @@ DOC_ORACLES: dict[str, str] = {
         "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
         "AS fingerprint FROM documents"
     ),
+    # rolling-hash winnowing fingerprint: token value = first 4 md5
+    # nibbles (mirrors Spark's conv(substring(md5,1,4),16,10)); window
+    # hash = polynomial base-31 mod 1000003; fingerprint = min window.
+    "doc_rolling_fingerprint": (
+        "SELECT doc_id, CAST(list_min(list_transform("
+        "  generate_series(1, greatest(len(str_split(text, ' ')) - 2, 1)),"
+        "  i -> (vals[i] * 961 + vals[i + 1] * 31 + vals[i + 2]) % 1000003"
+        ")) AS BIGINT) AS roll_fp "
+        "FROM (SELECT doc_id, text, list_concat(list_transform("
+        "str_split(text, ' '), t -> CAST("
+        + " + ".join(
+            f"(instr('0123456789abcdef', substring(md5(t), {k + 1}, 1)) - 1) * {16 ** (3 - k)}"
+            for k in range(4)
+        )
+        + " AS BIGINT)), [CAST(0 AS BIGINT), CAST(0 AS BIGINT)]) AS vals "
+        "FROM documents) s"
+    ),
     "media_meta": (
         "SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, "
         "source AS container, 'text/plain' AS mime FROM documents"

@@ -177,3 +177,17 @@ def test_sessionizer_multichunk_order():
     got = dict(zip(out.turn_idx, out.session_idx))
     # turn0 starts s0; turn1 (+5s) stays s0; turn2 (+25s gap) -> s1
     assert got == {0: 0, 1: 0, 2: 1}
+
+
+def test_rolling_fingerprint_winnowing_property(spark):
+    from ml4logs_spark.operators import textqa
+
+    x = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [(1, x), (2, x), (3, "zzz " + x + " qqq"), (4, "totally different words here")],
+        "doc_id long, text string",
+    )
+    fp = textqa.doc_rolling_fingerprint(docs).toPandas().set_index("doc_id").roll_fp
+    assert fp[1] == fp[2]            # identical content -> identical fp
+    assert fp[3] <= fp[1]            # superset windows -> min can only drop
+    assert (fp >= 0).all()
