@@ -46,8 +46,11 @@ def run_bench(cores, replicate: int, sf_dir: str) -> dict:
 
 def main() -> None:
     replicate = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    # default legs: 1 vs 4 executor JVMs at 2 cores each — sized from
+    # BENCH/cpu_microbench.json so the 4N side stays inside this host's
+    # near-linear CPU regime (<= 8 active cores); see BENCH/BASELINE.md
     spec = os.environ.get("SPARK_GRAFT_SCALE_CORES",
-                          "local-cluster[1,4,6144];local-cluster[4,4,6144]")
+                          "local-cluster[1,2,6144];local-cluster[4,2,6144]")
     sep = ";" if ";" in spec else ","
     n_lo, n_hi = spec.split(sep)
     n_lo = int(n_lo) if n_lo.isdigit() else n_lo

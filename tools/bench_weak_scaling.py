@@ -23,7 +23,7 @@ REPO = Path(__file__).resolve().parent.parent
 def main() -> None:
     replicate = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     spec = os.environ.get("SPARK_GRAFT_SCALE_CORES",
-                          "local-cluster[1,4,6144];local-cluster[4,4,6144]")
+                          "local-cluster[1,2,6144];local-cluster[4,2,6144]")
     sep = ";" if ";" in spec else ","
     n_lo, n_hi = spec.split(sep)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
