@@ -1,0 +1,68 @@
+"""Driver-contract hygiene: every query has an oracle (or a pinned
+rows-only justification), every oracle parses/binds in DuckDB, and key
+operators survive empty inputs (ANSI mode makes silent empty-input
+assumptions throw at runtime)."""
+
+import duckdb
+import pytest
+from pathlib import Path
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# rows-only queries need a reason here; adding a query without an
+# oracle FAILS this test unless the omission is deliberate and named.
+ROWS_ONLY = {
+    "approx_distinct_convs": "HLL sketch values are engine-specific",
+    "drain_templates": "Python tree mining has no SQL analog",
+    "media_features": "byte-level pandas-UDF stub has no SQL analog",
+}
+
+
+def test_every_query_has_oracle_or_pinned_reason():
+    q, o = entry.queries(), entry.oracle_sql()
+    assert set(o) <= set(q), "oracle for a query that does not exist"
+    assert set(q) - set(o) == set(ROWS_ONLY)
+
+
+def test_oracle_sql_parses_and_binds_in_duckdb():
+    con = duckdb.connect()
+    for p in sorted(Path(SF_DIR).glob("*.parquet")):
+        con.execute(f"CREATE VIEW {p.stem} AS SELECT * FROM '{p}'")
+    for name, sql in entry.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as ex:  # pragma: no cover
+            pytest.fail(f"oracle {name} failed to bind: {ex}")
+
+
+def test_operators_handle_empty_input(spark):
+    from ml4logs_spark.operators import dedup, features as feat, windows
+
+    t = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"
+    )
+    assert windows.conv_offsets(t).count() == 0
+    assert windows.with_timedeltas(t).count() == 0
+    counts = spark.createDataFrame(
+        [], "conv_id string, tool string, template_id long, cnt long"
+    )
+    assert feat.fit_idf(counts).count() == 0
+    assert feat.apply_tfidf(counts, feat.fit_idf(counts)).count() == 0
+    assert feat.dense_fit_counts(counts).count() == 0
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.exact_dup_groups(docs).count() == 0
+    assert dedup.lsh_candidate_pairs(docs).count() == 0
+    assert dedup.simhash16(docs).count() == 0
+
+
+def test_similarity_handles_empty_input(spark):
+    from ml4logs_spark.operators import similarity
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert similarity.cosine_topk(emb, [0], k=5).count() == 0
+    assert similarity.lsh_topk(emb, [0], k=5, dim=4).count() == 0
+    assert similarity.ivf_topk(emb, [0], k=5).count() == 0
+    assert similarity.embedding_near_dups(emb, dim=4).count() == 0
