@@ -307,6 +307,23 @@ def _q_turn_embeddings(spark, sf_dir):
     )
 
 
+def _q_conv_turnvec_maxpool(spark, sf_dir):
+    # the reference's full embed->pool chain (fasttext.py:44-52 ->
+    # aggregate.py:60-68): per-turn embedding production composed with
+    # element-wise per-conversation max-pool of the (N, F) matrix.
+    from ml4logs_spark.operators import encode
+
+    e = encode.turn_embeddings(tx.transcripts(spark, sf_dir), dim=8)
+    pooled = feat.array_maxpool(e, "conv_id", "embedding", dim=8)
+    return pooled.select(
+        "conv_id", F.posexplode("max_embedding").alias("dim_idx", "max_val")
+    ).select(
+        "conv_id",
+        F.col("dim_idx").cast("long").alias("dim_idx"),
+        F.round("max_val", 6).alias("max_val"),
+    )
+
+
 def _q_dense_fit_counts(spark, sf_dir):
     # dense (conv x fit-template) zero-filled matrix, fit-time schema
     # (_add_missing_columns semantics: zero-fill unseen-at-transform,
@@ -450,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_embedding_maxpool": _q_conv_embedding_maxpool,
         "merged_features": _q_merged_features,
         "turn_embeddings": _q_turn_embeddings,
+        "conv_turnvec_maxpool": _q_conv_turnvec_maxpool,
         "dense_fit_counts": _q_dense_fit_counts,
         "conv_sessions": _q_conv_sessions,
         "session_stats": _q_session_stats,

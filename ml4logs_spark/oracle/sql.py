@@ -257,6 +257,14 @@ ORACLES: dict[str, str] = {
         FROM t CROSS JOIN (SELECT range AS i FROM range(0, 8)) g
         """
     ),
+    "conv_turnvec_maxpool": _q(
+        f"""
+        SELECT t.conv_id, g.i AS dim_idx,
+               round(max(({_NIBBLE_VAL}) / 65535.0 - 0.5), 6) AS max_val
+        FROM t CROSS JOIN (SELECT range AS i FROM range(0, 8)) g
+        GROUP BY t.conv_id, g.i
+        """
+    ),
     "dense_fit_counts": _q(
         """
         SELECT g.conv_id, g.template_id, CAST(coalesce(a.cnt, 0) AS BIGINT) AS cnt
