@@ -179,7 +179,9 @@ def main() -> None:
                   flush=True)
 
     e2e()  # warm-up: JIT + broadcast paths; steady-state is what scales
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
+    # median-of-3 by default: single-shot e2e timings carry host noise
+    # (round-1 measured 2.7s one-shot vs 1.9s median on the same build)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     if reps > 1:
         import statistics
         runs = []
