@@ -100,3 +100,50 @@ def test_stream_first_seen_counts_bounded(spark, turns, tmp_path):
         F2.md5(F2.coalesce("text", F2.lit(""))).alias("h")
     ).distinct().count()
     assert got.n_unique.sum() <= n_distinct
+
+
+def test_stream_template_match_and_encode(spark, turns, tmp_path):
+    """The custom pandas operators (drain template match, embedding
+    encoder) run unchanged over a streaming source — map-only UDFs are
+    streaming-safe, so the mined-template assignment and the per-turn
+    embeddings equal their batch results after drain."""
+    from ml4logs_spark.operators import drain, encode
+    from ml4logs_spark.streaming import stream_pipeline as sp
+
+    in_dir = str(tmp_path / "match_in")
+    turns.repartition(5).write.parquet(in_dir)
+    tpls = drain.fit_templates(turns, sample_size=2000)
+
+    stream = sp.stream_transcripts(spark, in_dir)
+    matched = drain.match_templates(stream, tpls)
+    embedded = encode.turn_embeddings(matched, dim=4).withColumnRenamed(
+        "embedding", "vec"
+    )
+    joined = matched.select("conv_id", "turn_idx", "drain_template")
+    q = (
+        joined.writeStream.format("memory").queryName("t_stream_match")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_stream_match").toPandas()
+    q.stop()
+
+    batch = drain.match_templates(turns, tpls).select(
+        "conv_id", "turn_idx", "drain_template"
+    ).toPandas()
+    key = ["conv_id", "turn_idx"]
+    a = got.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a.drain_template.fillna("~") == b.drain_template.fillna("~")).all()
+
+    q2 = (
+        embedded.select("conv_id", "turn_idx", "vec")
+        .writeStream.format("memory").queryName("t_stream_vec")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    vecs = spark.table("t_stream_vec").toPandas()
+    q2.stop()
+    assert len(vecs) == len(b)
+    assert vecs.vec.map(len).eq(4).all()
