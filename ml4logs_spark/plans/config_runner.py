@@ -1,0 +1,173 @@
+"""Config-driven pipeline dispatch — parity with the reference's primary
+entry point (``python -m ml4logs <config.json>``): a JSON ``pipeline``
+array of named ``action`` steps dispatched to engine functions
+(/root/reference/src/ml4logs/__main__.py:20-36, 46-51; step shape per
+configs/HDFS1_100k/drain_preprocess.json).
+
+Differences from the reference, by design:
+
+- steps bind DataFrames into a named lazy environment (the analog of the
+  reference's file-path IR) instead of materializing files; ``save:
+  true`` commits a step's output to the warehouse — the durable
+  boundary (Iceberg when available, parquet+marker otherwise);
+- ``skip: true`` mirrors the reference's per-step skip flag;
+- unknown actions fail at VALIDATION time with the known-action list,
+  not at dispatch with a bare KeyError.
+
+Step shape: ``{"action": name, "from": env_key, "out": env_key,
+"save": bool, "skip": bool, ...action kwargs}``. ``from`` defaults per
+action (usually the previous logical stage), ``out`` defaults to the
+action name.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ml4logs_spark.datagen import transcripts as tx
+from ml4logs_spark.operators import enrich as enrich_op
+from ml4logs_spark.operators import features as feat
+from ml4logs_spark.operators import parse, route, windows
+from ml4logs_spark.sources.tables import Warehouse
+
+
+def _a_transcripts(spark, env, step, cfg):
+    return tx.transcripts(spark, step.get("input", cfg["input"]))
+
+
+def _a_template_dim(spark, env, step, cfg):
+    return parse.template_dim(env[step.get("from", "transcripts")])
+
+
+def _a_parse(spark, env, step, cfg):
+    dim = env.get(step.get("dim", "template_dim"))
+    return parse.parsed_turns(env[step.get("from", "transcripts")], dim)
+
+
+def _a_enrich(spark, env, step, cfg):
+    return enrich_op.enrich(
+        env[step.get("from", "parse")], tx.role_dim(spark), tx.tool_dim(spark)
+    )
+
+
+def _a_route(spark, env, step, cfg):
+    return route.with_sink_key(env[step.get("from", "enrich")]).drop("sink_key")
+
+
+def _a_sink_counts(spark, env, step, cfg):
+    return route.sink_counts(env[step.get("from", "parse")])
+
+
+def _a_counts(spark, env, step, cfg):
+    return feat.conv_tool_counts(env[step.get("from", "parse")])
+
+
+def _a_tfidf(spark, env, step, cfg):
+    counts = env[step.get("from", "counts")]
+    return feat.apply_tfidf(counts, feat.fit_idf(counts))
+
+
+def _a_timedeltas(spark, env, step, cfg):
+    return windows.with_timedeltas(env[step.get("from", "transcripts")]).select(
+        "conv_id", "turn_idx", "td"
+    )
+
+
+def _a_sessions(spark, env, step, cfg):
+    return windows.with_sessions(
+        env[step.get("from", "transcripts")], step.get("gap_seconds", 3600)
+    )
+
+
+def _a_encode(spark, env, step, cfg):
+    from ml4logs_spark.operators import encode
+
+    return encode.turn_embeddings(
+        env[step.get("from", "transcripts")], dim=step.get("dim", 8)
+    )
+
+
+def _a_array_maxpool(spark, env, step, cfg):
+    return feat.array_maxpool(
+        env[step.get("from", "encode")],
+        key=step.get("key", "conv_id"),
+        vec_col=step.get("vec_col", "embedding"),
+        dim=step.get("dim", 8),
+    )
+
+
+def _a_merge_features(spark, env, step, cfg):
+    return feat.merge_features(
+        env[step["left"]], env[step["right"]],
+        keys=step.get("keys", ["conv_id", "turn_idx"]),
+        feat_col=step.get("feat_col", "features"),
+    )
+
+
+def _a_drain(spark, env, step, cfg):
+    from ml4logs_spark.operators import drain
+
+    src = env[step.get("from", "transcripts")]
+    tpls = drain.fit_templates(src, sample_size=step.get("sample_size", 50_000))
+    return drain.match_templates(src, tpls)
+
+
+ACTIONS: dict[str, Callable] = {
+    "transcripts": _a_transcripts,
+    "template_dim": _a_template_dim,
+    "parse": _a_parse,
+    "enrich": _a_enrich,
+    "route": _a_route,
+    "sink_counts": _a_sink_counts,
+    "counts": _a_counts,
+    "tfidf": _a_tfidf,
+    "timedeltas": _a_timedeltas,
+    "sessions": _a_sessions,
+    "encode": _a_encode,
+    "array_maxpool": _a_array_maxpool,
+    "merge_features": _a_merge_features,
+    "drain": _a_drain,
+}
+
+
+def validate_config(cfg: dict) -> None:
+    if "pipeline" not in cfg or not isinstance(cfg["pipeline"], list):
+        raise ValueError("config needs a 'pipeline' list")
+    for i, step in enumerate(cfg["pipeline"]):
+        name = step.get("action")
+        if name not in ACTIONS:
+            raise ValueError(
+                f"step {i}: unknown action {name!r}; known: {sorted(ACTIONS)}"
+            )
+
+
+def run_config(spark: SparkSession, cfg: dict | str) -> dict:
+    """Run a pipeline config; returns {step out-name: saved row count or
+    'bound'} in execution order."""
+    if isinstance(cfg, str):
+        cfg = json.loads(open(cfg).read())
+    validate_config(cfg)
+    wh = Warehouse(spark, cfg["warehouse"]) if cfg.get("warehouse") else None
+    env: dict[str, DataFrame] = {}
+    result: dict[str, object] = {}
+    for step in cfg["pipeline"]:
+        name = step["action"]
+        out = step.get("out", name)
+        if step.get("skip"):
+            result[out] = "skipped"
+            continue
+        df = ACTIONS[name](spark, env, step, cfg)
+        env[out] = df
+        if step.get("save"):
+            if wh is None:
+                raise ValueError(f"step {name}: save=true but no warehouse in config")
+            wh.write(df, out, partition_by=step.get("partition_by"))
+            env[out] = wh.read(out)  # downstream reads the committed table
+            result[out] = env[out].count()
+        else:
+            result[out] = "bound"
+    return result
