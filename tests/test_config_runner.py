@@ -53,3 +53,33 @@ def test_config_skip_and_unknown_action(spark, tmp_path):
         validate_config({"pipeline": [{"action": "not_a_step"}]})
     with pytest.raises(ValueError, match="pipeline"):
         validate_config({})
+
+
+def test_export_and_jsonl_roundtrip(spark, turns, tmp_path):
+    """export(json) -> read_jsonl_transcripts is a lossless roundtrip of
+    the fact table (csv export covered for a flat aggregate)."""
+    from ml4logs_spark.sources.jsonl import read_jsonl_transcripts
+    from ml4logs_spark.sources.tables import Warehouse
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(spark, str(tmp_path / "wh3"))
+    sample = turns.limit(200)
+    p = wh.export(
+        sample.withColumn("ts", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")),
+        "transcripts", fmt="json",
+    )
+    back = read_jsonl_transcripts(spark, p)
+    key = ["conv_id", "turn_idx"]
+    a = sample.select("conv_id", "turn_idx", "text", F.unix_micros("ts").alias("us")) \
+        .toPandas().sort_values(key).reset_index(drop=True)
+    b = back.select("conv_id", "turn_idx", "text", F.unix_micros("ts").alias("us")) \
+        .toPandas().sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) == 200
+    assert (a.us.values == b.us.values).all()
+    assert (a.text.values == b.text.values).all()
+
+    # csv export of a flat aggregate reads back with identical counts
+    agg = sample.groupBy("role").count()
+    p2 = wh.export(agg, "role_counts", fmt="csv")
+    back2 = spark.read.option("header", True).csv(p2)
+    assert back2.count() == agg.count()
