@@ -362,6 +362,12 @@ def _q_simhash16(spark, sf_dir):
     return dedup_op.simhash16(_docs(spark, sf_dir))
 
 
+def _q_simhash_near_dups(spark, sf_dir):
+    # exact banded hamming search over the simhash signatures
+    out = dedup_op.simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 def _q_doc_stats(spark, sf_dir):
     s = textqa.doc_stats(_docs(spark, sf_dir))
     return s.select(
@@ -483,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_jaccard_pairs": _q_lsh_jaccard_pairs,
         "near_dups": _q_near_dups,
         "simhash16": _q_simhash16,
+        "simhash_near_dups": _q_simhash_near_dups,
         "doc_stats": _q_doc_stats,
         "lang_guess": _q_lang_guess,
         "doc_fingerprint": _q_doc_fingerprint,

@@ -133,6 +133,44 @@ def near_dups(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     )
 
 
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-duplicate pairs via pigeonhole banding — EXACT for
+    the given radius: a 16-bit signature splits into 4 nibble bands;
+    any pair within hamming distance <= 3 must agree on at least one
+    whole band (pigeonhole), so the banded equi-join generates a
+    COMPLETE candidate set and the bit_count(xor) verify filters it.
+    O(docs x 4) candidate rows, never all-pairs — the production
+    simhash search shape (Manku et al., WWW'07)."""
+    s = simhash16(docs)
+    bands = s.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("simhash", 4 * b).bitwiseAND(F.lit(15)).alias("nib"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bn"),
+    ).select("doc_id", "simhash", F.col("bn.band").alias("band"), F.col("bn.nib").alias("nib"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, ["band", "nib"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
 def simhash16(docs: DataFrame) -> DataFrame:
     """16-bit SimHash via md5-nibble projections (portable variant).
 

@@ -142,6 +142,24 @@ DOC_ORACLES: dict[str, str] = {
     "lsh_jaccard_pairs": _dq("SELECT doc_a, doc_b, jaccard FROM jac"),
     "near_dups": _dq("SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.8"),
     "simhash16": f"SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM documents",
+    # pigeonhole nibble banding: hamming <= 3 over 4 bands guarantees a
+    # shared band, so the equi-join candidate set is complete (exact).
+    "simhash_near_dups": f"""
+        WITH sh AS (
+          SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM documents
+        ),
+        bands AS (
+          SELECT doc_id, simhash, g.b AS band,
+                 (simhash >> CAST(4 * g.b AS INT)) & 15 AS nib
+          FROM sh CROSS JOIN (SELECT range AS b FROM range(0, 4)) g
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM bands a JOIN bands b USING (band, nib)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.simhash, b.simhash
+        HAVING bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
     "doc_stats": f"""
         SELECT doc_id,
                len(str_split(text, ' ')) AS n_tokens,

@@ -149,3 +149,21 @@ def test_media_features_stub_plumbing(spark, docs):
     again = multimodal.extract_features(m).toPandas()
     assert out.sort_values("doc_id").checksum.tolist() == \
         again.sort_values("doc_id").checksum.tolist()
+
+
+def test_simhash_near_dups_banding_complete(spark, docs):
+    """Pigeonhole banding must find EVERY pair within the radius —
+    compare against brute-force all-pairs hamming on a small slice."""
+    from ml4logs_spark.operators import dedup
+
+    d = docs.limit(60).cache()
+    banded = dedup.simhash_near_dups(d, max_hamming=3).toPandas()
+    sigs = dedup.simhash16(d).toPandas().set_index("doc_id").simhash
+    brute = {
+        (a, b)
+        for i, a in enumerate(sigs.index)
+        for b in sigs.index[i + 1:]
+        if bin(int(sigs[a]) ^ int(sigs[b])).count("1") <= 3
+    }
+    got = {(min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b)) for _, r in banded.iterrows()}
+    assert got == brute  # complete AND precise
