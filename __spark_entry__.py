@@ -247,6 +247,29 @@ def _q_approx_distinct_convs(spark, sf_dir):
     )
 
 
+def _q_conv_top_template(spark, sf_dir):
+    # per-conversation modal template via max_by with deterministic
+    # tie-break (highest count, then lowest template_id) — single hash
+    # aggregate, no window over the fact table.
+    counts = feat.conv_tool_counts(_parsed(spark, sf_dir))
+    per_tpl = counts.groupBy("conv_id", "template_id").agg(
+        F.sum("cnt").alias("n")
+    )
+    ord_key = F.struct(F.col("n").alias("a"), (-F.col("template_id")).alias("b"))
+    return per_tpl.groupBy("conv_id").agg(
+        F.max_by("template_id", ord_key).alias("top_template_id"),
+        F.max("n").alias("top_n"),
+    )
+
+
+def _q_conv_td_median(spark, sf_dir):
+    # exact interpolated median of per-turn timedeltas per conversation
+    t = windows.with_timedeltas(tx.transcripts(spark, sf_dir))
+    return t.groupBy("conv_id").agg(
+        F.round(F.expr("percentile(td, 0.5)"), 6).alias("td_median")
+    )
+
+
 def _q_conv_value_maxpool(spark, sf_dir):
     t = windows.with_timedeltas(tx.transcripts(spark, sf_dir))
     return feat.conv_maxpool(t, "td").select(
@@ -470,6 +493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timedelta_minmax": _q_timedelta_minmax,
         "tfidf_centered": _q_tfidf_centered,
         "conv_value_maxpool": _q_conv_value_maxpool,
+        "conv_top_template": _q_conv_top_template,
+        "conv_td_median": _q_conv_td_median,
         "conv_embedding_maxpool": _q_conv_embedding_maxpool,
         "merged_features": _q_merged_features,
         "turn_embeddings": _q_turn_embeddings,

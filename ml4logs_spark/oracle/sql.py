@@ -239,6 +239,22 @@ ORACLES: dict[str, str] = {
         ) m ON m.template_id = c.template_id
         """
     ),
+    "conv_top_template": _q(
+        """
+        SELECT conv_id,
+               arg_max(template_id, n * 1000000 - template_id) AS top_template_id,
+               CAST(max(n) AS BIGINT) AS top_n
+        FROM (
+          SELECT conv_id, template_id, CAST(sum(cnt) AS BIGINT) AS n
+          FROM counts GROUP BY conv_id, template_id
+        ) p
+        GROUP BY conv_id
+        """
+    ),
+    "conv_td_median": _q(
+        "SELECT conv_id, round(quantile_cont(tdval, 0.5), 6) AS td_median "
+        "FROM td GROUP BY conv_id"
+    ),
     "conv_value_maxpool": _q(
         "SELECT conv_id, round(max(tdval), 6) AS max_td FROM td GROUP BY conv_id"
     ),
