@@ -108,6 +108,30 @@ def _a_merge_features(spark, env, step, cfg):
     )
 
 
+def _a_documents(spark, env, step, cfg):
+    return spark.read.parquet(f"{step.get('input', cfg['input'])}/documents.parquet")
+
+
+def _a_dedup_exact(spark, env, step, cfg):
+    from ml4logs_spark.operators import dedup
+
+    return dedup.exact_dedup(env[step.get("from", "documents")])
+
+
+def _a_near_dups(spark, env, step, cfg):
+    from ml4logs_spark.operators import dedup
+
+    return dedup.near_dups(
+        env[step.get("from", "documents")], step.get("threshold", 0.8)
+    )
+
+
+def _a_doc_stats(spark, env, step, cfg):
+    from ml4logs_spark.operators import textqa
+
+    return textqa.doc_stats(env[step.get("from", "documents")])
+
+
 def _a_drain(spark, env, step, cfg):
     from ml4logs_spark.operators import drain
 
@@ -131,6 +155,10 @@ ACTIONS: dict[str, Callable] = {
     "array_maxpool": _a_array_maxpool,
     "merge_features": _a_merge_features,
     "drain": _a_drain,
+    "documents": _a_documents,
+    "dedup_exact": _a_dedup_exact,
+    "near_dups": _a_near_dups,
+    "doc_stats": _a_doc_stats,
 }
 
 

@@ -83,3 +83,19 @@ def test_export_and_jsonl_roundtrip(spark, turns, tmp_path):
     p2 = wh.export(agg, "role_counts", fmt="csv")
     back2 = spark.read.option("header", True).csv(p2)
     assert back2.count() == agg.count()
+
+
+def test_config_documents_curation_path(spark, tmp_path):
+    cfg = {
+        "input": SF_DIR,
+        "warehouse": str(tmp_path / "whd"),
+        "pipeline": [
+            {"action": "documents"},
+            {"action": "dedup_exact", "save": True},
+            {"action": "doc_stats", "save": True},
+            {"action": "near_dups", "threshold": 0.8, "save": True},
+        ],
+    }
+    result = run_config(spark, cfg)
+    assert result["doc_stats"] > 0 and result["dedup_exact"] > 0
+    assert isinstance(result["near_dups"], int)
