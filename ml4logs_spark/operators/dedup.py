@@ -81,6 +81,11 @@ def minhash_signatures(docs: DataFrame, n: int = N_MINHASH) -> DataFrame:
 
 def lsh_bands(sig: DataFrame, bands: int = LSH_BANDS, n: int = N_MINHASH) -> DataFrame:
     """Fold the signature into band hashes and explode to (doc_id, band, h)."""
+    if n % bands != 0:
+        raise ValueError(
+            f"signature length ({n}) must be divisible by bands ({bands}); "
+            "a remainder would silently drop hashes and change recall"
+        )
     r = n // bands
     band_cols = [
         F.struct(

@@ -107,6 +107,11 @@ def band_signatures(
     collides in ANY band. Fewer bits per table -> higher per-table
     collision rate -> recall rises at the cost of more (still bucketed,
     never all-pairs) candidates. Map-only."""
+    if n_planes % n_bands != 0:
+        raise ValueError(
+            f"n_planes ({n_planes}) must be divisible by n_bands ({n_bands}); "
+            "a remainder would silently drop planes and change recall"
+        )
     r = n_planes // n_bands
     bands = []
     for b in range(n_bands):

@@ -104,11 +104,25 @@ def conv_offsets(turns: DataFrame, n_parts: int | None = None) -> DataFrame:
     Range partitions compose in conv_id order, so base + local == the
     global exclusive prefix sum. The only ordered-unpartitioned window
     left runs over #partitions rows, not #convs.
+
+    ``ranged`` is persisted before the two consumers branch: the range
+    boundaries come from sampling and Spark documents
+    ``repartitionByRange`` output as potentially inconsistent across
+    evaluations, so evaluating it twice (local prefix sums vs
+    per-partition totals) risks mismatched ``_pid`` assignments and
+    silently wrong offsets. The persisted relation is one row per
+    conversation (two small long columns), so the materialization is
+    cheap even at 10^9 conversations; a cluster-scale alternative is a
+    deterministic boundary fit (sample conv_ids once, broadcast the cut
+    points, assign buckets by range lookup) — same shape as the drain
+    fit — which trades the cache for an extra sampling job.
     """
     sizes = turns.groupBy("conv_id").agg(F.count(F.lit(1)).alias("conv_size"))
     parts = n_parts or turns.sparkSession.sparkContext.defaultParallelism
-    ranged = sizes.repartitionByRange(parts, "conv_id").withColumn(
-        "_pid", F.spark_partition_id()
+    ranged = (
+        sizes.repartitionByRange(parts, "conv_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     w_local = (
         Window.partitionBy("_pid").orderBy("conv_id")

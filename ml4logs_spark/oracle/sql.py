@@ -241,14 +241,19 @@ ORACLES: dict[str, str] = {
     ),
     "conv_top_template": _q(
         """
-        SELECT conv_id,
-               arg_max(template_id, n * 1000000 - template_id) AS top_template_id,
-               CAST(max(n) AS BIGINT) AS top_n
+        -- structural mirror of Spark's max_by(template_id, struct(n,
+        -- -template_id)): rank by n DESC then template_id ASC and keep
+        -- rank 1 — no magic-number key that could collide at large ids.
+        SELECT conv_id, template_id AS top_template_id, n AS top_n
         FROM (
-          SELECT conv_id, template_id, CAST(sum(cnt) AS BIGINT) AS n
-          FROM counts GROUP BY conv_id, template_id
-        ) p
-        GROUP BY conv_id
+          SELECT conv_id, template_id, n,
+                 row_number() OVER (
+                   PARTITION BY conv_id ORDER BY n DESC, template_id) AS rn
+          FROM (
+            SELECT conv_id, template_id, CAST(sum(cnt) AS BIGINT) AS n
+            FROM counts GROUP BY conv_id, template_id
+          ) p
+        ) r WHERE rn = 1
         """
     ),
     "conv_td_median": _q(

@@ -26,9 +26,19 @@ from pyspark.sql import functions as F
 
 def stream_exact_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """First occurrence of each text survives; later duplicates within
-    the watermark horizon are dropped. Map-side hash + keyed state."""
+    the watermark horizon are dropped. Map-side hash + keyed state.
+
+    Uses ``dropDuplicatesWithinWatermark`` (Spark 3.5+), which evicts a
+    key's state once the watermark passes its event time — the bounded
+    state / horizon contract documented above. Plain
+    ``dropDuplicates([key])`` with the event-time column NOT in the key
+    subset never evicts: state grows without bound and far-apart
+    duplicates are dropped forever instead of treated as new.
+    """
     hashed = stream.withColumn("text_hash", F.md5(F.coalesce("text", F.lit(""))))
-    return hashed.withWatermark("ts", watermark).dropDuplicates(["text_hash"])
+    return hashed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["text_hash"]
+    )
 
 
 def stream_first_seen_counts(
