@@ -381,8 +381,9 @@ def _q_near_dups(spark, sf_dir):
     return dedup_op.near_dups(_docs(spark, sf_dir), 0.8)
 
 
-def _q_simhash16(spark, sf_dir):
-    return dedup_op.simhash16(_docs(spark, sf_dir))
+def _q_simhash64(spark, sf_dir):
+    # 64-bit signature as four sign-safe 16-bit chunk columns
+    return dedup_op.simhash64(_docs(spark, sf_dir))
 
 
 def _q_simhash_near_dups(spark, sf_dir):
@@ -513,7 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": _q_lsh_candidate_pairs,
         "lsh_jaccard_pairs": _q_lsh_jaccard_pairs,
         "near_dups": _q_near_dups,
-        "simhash16": _q_simhash16,
+        "simhash64": _q_simhash64,
         "simhash_near_dups": _q_simhash_near_dups,
         "doc_stats": _q_doc_stats,
         "lang_guess": _q_lang_guess,

@@ -218,7 +218,7 @@ def main() -> None:
 
         docs = spark.read.parquet(docs_path)
         t0 = time.perf_counter()
-        force(dedup_op.simhash16(docs))
+        force(dedup_op.simhash64(docs))
         docs_out["simhash_docs_sec"] = round(time.perf_counter() - t0, 3)
         emb = spark.read.parquet(emb_path)
         qids = list(range(5))

@@ -138,74 +138,125 @@ def near_dups(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     )
 
 
-def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-duplicate pairs via pigeonhole banding — EXACT for
-    the given radius: a 16-bit signature splits into 4 nibble bands;
-    any pair within hamming distance <= 3 must agree on at least one
-    whole band (pigeonhole), so the banded equi-join generates a
-    COMPLETE candidate set and the bit_count(xor) verify filters it.
-    O(docs x 4) candidate rows, never all-pairs — the production
-    simhash search shape (Manku et al., WWW'07)."""
-    s = simhash16(docs)
-    bands = s.select(
+SIMHASH_CHUNKS = 4  # 4 x 16-bit chunks = 64-bit signature
+
+
+def _simhash_votes() -> Column:
+    """64 accumulated bit-votes per document, single pass over tokens.
+
+    Each token is md5-hashed exactly ONCE; the first 16 hex chars give
+    16 nibbles = 64 independent bits (bit 4d+j = bit j of nibble d).
+    Tokens vote +1/-1 per bit; all 64 votes accumulate in one
+    ``aggregate`` with an array accumulator. Deterministic in both
+    engines (no platform hash), vectorized via higher-order fns —
+    map-only, no UDF.
+    """
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+
+    def token_votes(t: Column) -> Column:
+        nibs = F.transform(
+            F.split(F.substring(F.md5(t), 1, 16), ""),
+            lambda c: F.conv(c, 16, 10).cast("int"),
+        )
+        return F.flatten(
+            F.transform(
+                nibs,
+                lambda v: F.array(*[
+                    F.when(
+                        F.shiftright(v, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    ).otherwise(F.lit(-1))
+                    for j in range(4)
+                ]),
+            )
+        )
+
+    return F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, t: F.zip_with(acc, token_votes(t), lambda a, v: a + v),
+    )
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash as four 16-bit chunk columns (c0..c3).
+
+    The production signature width (Manku et al., WWW'07). Chunk b holds
+    global bits [16b, 16b+16): bit i set <=> vote sum for bit i >= 0.
+    Emitting the signature as four small ints (0..65535) keeps every
+    shift/xor sign-safe and portable — the chunks ARE the pigeonhole
+    bands for the hamming<=3 search, and the full signature is
+    c0 | c1<<16 | c2<<32 | c3<<48 when a single value is wanted.
+    """
+    weights = F.array(*[F.lit(2**j) for j in range(16)])
+
+    def chunk(b: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col("_votes"), 16 * b + 1, 16),
+                weights,
+                lambda v, w: F.when(v >= 0, w).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("int")
+
+    return docs.select("doc_id", _simhash_votes().alias("_votes")).select(
+        "doc_id", *[chunk(b).alias(f"c{b}") for b in range(SIMHASH_CHUNKS)]
+    )
+
+
+def _simhash_bands(sig: DataFrame) -> DataFrame:
+    """Explode signatures to (doc_id, c0..c3, band, chunk) bucket keys."""
+    return sig.select(
         "doc_id",
-        "simhash",
+        *[f"c{b}" for b in range(SIMHASH_CHUNKS)],
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.shiftright("simhash", 4 * b).bitwiseAND(F.lit(15)).alias("nib"),
-                )
-                for b in range(4)
+                F.struct(F.lit(b).alias("band"), F.col(f"c{b}").alias("chunk"))
+                for b in range(SIMHASH_CHUNKS)
             ])
-        ).alias("bn"),
-    ).select("doc_id", "simhash", F.col("bn.band").alias("band"), F.col("bn.nib").alias("nib"))
+        ).alias("bc"),
+    ).select(
+        "doc_id",
+        *[f"c{b}" for b in range(SIMHASH_CHUNKS)],
+        F.col("bc.band").alias("band"),
+        F.col("bc.chunk").alias("chunk"),
+    )
+
+
+def simhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Bucket-colliding pairs with their exact hamming distance.
+
+    Pigeonhole banding: any pair within hamming <= 3 of a 64-bit
+    signature must agree on at least one whole 16-bit chunk, so the
+    banded equi-join generates a COMPLETE candidate set for that radius
+    — and each band has 65,536 possible buckets, so random collisions
+    are rare and candidate volume stays near-linear in the corpus (the
+    round-2 4-bit-nibble banding had only 16 buckets per band, which
+    degenerated to ~N^2/16 candidates). The hamming verify is four
+    sign-safe int xor+popcounts — no UDF."""
+    bands = _simhash_bands(simhash64(docs))
     a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(b, ["band", "nib"])
+    hamming = sum(
+        F.bit_count(F.col(f"a.c{i}").bitwiseXOR(F.col(f"b.c{i}")))
+        for i in range(SIMHASH_CHUNKS)
+    )
+    return (
+        a.join(b, ["band", "chunk"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            hamming.cast("int").alias("hamming"),
         )
         .distinct()
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)
 
 
-def simhash16(docs: DataFrame) -> DataFrame:
-    """16-bit SimHash via md5-nibble projections (portable variant).
-
-    Each hex digit position d of md5(token) is one projection: tokens
-    vote +1 if nibble >= 8 else -1; bit d = (sum >= 0). Deterministic in
-    both engines (no platform hash), vectorized via higher-order fns.
-
-    Single-pass: each token is md5-hashed exactly ONCE; all 16 bit votes
-    accumulate in one ``aggregate`` with an array accumulator (round 1
-    re-hashed every token 16x — same answer, 16x the md5 cost). A hex
-    char ``c >= '8'`` is exactly ``nibble >= 8`` because [0-9a-f] are
-    lexicographically ordered.
-    """
-    toks = F.array_distinct(F.split(F.col("text"), " "))
-    votes = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0), 16),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.transform(
-                F.split(F.substring(F.md5(t), 1, 16), ""),
-                lambda c: F.when(c >= F.lit("8"), F.lit(1)).otherwise(F.lit(-1)),
-            ),
-            lambda a, v: a + v,
-        ),
-    )
-    weights = F.array(*[F.lit(2**d) for d in range(16)])
-    sim = F.aggregate(
-        F.zip_with(votes, weights, lambda v, w: F.when(v >= 0, w).otherwise(F.lit(0))),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    return docs.select("doc_id", sim.cast("long").alias("simhash"))
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-duplicate pairs via pigeonhole banding — EXACT for
+    radius <= 3 (see simhash_candidate_pairs): complete candidate set
+    from the banded equi-join, thresholded by the popcount verify.
+    O(docs x 4) candidate rows at realistic corpora, never all-pairs —
+    the production simhash search shape (Manku et al., WWW'07)."""
+    return simhash_candidate_pairs(docs).filter(F.col("hamming") <= max_hamming)

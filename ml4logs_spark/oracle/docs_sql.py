@@ -75,12 +75,25 @@ _STOP_HITS = (
     f"len(list_filter(str_split(text, ' '), t -> lower(t) IN ({_in_list(STOPWORDS)})))"
 )
 
-_SIMHASH_BITS = " + ".join(
-    "(CASE WHEN list_sum(list_transform(list_distinct(str_split(text, ' ')), "
-    f"t -> CASE WHEN instr('0123456789abcdef', substring(md5(t), {d + 1}, 1)) - 1 >= 8 "
-    f"THEN 1 ELSE -1 END)) >= 0 THEN {2 ** d} ELSE 0 END)"
-    for d in range(16)
-)
+# 64-bit SimHash mirror: global bit i = bit (i%4) of md5 hex nibble
+# (i//4); chunk b = sum of 2^j over set bits 16b+j. Each bit recomputes
+# md5 per token — fine for the oracle, where clarity beats speed.
+def _simhash_bit(i: int) -> str:
+    d, j = divmod(i, 4)
+    nib = f"(instr('0123456789abcdef', substring(md5(t), {d + 1}, 1)) - 1)"
+    return (
+        "list_sum(list_transform(list_distinct(str_split(text, ' ')), "
+        f"t -> CASE WHEN (({nib} >> {j}) & 1) = 1 THEN 1 ELSE -1 END)) >= 0"
+    )
+
+
+_SIMHASH_CHUNKS = {
+    b: " + ".join(
+        f"(CASE WHEN {_simhash_bit(16 * b + j)} THEN {2 ** j} ELSE 0 END)"
+        for j in range(16)
+    )
+    for b in range(4)
+}
 
 _LANG_HITS = {
     lang: (
@@ -141,24 +154,29 @@ DOC_ORACLES: dict[str, str] = {
     "lsh_candidate_pairs": _dq("SELECT doc_a, doc_b FROM cand"),
     "lsh_jaccard_pairs": _dq("SELECT doc_a, doc_b, jaccard FROM jac"),
     "near_dups": _dq("SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.8"),
-    "simhash16": f"SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM documents",
-    # pigeonhole nibble banding: hamming <= 3 over 4 bands guarantees a
-    # shared band, so the equi-join candidate set is complete (exact).
-    "simhash_near_dups": f"""
-        WITH sh AS (
-          SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM documents
-        ),
+    "simhash64": "SELECT doc_id, " + ", ".join(
+        f"CAST({_SIMHASH_CHUNKS[b]} AS INT) AS c{b}" for b in range(4)
+    ) + " FROM documents",
+    # pigeonhole chunk banding: hamming <= 3 over 4 x 16-bit bands
+    # guarantees a shared band, so the equi-join candidate set is
+    # complete (exact); 65,536 buckets per band keep it near-linear.
+    "simhash_near_dups": "WITH sh AS (SELECT doc_id, " + ", ".join(
+        f"CAST({_SIMHASH_CHUNKS[b]} AS INT) AS c{b}" for b in range(4)
+    ) + """ FROM documents),
         bands AS (
-          SELECT doc_id, simhash, g.b AS band,
-                 (simhash >> CAST(4 * g.b AS INT)) & 15 AS nib
+          SELECT doc_id, c0, c1, c2, c3, g.b AS band,
+                 CASE g.b WHEN 0 THEN c0 WHEN 1 THEN c1
+                          WHEN 2 THEN c2 ELSE c3 END AS chunk
           FROM sh CROSS JOIN (SELECT range AS b FROM range(0, 4)) g
         )
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-        FROM bands a JOIN bands b USING (band, nib)
+               CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+                  + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))
+                 AS INT) AS hamming
+        FROM bands a JOIN bands b USING (band, chunk)
         WHERE a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id, a.simhash, b.simhash
-        HAVING bit_count(xor(a.simhash, b.simhash)) <= 3
+        GROUP BY ALL
+        HAVING hamming <= 3
     """,
     "doc_stats": f"""
         SELECT doc_id,

@@ -55,7 +55,8 @@ def test_operators_handle_empty_input(spark):
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert dedup.exact_dup_groups(docs).count() == 0
     assert dedup.lsh_candidate_pairs(docs).count() == 0
-    assert dedup.simhash16(docs).count() == 0
+    assert dedup.simhash64(docs).count() == 0
+    assert dedup.simhash_near_dups(docs).count() == 0
 
 
 def test_similarity_handles_empty_input(spark):

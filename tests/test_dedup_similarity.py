@@ -61,11 +61,20 @@ def test_jaccard_value(spark, docs):
     assert 0.5 < j.jaccard.iloc[0] < 1.0
 
 
+def _sig64(pdf):
+    """Combine chunk columns into one python int per doc_id."""
+    pdf = pdf.set_index("doc_id")
+    return {
+        i: int(r.c0) | int(r.c1) << 16 | int(r.c2) << 32 | int(r.c3) << 48
+        for i, r in pdf.iterrows()
+    }
+
+
 def test_simhash_close_for_near_dups(spark, docs):
     from ml4logs_spark.operators import dedup
 
-    sh = dedup.simhash16(docs).toPandas().set_index("doc_id").simhash
-    ham = lambda a, b: bin(int(a) ^ int(b)).count("1")
+    sh = _sig64(dedup.simhash64(docs).toPandas())
+    ham = lambda a, b: bin(a ^ b).count("1")
     assert ham(sh[0], sh[1]) == 0  # identical docs
     assert ham(sh[0], sh[2]) <= ham(sh[0], sh[3])
 
@@ -158,12 +167,33 @@ def test_simhash_near_dups_banding_complete(spark, docs):
 
     d = docs.limit(60).cache()
     banded = dedup.simhash_near_dups(d, max_hamming=3).toPandas()
-    sigs = dedup.simhash16(d).toPandas().set_index("doc_id").simhash
+    sigs = _sig64(dedup.simhash64(d).toPandas())
     brute = {
         (a, b)
-        for i, a in enumerate(sigs.index)
-        for b in sigs.index[i + 1:]
-        if bin(int(sigs[a]) ^ int(sigs[b])).count("1") <= 3
+        for i, a in enumerate(sorted(sigs))
+        for b in sorted(sigs)[i + 1:]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
     }
     got = {(min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b)) for _, r in banded.iterrows()}
     assert got == brute  # complete AND precise
+
+
+def test_simhash_candidate_volume_near_linear(spark):
+    """The 64-bit / 16-bit-chunk banding must NOT degenerate to
+    all-pairs (the round-2 4-bit-nibble banding produced ~59% of C(N,2)
+    candidates on this fixture; 64-bit chunks give ~12%). The candidate
+    set is exactly {pairs agreeing on >=1 chunk} — the completeness
+    guarantee — so the residual here is driven by the fixture's
+    template-heavy vocabulary (shared tokens pin whole chunks: one band
+    bucket holds ~28% of docs), not by the banding; diverse real
+    corpora spread 16-bit chunks across 65,536 buckets."""
+    import os
+
+    from ml4logs_spark.operators import dedup
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n = docs.count()
+    cands = dedup.simhash_candidate_pairs(docs).count()
+    all_pairs = n * (n - 1) // 2
+    assert cands < 0.15 * all_pairs, (cands, all_pairs)
