@@ -26,6 +26,20 @@ def test_every_query_has_oracle_or_pinned_reason():
     assert set(q) - set(o) == set(ROWS_ONLY)
 
 
+def test_grading_window_holds_only_full_oracle_queries():
+    """The driver grades the FIRST 50 queries() entries. Every entry in
+    that window must have a full DuckDB oracle (rows-only and demoted
+    queries go after position 50), and the similarity family — never
+    driver-checked before round 3 — must sit inside the window."""
+    q, o = list(entry.queries()), entry.oracle_sql()
+    window = q[:50]
+    assert all(name in o for name in window), [n for n in window if n not in o]
+    for name in ("embedding_norms", "ann_cosine_topk", "lsh_cosine_topk",
+                 "ivf_cosine_topk", "embedding_near_dups", "simhash_near_dups"):
+        assert name in window, f"{name} fell outside the grading window"
+    assert set(ROWS_ONLY) <= set(q[50:])
+
+
 def test_oracle_sql_parses_and_binds_in_duckdb():
     con = duckdb.connect()
     for p in sorted(Path(SF_DIR).glob("*.parquet")):
