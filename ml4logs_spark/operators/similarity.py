@@ -232,40 +232,89 @@ def embedding_near_dups(
     )
 
 
-def ivf_cells(
-    emb: DataFrame, n_centroids: int = 16, vec_col: str = "embedding"
-) -> DataFrame:
-    """IVF coarse-quantizer assignment: (vec_id, cell).
+def _cosine(a: Column, b: Column) -> Column:
+    return F.round(
+        _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))), 6
+    )
 
-    Centroids are the first ``n_centroids`` vectors by vec_id — a fixed,
-    deterministic codebook standing in for an offline k-means fit (the
-    fit is model state, like the TF-IDF idf table; swapping in trained
-    centroids changes only this dim). Assignment = argmax cosine over
-    the broadcast codebook via ``max_by`` — ONE hash aggregate, no
-    window sort, no shuffle of vectors beyond the group-by of
-    N x n_centroids scored rows with map-side combine."""
-    cent = emb.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cent_id"), F.col(vec_col).alias("centvec")
+
+def _assign_cells(vecs: DataFrame, codebook: DataFrame) -> DataFrame:
+    """argmax-cosine cell assignment of (vec_id, v) against a broadcast
+    (cent_id, centvec) codebook via ``max_by`` — ONE hash aggregate, no
+    window sort; the only shuffle is the group-by of N x k scored rows
+    with map-side combine. Tie-break: max struct (sim, -cent_id) ==
+    ORDER BY sim DESC, cent_id ASC."""
+    scored = vecs.crossJoin(F.broadcast(codebook)).withColumn(
+        "sim", _cosine(F.col("v"), F.col("centvec"))
     )
-    scored = (
-        emb.select("vec_id", F.col(vec_col).alias("v"))
-        .crossJoin(F.broadcast(cent))
-        .withColumn(
-            "sim",
-            F.round(
-                _dot(F.col("v"), F.col("centvec"))
-                / (F.sqrt(_dot(F.col("v"), F.col("v")))
-                   * F.sqrt(_dot(F.col("centvec"), F.col("centvec")))),
-                6,
-            ),
-        )
-    )
-    # max struct = (max sim, then max -cent_id = min cent_id): the same
-    # deterministic tie-break as ORDER BY sim DESC, cent_id ASC
     ord_key = F.struct(F.col("sim").alias("s"), (-F.col("cent_id")).alias("c"))
-    return scored.groupBy("vec_id").agg(
-        F.max_by("cent_id", ord_key).alias("cell")
+    return scored.groupBy("vec_id").agg(F.max_by("cent_id", ord_key).alias("cell"))
+
+
+def fit_ivf_codebook(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    sample_mod: int = 5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Trained IVF codebook: deterministic Lloyd k-means (spherical —
+    cosine assignment, mean re-estimation) -> (cent_id, centvec).
+
+    Fit is model state like the TF-IDF idf table, and every step is
+    deterministic + SQL-expressible so the whole fit is oracle-checked
+    (no RNG, no driver-side numpy):
+
+    - bounded sample: vec_id % sample_mod == 0 — the fit never scans the
+      full corpus (at 100 TB, raise sample_mod so the sample fits the
+      shuffle budget; assignment cost is |sample| x k per iteration);
+    - seed: the n_centroids lowest sampled vec_ids (TakeOrdered — cheap);
+    - iterate: argmax-cosine assignment, then element-wise mean per cell
+      ROUNDED to 6dp — the rounding pins fold-order float noise so both
+      engines iterate from bit-identical centroids;
+    - a cell that loses all members drops out (both engines agree).
+
+    Each iteration is lazy plan composition (posexplode -> two hash
+    aggregates); nothing is collected to the driver."""
+    sample = emb.filter(F.col("vec_id") % sample_mod == 0).select(
+        "vec_id",
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
+    codebook = (
+        sample.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("centvec"))
+    )
+    for _ in range(n_iters):
+        assigned = _assign_cells(sample, codebook).join(sample, "vec_id")
+        codebook = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centvec")
+            )
+            .select(F.col("cell").alias("cent_id"), "centvec")
+        )
+    return codebook
+
+
+def ivf_cells(
+    emb: DataFrame,
+    codebook: DataFrame | None = None,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse-quantizer assignment: (vec_id, cell) against the
+    trained (fit_ivf_codebook) or caller-provided codebook dim."""
+    if codebook is None:
+        codebook = fit_ivf_codebook(emb, n_centroids, vec_col=vec_col)
+    vecs = emb.select("vec_id", F.col(vec_col).alias("v"))
+    return _assign_cells(vecs, codebook)
 
 
 def ivf_topk(
@@ -279,25 +328,17 @@ def ivf_topk(
     """IVF-style ANN: each query probes its ``n_probes`` nearest
     centroid cells; candidates = vectors assigned to those cells; exact
     cosine re-rank. The complement of the LSH path: data-adaptive cells
-    (with a trained codebook) vs data-oblivious hyperplanes. Candidate
-    generation is an equi-join on cell ids — never all-pairs."""
-    cells = ivf_cells(emb, n_centroids, vec_col)
-    cent = emb.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cent_id"), F.col(vec_col).alias("centvec")
-    )
+    (trained Lloyd codebook, fit_ivf_codebook) vs data-oblivious
+    hyperplanes. Candidate generation is an equi-join on cell ids —
+    never all-pairs. The codebook is fit once and reused for both cell
+    assignment and query probing."""
+    codebook = fit_ivf_codebook(emb, n_centroids, vec_col=vec_col).cache()
+    cells = ivf_cells(emb, codebook, vec_col=vec_col)
     q_scored = (
         emb.filter(F.col("vec_id").isin(query_ids))
         .select(F.col("vec_id").alias("query_id"), F.col(vec_col).alias("qv"))
-        .crossJoin(F.broadcast(cent))
-        .withColumn(
-            "sim",
-            F.round(
-                _dot(F.col("qv"), F.col("centvec"))
-                / (F.sqrt(_dot(F.col("qv"), F.col("qv")))
-                   * F.sqrt(_dot(F.col("centvec"), F.col("centvec")))),
-                6,
-            ),
-        )
+        .crossJoin(F.broadcast(codebook))
+        .withColumn("sim", _cosine(F.col("qv"), F.col("centvec")))
     )
     w_p = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cent_id"))
     probes = (
@@ -336,11 +377,46 @@ def ivf_topk(
     )
 
 
-def ann_recall(emb: DataFrame, query_ids: list[int], k: int = 10, **lsh_kw) -> float:
-    """Recall@k of the LSH path vs the exact brute-force baseline."""
+def _recall_vs_exact(emb: DataFrame, approx: DataFrame,
+                     query_ids: list[int], k: int) -> float:
     exact = cosine_topk(emb, query_ids, k).select("query_id", "cand_id")
-    approx = lsh_topk(emb, query_ids, k, **lsh_kw).select("query_id", "cand_id")
     denom = exact.count()
     if denom == 0:
         return 0.0
-    return round(approx.join(exact, ["query_id", "cand_id"]).count() / denom, 4)
+    hits = approx.select("query_id", "cand_id").join(
+        exact, ["query_id", "cand_id"]
+    ).count()
+    return round(hits / denom, 4)
+
+
+def ann_recall(emb: DataFrame, query_ids: list[int], k: int = 10, **lsh_kw) -> float:
+    """Recall@k of the LSH path vs the exact brute-force baseline."""
+    return _recall_vs_exact(emb, lsh_topk(emb, query_ids, k, **lsh_kw), query_ids, k)
+
+
+def ivf_recall(emb: DataFrame, query_ids: list[int], k: int = 10, **ivf_kw) -> float:
+    """Recall@k of the trained-codebook IVF path vs brute force."""
+    return _recall_vs_exact(emb, ivf_topk(emb, query_ids, k, **ivf_kw), query_ids, k)
+
+
+def lsh_candidate_fraction(
+    emb: DataFrame, query_ids: list[int], **lsh_kw
+) -> float:
+    """Fraction of the corpus each query exactly re-ranks under the LSH
+    bands — the pruning number that matters at 100 TB (recall alone can
+    be earned by brute force when buckets barely prune)."""
+    bs = band_signatures(emb, **lsh_kw)
+    qb = bs.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), "band", "sig"
+    )
+    cb = bs.select(F.col("vec_id").alias("cand_id"), "band", "sig")
+    n_cand = (
+        cb.join(F.broadcast(qb), ["band", "sig"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+        .count()
+    )
+    n_total = emb.count()
+    denom = len(query_ids) * max(n_total - 1, 1)
+    return round(n_cand / denom, 4)

@@ -139,6 +139,49 @@ _ANN_BSIG = "\nUNION ALL ".join(
     for b in range(_ANN_BANDS)
 )
 
+# Trained-IVF mirror: fit_ivf_codebook is deterministic Lloyd k-means
+# with every step SQL-expressible (mod-sample, TakeOrdered seed,
+# argmax-cosine assignment, per-dim means rounded to 6dp), so the
+# entire fit is replayed as chained CTEs — the oracle mirrors the
+# ALGORITHM, not data-dependent literals. Constants must match
+# similarity.fit_ivf_codebook defaults.
+_IVF_SAMPLE_MOD, _IVF_K, _IVF_ITERS, _IVF_DIM = 5, 16, 2, 64
+
+_CV_COS = (
+    "round(list_dot_product(s.v, c.cv)"
+    " / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6)"
+)
+
+
+def _ivf_fit_ctes() -> str:
+    ctes = [
+        "samp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        f"FROM embeddings WHERE vec_id % {_IVF_SAMPLE_MOD} = 0)",
+        f"cb0 AS (SELECT vec_id AS cent_id, v AS cv FROM samp "
+        f"ORDER BY vec_id LIMIT {_IVF_K})",
+    ]
+    for it in range(1, _IVF_ITERS + 1):
+        ctes.append(
+            f"s{it} AS (SELECT s.vec_id, s.v, c.cent_id, {_CV_COS} AS sim "
+            f"FROM samp s CROSS JOIN cb{it - 1} c)"
+        )
+        ctes.append(
+            f"a{it} AS (SELECT vec_id, v, cent_id AS cell FROM ("
+            "SELECT vec_id, v, cent_id, row_number() OVER ("
+            "PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn "
+            f"FROM s{it}) r WHERE rn = 1)"
+        )
+        ctes.append(
+            f"m{it} AS (SELECT cell, g.i AS pos, round(avg(v[g.i]), 6) AS m "
+            f"FROM a{it} CROSS JOIN (SELECT range AS i "
+            f"FROM range(1, {_IVF_DIM + 1})) g GROUP BY cell, g.i)"
+        )
+        ctes.append(
+            f"cb{it} AS (SELECT cell AS cent_id, list(m ORDER BY pos) AS cv "
+            f"FROM m{it} GROUP BY cell)"
+        )
+    return ",\n        ".join(ctes)
+
 DOC_ORACLES: dict[str, str] = {
     "dedup_exact_groups": (
         "SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id "
@@ -256,14 +299,18 @@ DOC_ORACLES: dict[str, str] = {
         JOIN embeddings c ON c.vec_id = p.vec_b
         WHERE round({_COS}, 6) >= 0.3
     """,
-    # IVF mirror: centroids are deterministic (first 16 vec_ids), cell
-    # assignment ranks by round(cos,6) DESC then cent_id — identical
-    # tie-break to Spark's max_by struct key.
+    # IVF mirror with the TRAINED codebook: the Lloyd fit CTEs replay
+    # fit_ivf_codebook step by step; cell assignment ranks by
+    # round(cos,6) DESC then cent_id — identical tie-break to Spark's
+    # max_by struct key.
     "ivf_cosine_topk": f"""
-        WITH csim AS (
-          SELECT e.vec_id, c.vec_id AS cent_id,
-                 round({_COS.replace('q.embedding', 'e.embedding')}, 6) AS sim
-          FROM embeddings e JOIN embeddings c ON c.vec_id < 16
+        WITH {_ivf_fit_ctes()},
+        allv AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        csim AS (
+          SELECT s.vec_id, c.cent_id, {_CV_COS} AS sim
+          FROM allv s CROSS JOIN cb{_IVF_ITERS} c
         ),
         cells AS (
           SELECT vec_id, cent_id AS cell FROM (
