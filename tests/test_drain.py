@@ -109,3 +109,78 @@ def test_unseen_at_fit_maps_to_null_not_crash(spark):
     out = drain.match_templates(df, tpls).toPandas().sort_values("turn_idx")
     assert out.drain_template.tolist()[0] == "heartbeat session <*> ok"
     assert pd.isna(out.drain_template.tolist()[1])
+
+
+def _ref_loop_assign(templates, texts):
+    """Reference per-template first-wins loop (the pre-alternation
+    semantics the grouped regex must reproduce exactly)."""
+    import re as _re
+
+    compiled = [
+        (t, _re.compile(drain.template_regex(t)), len(t.split()))
+        for t in templates
+    ]
+    out = []
+    for s in texts:
+        hit = None
+        if s:
+            k = len(s.split())
+            for t, rx, tk in compiled:
+                if tk == k and rx.fullmatch(s):
+                    hit = t
+                    break
+        out.append(hit)
+    return out
+
+
+def test_alternation_identical_to_per_template_loop(spark):
+    """One alternation regex per token-count group must assign exactly
+    what the per-template loop assigns — including first-template-wins
+    on overlapping templates of the same length."""
+    templates = [
+        "alpha <*> beta gamma",
+        "alpha <*> beta <*>",  # overlaps the previous on 'alpha N beta gamma'
+        "<*> x y z",
+        "heartbeat session <*> ok",
+        "solo",
+    ]
+    texts = [
+        "alpha 3 beta gamma",   # matches templates 0 AND 1 -> 0 wins
+        "alpha 3 beta delta",   # only 1
+        "q x y z",
+        "heartbeat session 5 ok",
+        "no match here at all",
+        "solo",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [("c", i, s) for i, s in enumerate(texts)],
+        "conv_id string, turn_idx int, text string",
+    )
+    got = (
+        drain.match_templates(df, templates)
+        .toPandas().sort_values("turn_idx").drain_template
+    )
+    want = _ref_loop_assign(templates, texts)
+    assert [None if pd.isna(x) else x for x in got] == want
+
+
+def test_alternation_scales_to_1k_template_group(spark):
+    """A mined dim of 1,000 same-length templates compiles into one
+    group regex and still assigns correctly (the per-template loop
+    would cost 1,000 vectorized passes per batch here; the alternation
+    costs one)."""
+    templates = [f"svc job{i} code <*> done" for i in range(1000)]
+    texts = [f"svc job{i * 7 % 1000} code {i} done" for i in range(200)]
+    texts.append("svc jobX code 1 done")  # unmatched
+    df = spark.createDataFrame(
+        [("c", i, s) for i, s in enumerate(texts)],
+        "conv_id string, turn_idx int, text string",
+    )
+    got = (
+        drain.match_templates(df, templates)
+        .toPandas().sort_values("turn_idx").drain_template.tolist()
+    )
+    for i in range(200):
+        assert got[i] == f"svc job{i * 7 % 1000} code <*> done"
+    assert pd.isna(got[200])
