@@ -147,13 +147,15 @@ def lsh_topk(
     ``ann_recall`` in the bench output (bench.py).
 
     Knobs trade recall vs candidate volume (recall / candidate fraction
-    measured on the sf0.1 synthetic embeddings): 8 planes x 4 bands =
+    measured on the sf0.1 synthetic embeddings; bench.py emits both as
+    ann_recall_at_10 / ann_candidate_fraction): 8 planes x 4 bands =
     0.92 / 0.68; 16x4 = 0.38 / 0.23; 24x4 = 0.22 / 0.06. The synthetic
     vectors are ISOTROPIC gaussians — the worst case for any LSH (true
     neighbors are barely more similar than random, so aggressive
     pruning must lose them). Real embedding corpora are angularly
-    clustered, where the same bands prune far better at equal recall;
-    defaults favor recall.
+    clustered, where the same construction prunes hard at high recall —
+    bench.py's clustered fixture measures 24x4 at recall 0.96 with
+    candidate fraction 0.20; defaults favor recall.
 
     Scale shape: candidate generation is an equi-join on (band, sig)
     buckets (never a cross product); scoring joins embeddings back by
@@ -400,12 +402,20 @@ def ivf_recall(emb: DataFrame, query_ids: list[int], k: int = 10, **ivf_kw) -> f
 
 
 def lsh_candidate_fraction(
-    emb: DataFrame, query_ids: list[int], **lsh_kw
+    emb: DataFrame,
+    query_ids: list[int],
+    n_planes: int = 8,
+    n_bands: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
 ) -> float:
     """Fraction of the corpus each query exactly re-ranks under the LSH
     bands — the pruning number that matters at 100 TB (recall alone can
-    be earned by brute force when buckets barely prune)."""
-    bs = band_signatures(emb, **lsh_kw)
+    be earned by brute force when buckets barely prune). Defaults MUST
+    mirror lsh_topk's so the fraction grades the same config the recall
+    was measured on (band_signatures' own default is n_bands=2)."""
+    bs = band_signatures(emb, n_planes=n_planes, n_bands=n_bands,
+                         dim=dim, vec_col=vec_col)
     qb = bs.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), "band", "sig"
     )
