@@ -460,6 +460,33 @@ def _q_ivf_cosine_topk(spark, sf_dir):
     return similarity.ivf_topk(_emb(spark, sf_dir), query_ids=list(range(5)), k=10)
 
 
+def _q_ivf_codebook(spark, sf_dir):
+    # the trained Lloyd codebook itself, unnested for hashing — direct
+    # evidence the fit (not just its top-k consumer) is oracle-exact
+    cb = similarity.fit_ivf_codebook(_emb(spark, sf_dir))
+    return cb.select(
+        "cent_id", F.posexplode("centvec").alias("dim_idx", "val")
+    ).select(
+        "cent_id",
+        F.col("dim_idx").cast("long").alias("dim_idx"),
+        F.round("val", 6).alias("val"),
+    )
+
+
+def _q_pii_masked(spark, sf_dir):
+    # URL/email/IP/long-digit scrub — Catalyst regexp_replace chain
+    from ml4logs_spark.operators import textqa
+
+    return textqa.mask_pii(_docs(spark, sf_dir)).select("doc_id", "masked_text")
+
+
+def _q_doc_chunks(spark, sf_dir):
+    # overlapping token-window chunking (map-side 1->N explode)
+    from ml4logs_spark.operators import textqa
+
+    return textqa.chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, overlap=8)
+
+
 def _q_drain_templates(spark, sf_dir):
     # rows-only: mined-template assignment via vectorized pandas UDF
     from ml4logs_spark.operators import drain
@@ -535,6 +562,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "head_limit": _q_head_limit,
         "conv_embedding_maxpool": _q_conv_embedding_maxpool,
         "conv_bucket_pivot": _q_conv_bucket_pivot,
+        "ivf_codebook": _q_ivf_codebook,
+        "pii_masked": _q_pii_masked,
+        "doc_chunks": _q_doc_chunks,
         "approx_distinct_convs": _q_approx_distinct_convs,
         "media_features": _q_media_features,
         "drain_templates": _q_drain_templates,

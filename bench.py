@@ -303,6 +303,7 @@ def main() -> None:
         t0 = time.perf_counter()
         docs_out.update({
             "ivf_recall_at_10": similarity.ivf_recall(emb, qids, k=10),
+            "ivf_candidate_fraction": similarity.ivf_candidate_fraction(emb, qids),
             "ivf_config": "trained 16-centroid Lloyd codebook, 4 probes",
             "ivf_sec": round(time.perf_counter() - t0, 3),
         })

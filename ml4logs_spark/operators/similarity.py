@@ -401,6 +401,43 @@ def ivf_recall(emb: DataFrame, query_ids: list[int], k: int = 10, **ivf_kw) -> f
     return _recall_vs_exact(emb, ivf_topk(emb, query_ids, k, **ivf_kw), query_ids, k)
 
 
+def ivf_candidate_fraction(
+    emb: DataFrame,
+    query_ids: list[int],
+    n_centroids: int = 16,
+    n_probes: int = 4,
+    vec_col: str = "embedding",
+) -> float:
+    """Fraction of the corpus each query exactly re-ranks under IVF
+    probing — the pruning counterpart of lsh_candidate_fraction (with a
+    uniform codebook it approaches n_probes/n_centroids; skewed cells
+    push it higher). Defaults mirror ivf_topk's."""
+    codebook = fit_ivf_codebook(emb, n_centroids, vec_col=vec_col).cache()
+    cells = ivf_cells(emb, codebook, vec_col=vec_col)
+    q_scored = (
+        emb.filter(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"), F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(codebook))
+        .withColumn("sim", _cosine(F.col("qv"), F.col("centvec")))
+    )
+    w_p = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(w_p))
+        .filter(F.col("rn") <= n_probes)
+        .select("query_id", F.col("cent_id").alias("cell"))
+    )
+    n_cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+        .count()
+    )
+    n_total = emb.count()
+    denom = len(query_ids) * max(n_total - 1, 1)
+    return round(n_cand / denom, 4)
+
+
 def lsh_candidate_fraction(
     emb: DataFrame,
     query_ids: list[int],

@@ -124,3 +124,73 @@ def doc_rolling_fingerprint(docs: DataFrame, w: int = 3) -> DataFrame:
     return docs.select(
         "doc_id", F.array_min(hashes).cast("long").alias("roll_fp")
     )
+
+
+# PII masking patterns: applied in order (URL first so emails inside
+# URLs don't split them; digit runs last so masked tokens keep their
+# shape). Java regex and DuckDB's RE2 both support these constructs
+# (no lookaround), so the oracle mirrors them verbatim with the 'g'
+# flag. The length-7 digit floor keeps ordinary small numbers (ports,
+# counts, turn indices) intact while catching phone/account/ID runs.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\d{7,}", "<NUM>"),
+]
+
+
+def mask_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``masked_text`` with URLs/emails/IPs/long digit runs
+    redacted — the standard pre-training scrub pass. A chain of
+    Catalyst ``regexp_replace`` calls: map-only, JVM-side, no UDF."""
+    masked = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        masked = F.regexp_replace(masked, pat, repl)
+    return docs.withColumn("masked_text", masked)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Explode documents into overlapping token-window chunks —
+    (doc_id, chunk_idx, chunk_text, n_tokens) — the LLM-training prep
+    step that turns variable-length documents into model-sized pieces.
+
+    Chunk i covers whitespace tokens [i*stride, i*stride + chunk_tokens)
+    with stride = chunk_tokens - overlap; the last chunk keeps its tail
+    even when shorter. Pure higher-order Catalyst (sequence ->
+    transform -> posexplode): map-side 1->N explode, no shuffle, no UDF
+    — at 100 TB this pipelines straight into the scan."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be in [0, chunk_tokens ({chunk_tokens}))"
+        )
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # ceil((n - overlap) / stride) with a floor of 1 chunk
+    n_chunks = F.greatest(
+        ((n - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride)).cast("int"),
+        F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_tokens))
+            .alias("chunk_text"),
+            F.least(n - i * stride, F.lit(chunk_tokens)).alias("n_tokens"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "c"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_tokens").alias("n_tokens"),
+        )
+    )

@@ -14,7 +14,12 @@ Spark<->DuckDB:
 from __future__ import annotations
 
 from ml4logs_spark.operators.similarity import _hyperplane
-from ml4logs_spark.operators.textqa import BPE_REGEX, LANG_MARKERS, STOPWORDS
+from ml4logs_spark.operators.textqa import (
+    BPE_REGEX,
+    LANG_MARKERS,
+    PII_PATTERNS,
+    STOPWORDS,
+)
 
 N_MINHASH = 8
 LSH_BANDS = 4
@@ -357,5 +362,42 @@ DOC_ORACLES: dict[str, str] = {
         JOIN embeddings q ON q.vec_id = cand.query_id
         JOIN embeddings c ON c.vec_id = cand.cand_id
         QUALIFY rank <= 10
+    """,
+    # trained codebook surfaced directly: replay the Lloyd fit CTEs and
+    # unnest centroids to (cent_id, dim_idx, val) rows for hashing.
+    "ivf_codebook": f"""
+        WITH {_ivf_fit_ctes()}
+        SELECT cent_id, CAST(g.i - 1 AS BIGINT) AS dim_idx,
+               round(cv[g.i], 6) AS val
+        FROM cb{_IVF_ITERS} CROSS JOIN (
+          SELECT range AS i FROM range(1, {_IVF_DIM + 1})) g
+    """,
+    # PII scrub mirror: same pattern chain, same order, 'g' flag for
+    # Spark's replace-all semantics (RE2 and Java agree on these
+    # constructs — no lookaround).
+    "pii_masked": "SELECT doc_id, " + "".join(
+        "regexp_replace(" for _ in PII_PATTERNS
+    ) + "text" + "".join(
+        f", '{pat}', '{repl}', 'g')" for pat, repl in PII_PATTERNS
+    ) + " AS masked_text FROM documents",
+    # token-window chunking mirror: list_slice windows over a per-doc
+    # chunk index; floor-div + greatest(.,1) matches the Spark int-cast.
+    # DuckDB's table-function generate_series rejects lateral column
+    # args, so use the list-returning form + unnest.
+    "doc_chunks": """
+        SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
+               array_to_string(
+                 list_slice(toks, (i - 1) * 56 + 1, (i - 1) * 56 + 64),
+                 ' ') AS chunk_text,
+               CAST(least(n - (i - 1) * 56, 64) AS INT) AS n_tokens
+        FROM (
+          SELECT doc_id, toks, n,
+                 unnest(generate_series(1, greatest((n - 8 + 55) // 56, 1))) AS i
+          FROM (
+            SELECT doc_id, str_split(text, ' ') AS toks,
+                   len(str_split(text, ' ')) AS n
+            FROM documents
+          )
+        )
     """,
 }

@@ -191,6 +191,12 @@ def test_fit_ivf_codebook_trains_toward_clusters(spark):
                                    n_centroids=4, n_probes=2)
     assert recall >= 0.6, recall
 
+    # probing 2 of 4 cells must actually prune: candidate fraction well
+    # below 1.0 and consistent with the cells' share of the corpus
+    frac = similarity.ivf_candidate_fraction(emb, [0, 1, 2],
+                                             n_centroids=4, n_probes=2)
+    assert 0.0 < frac <= 0.75, frac
+
 
 def test_lsh_prunes_on_clustered_embeddings(spark):
     """On angularly clustered corpora the bands must demonstrate real
@@ -261,3 +267,53 @@ def test_simhash_candidate_volume_near_linear(spark):
     cands = dedup.simhash_candidate_pairs(docs).count()
     all_pairs = n * (n - 1) // 2
     assert cands < 0.15 * all_pairs, (cands, all_pairs)
+
+
+def test_mask_pii(spark):
+    from ml4logs_spark.operators import textqa
+
+    df = spark.createDataFrame(
+        [
+            (0, "contact me at jane.doe+x@example.co.uk or call 5551234567"),
+            (1, "see https://example.com/a?b=c#d for details"),
+            (2, "server 10.0.254.3 responded, port 8080 ok"),
+            (3, "plain text with small numbers 42 and 123456"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textqa.mask_pii(df).toPandas().set_index("doc_id").masked_text
+    assert out[0] == "contact me at <EMAIL> or call <NUM>"
+    assert out[1] == "see <URL> for details"
+    assert out[2] == "server <IP> responded, port 8080 ok"
+    assert out[3] == "plain text with small numbers 42 and 123456"
+
+
+def test_chunk_documents(spark):
+    from ml4logs_spark.operators import textqa
+
+    text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame(
+        [(0, text), (1, "short doc"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = textqa.chunk_documents(df, chunk_tokens=4, overlap=1).toPandas()
+    d0 = out[out.doc_id == 0].sort_values("chunk_idx")
+    # stride 3 over 10 tokens -> ceil(9/3) = 3 chunks: [0:4], [3:7], [6:10]
+    assert d0.chunk_text.tolist() == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9",
+    ]
+    assert d0.n_tokens.tolist() == [4, 4, 4]
+    # tail shorter than the window keeps its true size
+    out5 = textqa.chunk_documents(
+        spark.createDataFrame([(9, " ".join("abcde"))], "doc_id long, text string"),
+        chunk_tokens=4, overlap=1,
+    ).toPandas().sort_values("chunk_idx")
+    assert out5.n_tokens.tolist() == [4, 2]
+    # short + empty docs: exactly one chunk, never zero
+    assert len(out[out.doc_id == 1]) == 1
+    assert out[out.doc_id == 1].n_tokens.iloc[0] == 2
+    assert len(out[out.doc_id == 2]) == 1
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        textqa.chunk_documents(df, chunk_tokens=4, overlap=4)

@@ -41,6 +41,33 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
 
 
+def compare_frames(sdf: pd.DataFrame, ddf: pd.DataFrame) -> str | None:
+    """Driver-style compare (order-insensitive, 1e-9 float tolerance).
+
+    Returns None when the frames match, else a short mismatch message.
+    """
+    if sorted(sdf.columns) != sorted(ddf.columns):
+        return f"columns {sorted(sdf.columns)} vs {sorted(ddf.columns)}"
+    s, d = normalize(sdf), normalize(ddf)
+    if len(s) != len(d):
+        return f"rows {len(s)} vs {len(d)}"
+    for c in s.columns:
+        a, b = s[c], d[c]
+        if pd.api.types.is_float_dtype(a):
+            eq = (a.fillna(1e301) - b.fillna(1e301)).abs() < 1e-9
+        else:
+            eq = a.fillna("~N~") == b.fillna("~N~") if a.dtype == object else (
+                a.astype("object").where(a.notna(), "~N~")
+                == b.astype("object").where(b.notna(), "~N~")
+            )
+        if not bool(eq.all()):
+            return (
+                f"column {c} differs, e.g. spark={list(s[c][~eq].head(3))} "
+                f"duck={list(d[c][~eq].head(3))}"
+            )
+    return None
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -74,34 +101,12 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {ex}")
             failed.append(name)
             continue
-        if sorted(sdf.columns) != sorted(ddf.columns):
-            print(f"FAIL {name}: columns {sorted(sdf.columns)} vs {sorted(ddf.columns)}")
-            failed.append(name)
-            continue
-        s, d = normalize(sdf), normalize(ddf)
-        if len(s) != len(d):
-            print(f"FAIL {name}: rows {len(s)} vs {len(d)}")
-            failed.append(name)
-            continue
-        bad = None
-        for c in s.columns:
-            a, b = s[c], d[c]
-            if pd.api.types.is_float_dtype(a):
-                eq = (a.fillna(1e301) - b.fillna(1e301)).abs() < 1e-9
-            else:
-                eq = a.fillna("~N~") == b.fillna("~N~") if a.dtype == object else (
-                    a.astype("object").where(a.notna(), "~N~")
-                    == b.astype("object").where(b.notna(), "~N~")
-                )
-            if not bool(eq.all()):
-                bad = c
-                break
-        if bad:
-            mism = s[bad][~eq].head(3)
-            print(f"FAIL {name}: column {bad} differs, e.g. spark={list(mism)} duck={list(d[bad][~eq].head(3))}")
+        err = compare_frames(sdf, ddf)
+        if err:
+            print(f"FAIL {name}: {err}")
             failed.append(name)
         else:
-            print(f"OK   {name}: {len(s)} rows")
+            print(f"OK   {name}: {len(sdf)} rows")
     spark.stop()
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
     return 1 if failed else 0

@@ -123,6 +123,25 @@ def main() -> int:
     check("ivf_topk: no cartesian product", "CartesianProduct" not in p)
     check("ivf_topk: codebook joins broadcast", "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p)
 
+    # 8c. simhash64 family: signature is map-only; banded candidate
+    # generation is an equi-join on (band, chunk) — never a cartesian.
+    from ml4logs_spark.operators import dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(dedup.simhash64(docs))
+    check("simhash64: map-only (no exchange)", "Exchange" not in p)
+    p = plan_of(dedup.simhash_near_dups(docs))
+    check("simhash_near_dups: no cartesian product",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
+    check("simhash_near_dups: bucket equi-join",
+          "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p)
+
+    # 8d. trained IVF fit: per-(cell, pos) means are partial+final hash
+    # aggregates; the only nested loop is the broadcast tiny codebook.
+    p = plan_of(similarity.fit_ivf_codebook(emb))
+    check("fit_ivf_codebook: partial+final HashAggregate",
+          p.count("HashAggregate") >= 2)
+    check("fit_ivf_codebook: no cartesian product", "CartesianProduct" not in p)
+
     # 9. predicate pushdown on filtered scan
     m = t.filter("role = 'user'").select("conv_id")
     p = plan_of(m)
