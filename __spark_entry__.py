@@ -487,6 +487,40 @@ def _q_doc_chunks(spark, sf_dir):
     return textqa.chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, overlap=8)
 
 
+def _q_quality_filtered(spark, sf_dir):
+    # curation gate: quality-score floor + token-count bounds, map-only
+    from ml4logs_spark.operators import textqa
+
+    return textqa.quality_filter(_docs(spark, sf_dir))
+
+
+def _q_docs_hash_sample(spark, sf_dir):
+    # deterministic md5-prefix sampling (25%), reproducible across runs
+    from ml4logs_spark.operators import textqa
+
+    return textqa.hash_sample(_docs(spark, sf_dir)).select("doc_id", "source")
+
+
+def _q_vocab_dim(spark, sf_dir):
+    # corpus vocabulary with document-frequency thresholds (0.8 drops
+    # the fixture's glue words on both test SFs, so BOTH gates bite)
+    from ml4logs_spark.operators import textqa
+
+    return textqa.build_vocab(_docs(spark, sf_dir), min_df=2, max_df_ratio=0.8)
+
+
+def _q_decontaminated(spark, sf_dir):
+    # benchmark decontamination: md5-nibble split into benchmark vs
+    # corpus, then shingle-overlap anti-join
+    from ml4logs_spark.operators import dedup as dedup_op
+
+    docs = _docs(spark, sf_dir)
+    nib = F.substring(F.md5("text"), 1, 1)
+    bench = docs.filter(nib == "0")
+    corpus = docs.filter(nib != "0")
+    return dedup_op.decontaminate(corpus, bench).select("doc_id")
+
+
 def _q_drain_templates(spark, sf_dir):
     # rows-only: mined-template assignment via vectorized pandas UDF
     from ml4logs_spark.operators import drain
@@ -565,6 +599,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_codebook": _q_ivf_codebook,
         "pii_masked": _q_pii_masked,
         "doc_chunks": _q_doc_chunks,
+        "quality_filtered": _q_quality_filtered,
+        "docs_hash_sample": _q_docs_hash_sample,
+        "vocab_dim": _q_vocab_dim,
+        "decontaminated": _q_decontaminated,
         "approx_distinct_convs": _q_approx_distinct_convs,
         "media_features": _q_media_features,
         "drain_templates": _q_drain_templates,

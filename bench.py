@@ -323,6 +323,19 @@ def main() -> None:
             "ann_clustered_config": "24 planes x 4 bands, 8 clusters x 16 dims",
             "ann_clustered_sec": round(time.perf_counter() - t0, 3),
         })
+        # trained IVF on the same clustered corpus — k-means cells line
+        # up with the true clusters, so probing few cells should hold
+        # recall at a much lower candidate fraction than the isotropic
+        # case above (the codebook's intended operating regime).
+        t0 = time.perf_counter()
+        docs_out.update({
+            "ivf_clustered_recall_at_10": similarity.ivf_recall(
+                clustered, qids, k=10, n_centroids=8, n_probes=2),
+            "ivf_clustered_candidate_fraction": similarity.ivf_candidate_fraction(
+                clustered, qids, n_centroids=8, n_probes=2),
+            "ivf_clustered_config": "8 trained centroids, 2 probes, 8 clusters x 16 dims",
+            "ivf_clustered_sec": round(time.perf_counter() - t0, 3),
+        })
 
     # -------- streaming route sink: throughput + exactly-once restart
     stream_out = _stream_bench(spark, turns)

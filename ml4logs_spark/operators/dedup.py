@@ -260,3 +260,32 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     O(docs x 4) candidate rows at realistic corpora, never all-pairs —
     the production simhash search shape (Manku et al., WWW'07)."""
     return simhash_candidate_pairs(docs).filter(F.col("hamming") <= max_hamming)
+
+
+def contaminated_ids(docs: DataFrame, benchmark: DataFrame) -> DataFrame:
+    """Doc ids sharing at least one k-word shingle with the benchmark
+    set — the test-set-contamination detector run before training.
+
+    Shape at scale: both sides explode to (id, shingle) rows and meet
+    in an equi-join on the shingle string — O(corpus tokens), never
+    all-pairs. Benchmark suites are tiny next to a 100 TB corpus, so
+    the distinct benchmark-shingle side is broadcast; the big side
+    never shuffles."""
+    doc_grams = with_shingles(docs).select(
+        "doc_id", F.explode("shingles").alias("gram")
+    )
+    bench_grams = (
+        with_shingles(benchmark).select(F.explode("shingles").alias("gram")).distinct()
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame) -> DataFrame:
+    """Corpus rows surviving benchmark decontamination: drop every doc
+    that shares a k-word shingle with ``benchmark`` (anti-join against
+    ``contaminated_ids``)."""
+    return docs.join(contaminated_ids(docs, benchmark), "doc_id", "left_anti")

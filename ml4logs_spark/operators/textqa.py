@@ -194,3 +194,82 @@ def chunk_documents(
             F.col("c.n_tokens").alias("n_tokens"),
         )
     )
+
+
+def quality_filter(
+    docs: DataFrame,
+    min_score: float = 0.5,
+    min_tokens: int = 3,
+    max_tokens: int = 10_000,
+) -> DataFrame:
+    """Keep documents that pass the curation gates — the filter step a
+    pretraining pipeline runs on ``doc_stats``'s heuristics (quality
+    score floor plus token-count bounds). The stats projection and the
+    filter fuse into one map-only stage: nothing materializes the
+    rejected rows."""
+    return doc_stats(docs).filter(
+        (F.col("quality_score") >= min_score)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+    ).select("doc_id", "n_tokens", "quality_score")
+
+
+def hash_sample(
+    docs: DataFrame,
+    rate_hex: str = "40",
+    key_cols: tuple[str, ...] = ("source", "doc_id"),
+) -> DataFrame:
+    """Deterministic corpus sampling: keep rows whose md5(key) hex
+    prefix sorts below ``rate_hex`` — int(rate_hex, 16)/256 of the
+    corpus (``"40"`` = 25%). Unlike ``rand()``-based sampling this is
+    reproducible across runs, retries, and partitionings (the property
+    that matters for auditable 100 TB subsets), and salting the key
+    with ``source`` keeps the draw independent per stratum. Map-only."""
+    if len(rate_hex) != 2 or any(c not in "0123456789abcdef" for c in rate_hex):
+        raise ValueError(f"rate_hex must be 2 lowercase hex chars, got {rate_hex!r}")
+    key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])
+    return docs.filter(F.substring(F.md5(key), 1, 2) < F.lit(rate_hex))
+
+
+def build_vocab(
+    docs: DataFrame,
+    min_df: int = 2,
+    max_df_ratio: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary dimension with document-frequency thresholds:
+    (token_id, token, df, tf). Tokens seen in fewer than ``min_df``
+    docs (noise) or more than ``max_df_ratio`` of all docs (glue words)
+    are dropped — the classic vocab-building step before count-based
+    featurization.
+
+    Shape at scale: explode + one partial+final hash aggregate on
+    token; the corpus-size divisor rides along as a broadcast 1-row
+    aggregate (fully lazy, no driver count). Ids are dense_rank over
+    token text on the ALREADY-AGGREGATED dim (vocabulary-bounded, tiny
+    — same deliberate single-partition ranking as parse.template_dim)."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    vocab = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("tf"),
+    )
+    total = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    w = Window.partitionBy(F.substring("token", 1, 0)).orderBy("token")
+    return (
+        vocab.crossJoin(F.broadcast(total))
+        .filter(
+            (F.col("df") >= min_df)
+            & (F.col("df") <= F.lit(max_df_ratio) * F.col("n_docs"))
+        )
+        .select(
+            F.dense_rank().over(w).cast("long").alias("token_id"),
+            "token",
+            "df",
+            "tf",
+        )
+    )

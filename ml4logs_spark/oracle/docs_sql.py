@@ -187,6 +187,23 @@ def _ivf_fit_ctes() -> str:
         )
     return ",\n        ".join(ctes)
 
+_DOC_STATS_SQL = f"""
+        SELECT doc_id,
+               len(str_split(text, ' ')) AS n_tokens,
+               length(text) AS n_chars,
+               len(regexp_extract_all(text, '{BPE_REGEX}')) AS n_bpe_tokens,
+               round(length(text) * 1.0 / greatest(len(str_split(text, ' ')), 1), 6)
+                 AS chars_per_token,
+               round({_STOP_HITS} * 1.0 / greatest(len(str_split(text, ' ')), 1), 6)
+                 AS stopword_ratio,
+               round(0.5 * least(length(text) / 400.0, 1.0)
+                     + 0.5 * least({_STOP_HITS} * 4.0
+                                   / greatest(len(str_split(text, ' ')), 1), 1.0), 6)
+                 AS quality_score
+        FROM documents
+    """
+
+
 DOC_ORACLES: dict[str, str] = {
     "dedup_exact_groups": (
         "SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id "
@@ -226,21 +243,7 @@ DOC_ORACLES: dict[str, str] = {
         GROUP BY ALL
         HAVING hamming <= 3
     """,
-    "doc_stats": f"""
-        SELECT doc_id,
-               len(str_split(text, ' ')) AS n_tokens,
-               length(text) AS n_chars,
-               len(regexp_extract_all(text, '{BPE_REGEX}')) AS n_bpe_tokens,
-               round(length(text) * 1.0 / greatest(len(str_split(text, ' ')), 1), 6)
-                 AS chars_per_token,
-               round({_STOP_HITS} * 1.0 / greatest(len(str_split(text, ' ')), 1), 6)
-                 AS stopword_ratio,
-               round(0.5 * least(length(text) / 400.0, 1.0)
-                     + 0.5 * least({_STOP_HITS} * 4.0
-                                   / greatest(len(str_split(text, ' ')), 1), 1.0), 6)
-                 AS quality_score
-        FROM documents
-    """,
+    "doc_stats": _DOC_STATS_SQL,
     "lang_guess": f"SELECT doc_id, lang, {_LANG_CASE} AS lang_guess FROM documents",
     "doc_fingerprint": (
         "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
@@ -399,5 +402,50 @@ DOC_ORACLES: dict[str, str] = {
             FROM documents
           )
         )
+    """,
+    # quality gate: the doc_stats mirror with the filter's exact bounds
+    "quality_filtered": f"""
+        SELECT doc_id, n_tokens, quality_score FROM ({_DOC_STATS_SQL})
+        WHERE quality_score >= 0.5 AND n_tokens BETWEEN 3 AND 10000
+    """,
+    # deterministic md5-prefix sampling: string comparison of the hex
+    # prefix is engine-neutral (no hex->int conversion needed)
+    "docs_hash_sample": """
+        SELECT doc_id, source FROM documents
+        WHERE substring(md5(concat_ws(':', source, CAST(doc_id AS VARCHAR))), 1, 2)
+              < '40'
+    """,
+    # vocabulary dim with df thresholds; dense_rank over token text
+    # mirrors the Spark bounded-dim ranking
+    "vocab_dim": """
+        WITH tok AS (
+          SELECT doc_id, unnest(str_split(lower(text), ' ')) AS token
+          FROM documents
+        ), agg AS (
+          SELECT token, count(DISTINCT doc_id) AS df, count(*) AS tf
+          FROM tok WHERE token <> '' GROUP BY token
+        ), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+        SELECT CAST(dense_rank() OVER (ORDER BY token) AS BIGINT) AS token_id,
+               token, df, tf
+        FROM agg, n
+        WHERE df >= 2 AND df <= 0.8 * n_docs
+    """,
+    # benchmark decontamination: md5-nibble split of the corpus into
+    # benchmark ('0') vs corpus, shingle equi-join, NOT IN survivors
+    "decontaminated": f"""
+        WITH bmark AS (
+          SELECT text FROM documents WHERE substring(md5(text), 1, 1) = '0'
+        ), corpus AS (
+          SELECT doc_id, text FROM documents
+          WHERE substring(md5(text), 1, 1) <> '0'
+        ), bg AS (
+          SELECT DISTINCT unnest({_SHINGLES}) AS gram FROM bmark
+        ), dg AS (
+          SELECT doc_id, unnest({_SHINGLES}) AS gram FROM corpus
+        ), dirty AS (
+          SELECT DISTINCT doc_id FROM dg JOIN bg USING (gram)
+        )
+        SELECT doc_id FROM corpus
+        WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
     """,
 }

@@ -1,0 +1,104 @@
+"""Curation-pipeline operators: quality gate, deterministic sampling,
+vocabulary building, benchmark decontamination. Small inline fixtures
+with hand-computed expectations; the sf-data equivalence to DuckDB is
+covered by tests/test_oracle_gate.py."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_quality_filter_gates(spark):
+    from ml4logs_spark.operators import textqa
+
+    rows = [
+        (0, "the cat and the dog sat on the mat with a hat", "a"),  # stopword-rich
+        (1, "xyzzy", "a"),                                          # too short
+        (2, "qqq www eee rrr ttt yyy", "a"),                        # no stopwords
+    ]
+    out = textqa.quality_filter(
+        _docs(spark, rows), min_score=0.3, min_tokens=3
+    ).toPandas()
+    assert set(out.doc_id) == {0}
+    # loosening the gates readmits the stopword-free doc
+    out2 = textqa.quality_filter(
+        _docs(spark, rows), min_score=0.0, min_tokens=3
+    ).toPandas()
+    assert set(out2.doc_id) == {0, 2}
+
+
+def test_hash_sample_deterministic_and_rated(spark):
+    from ml4logs_spark.operators import textqa
+
+    rows = [(i, f"doc {i}", f"s{i % 3}") for i in range(400)]
+    df = _docs(spark, rows)
+    a = sorted(textqa.hash_sample(df).toPandas().doc_id)
+    b = sorted(textqa.hash_sample(df).toPandas().doc_id)
+    assert a == b, "hash sampling must be reproducible run-to-run"
+    # "40"/256 = 25% nominal; allow binomial slack on 400 draws
+    assert 0.15 <= len(a) / 400 <= 0.35, len(a)
+    # monotone in rate: a smaller prefix threshold selects a subset
+    small = set(textqa.hash_sample(df, rate_hex="20").toPandas().doc_id)
+    assert small <= set(a)
+
+    with pytest.raises(ValueError):
+        textqa.hash_sample(df, rate_hex="GG")
+    with pytest.raises(ValueError):
+        textqa.hash_sample(df, rate_hex="4")
+
+
+def test_build_vocab_df_thresholds(spark):
+    from ml4logs_spark.operators import textqa
+
+    rows = [
+        (0, "apple banana apple", "a"),
+        (1, "banana cherry", "a"),
+        (2, "banana durian durian", "a"),
+        (3, "Apple elder", "a"),
+    ]
+    out = (
+        textqa.build_vocab(_docs(spark, rows), min_df=2, max_df_ratio=0.6)
+        .toPandas()
+        .set_index("token")
+    )
+    # banana df=3 > 0.6*4 dropped; cherry/elder df=1 < 2 dropped;
+    # apple df=2 (case-folded), durian df=1 dropped
+    assert set(out.index) == {"apple"}
+    assert out.loc["apple", "df"] == 2
+    assert out.loc["apple", "tf"] == 3
+    # ids are dense over sorted surviving tokens, starting at 1
+    full = textqa.build_vocab(_docs(spark, rows), min_df=1, max_df_ratio=1.0).toPandas()
+    assert sorted(full.token) == list(full.sort_values("token_id").token)
+    assert list(sorted(full.token_id)) == list(range(1, len(full) + 1))
+
+
+def test_decontaminate_shingle_overlap(spark):
+    from ml4logs_spark.operators import dedup
+
+    corpus = _docs(spark, [
+        (0, "alpha beta gamma delta", "a"),       # shares 3-gram with bench
+        (1, "one two three four five", "a"),      # disjoint
+        (2, "beta gamma delta epsilon", "a"),     # shares the same 3-gram
+    ]).drop("source")
+    bench = _docs(spark, [
+        (100, "zzz beta gamma delta qqq", "b"),
+    ]).drop("source")
+
+    dirty = dedup.contaminated_ids(corpus, bench).toPandas()
+    assert set(dirty.doc_id) == {0, 2}
+    clean = dedup.decontaminate(corpus, bench).toPandas()
+    assert set(clean.doc_id) == {1}
+    # all original columns survive the anti-join
+    assert set(clean.columns) == {"doc_id", "text"}
+
+
+def test_decontaminate_empty_benchmark(spark):
+    from ml4logs_spark.operators import dedup
+
+    corpus = _docs(spark, [(0, "a b c d", "a")]).drop("source")
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.decontaminate(corpus, bench).count() == 1

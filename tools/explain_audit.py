@@ -142,6 +142,24 @@ def main() -> int:
           p.count("HashAggregate") >= 2)
     check("fit_ivf_codebook: no cartesian product", "CartesianProduct" not in p)
 
+    # 8e. curation ops: quality filter and hash sampling are map-only
+    # (filter fuses into the scan); decontamination is a broadcast
+    # shingle equi-join, never a cartesian.
+    from ml4logs_spark.operators import textqa
+    p = plan_of(textqa.quality_filter(docs))
+    check("quality_filter: map-only (no exchange)", "Exchange" not in p)
+    p = plan_of(textqa.hash_sample(docs))
+    check("hash_sample: map-only (no exchange)", "Exchange" not in p)
+    p = plan_of(textqa.build_vocab(docs))
+    check("build_vocab: partial+final HashAggregate",
+          p.count("HashAggregate") >= 2)
+    from pyspark.sql import functions as FF
+    nib = FF.substring(FF.md5("text"), 1, 1)
+    p = plan_of(dedup.decontaminate(docs.filter(nib != "0"), docs.filter(nib == "0")))
+    check("decontaminate: no cartesian product",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
+    check("decontaminate: benchmark side broadcast", "BroadcastHashJoin" in p)
+
     # 9. predicate pushdown on filtered scan
     m = t.filter("role = 'user'").select("conv_id")
     p = plan_of(m)
