@@ -521,6 +521,16 @@ def _q_decontaminated(spark, sf_dir):
     return dedup_op.decontaminate(corpus, bench).select("doc_id")
 
 
+def _q_curated_chunks(spark, sf_dir):
+    # the WHOLE curation pipeline as one Catalyst plan: dedup ->
+    # quality gate -> decontaminate -> PII scrub -> chunk
+    from ml4logs_spark.operators import curate
+
+    docs = _docs(spark, sf_dir)
+    nib = F.substring(F.md5("text"), 1, 1)
+    return curate.curate_corpus(docs.filter(nib != "0"), docs.filter(nib == "0"))
+
+
 def _q_drain_templates(spark, sf_dir):
     # rows-only: mined-template assignment via vectorized pandas UDF
     from ml4logs_spark.operators import drain
@@ -603,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hash_sample": _q_docs_hash_sample,
         "vocab_dim": _q_vocab_dim,
         "decontaminated": _q_decontaminated,
+        "curated_chunks": _q_curated_chunks,
         "approx_distinct_convs": _q_approx_distinct_convs,
         "media_features": _q_media_features,
         "drain_templates": _q_drain_templates,

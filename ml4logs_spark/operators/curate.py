@@ -1,0 +1,47 @@
+"""The full training-data curation pipeline as one declarative plan.
+
+Chains the individual curation operators — exact dedup, quality gate,
+benchmark decontamination, PII masking, token-window chunking — into a
+single DataFrame so Catalyst plans the WHOLE pipeline at once: filters
+and projections fuse, the scan is shared, and nothing materializes
+between stages. This is the composition a user of the reference would
+script step-by-step (`/root/reference/src/__main__.py` dispatch); here
+it is one lazy DAG.
+
+Shape at scale: two shuffles total (the dedup min-aggregate and its
+semi-join on md5(text)) plus one broadcast shingle join for
+decontamination — everything else is map-side. The 1->N chunk explode
+runs last so rejected documents are never tokenized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ml4logs_spark.operators import dedup, textqa
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    min_score: float = 0.5,
+    min_tokens: int = 3,
+    max_tokens: int = 10_000,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """documents -> model-ready chunks: dedup, gate, decontaminate,
+    scrub, chunk. Returns (doc_id, chunk_idx, chunk_text, n_tokens)."""
+    surv = dedup.exact_dedup(docs)
+    good_ids = textqa.quality_filter(
+        surv, min_score=min_score, min_tokens=min_tokens, max_tokens=max_tokens
+    ).select("doc_id")
+    good = surv.join(good_ids, "doc_id", "left_semi")
+    clean = dedup.decontaminate(good, benchmark)
+    masked = textqa.mask_pii(clean).select(
+        "doc_id", F.col("masked_text").alias("text")
+    )
+    return textqa.chunk_documents(
+        masked, chunk_tokens=chunk_tokens, overlap=overlap
+    )

@@ -187,7 +187,51 @@ def _ivf_fit_ctes() -> str:
         )
     return ",\n        ".join(ctes)
 
-_DOC_STATS_SQL = f"""
+def _pii_chain(col: str = "text") -> str:
+    """Nested regexp_replace chain mirroring textqa.mask_pii (same
+    patterns, same order, 'g' flag for replace-all)."""
+    out = "".join("regexp_replace(" for _ in PII_PATTERNS) + col
+    out += "".join(f", '{pat}', '{repl}', 'g')" for pat, repl in PII_PATTERNS)
+    return out
+
+
+def _chunk_sql(src: str, chunk: int = 64, overlap: int = 8) -> str:
+    """Token-window chunk expansion over ``src(doc_id, text)`` —
+    mirrors textqa.chunk_documents. DuckDB's table-function
+    generate_series rejects lateral column args, so use the
+    list-returning form + unnest for the per-doc chunk index."""
+    stride = chunk - overlap
+    return f"""
+        SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
+               array_to_string(
+                 list_slice(toks, (i - 1) * {stride} + 1,
+                            (i - 1) * {stride} + {chunk}),
+                 ' ') AS chunk_text,
+               CAST(least(n - (i - 1) * {stride}, {chunk}) AS INT) AS n_tokens
+        FROM (
+          SELECT doc_id, toks, n,
+                 unnest(generate_series(
+                   1, greatest((n - {overlap} + {stride - 1}) // {stride}, 1)))
+                   AS i
+          FROM (
+            SELECT doc_id, str_split(text, ' ') AS toks,
+                   len(str_split(text, ' ')) AS n
+            FROM {src}
+          )
+        )
+    """
+
+
+def _doc_stats_sql(src: str = "documents") -> str:
+    return (
+        _DOC_STATS_TEMPLATE
+        .replace("{BPE_REGEX}", BPE_REGEX)
+        .replace("{_STOP_HITS}", _STOP_HITS)
+        .replace("{src}", src)
+    )
+
+
+_DOC_STATS_TEMPLATE = """
         SELECT doc_id,
                len(str_split(text, ' ')) AS n_tokens,
                length(text) AS n_chars,
@@ -200,8 +244,10 @@ _DOC_STATS_SQL = f"""
                      + 0.5 * least({_STOP_HITS} * 4.0
                                    / greatest(len(str_split(text, ' ')), 1), 1.0), 6)
                  AS quality_score
-        FROM documents
+        FROM {src}
     """
+
+_DOC_STATS_SQL = _doc_stats_sql()
 
 
 DOC_ORACLES: dict[str, str] = {
@@ -378,31 +424,14 @@ DOC_ORACLES: dict[str, str] = {
     # PII scrub mirror: same pattern chain, same order, 'g' flag for
     # Spark's replace-all semantics (RE2 and Java agree on these
     # constructs — no lookaround).
-    "pii_masked": "SELECT doc_id, " + "".join(
-        "regexp_replace(" for _ in PII_PATTERNS
-    ) + "text" + "".join(
-        f", '{pat}', '{repl}', 'g')" for pat, repl in PII_PATTERNS
-    ) + " AS masked_text FROM documents",
+    "pii_masked": (
+        f"SELECT doc_id, {_pii_chain()} AS masked_text FROM documents"
+    ),
     # token-window chunking mirror: list_slice windows over a per-doc
     # chunk index; floor-div + greatest(.,1) matches the Spark int-cast.
     # DuckDB's table-function generate_series rejects lateral column
     # args, so use the list-returning form + unnest.
-    "doc_chunks": """
-        SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
-               array_to_string(
-                 list_slice(toks, (i - 1) * 56 + 1, (i - 1) * 56 + 64),
-                 ' ') AS chunk_text,
-               CAST(least(n - (i - 1) * 56, 64) AS INT) AS n_tokens
-        FROM (
-          SELECT doc_id, toks, n,
-                 unnest(generate_series(1, greatest((n - 8 + 55) // 56, 1))) AS i
-          FROM (
-            SELECT doc_id, str_split(text, ' ') AS toks,
-                   len(str_split(text, ' ')) AS n
-            FROM documents
-          )
-        )
-    """,
+    "doc_chunks": _chunk_sql("documents"),
     # quality gate: the doc_stats mirror with the filter's exact bounds
     "quality_filtered": f"""
         SELECT doc_id, n_tokens, quality_score FROM ({_DOC_STATS_SQL})
@@ -447,5 +476,34 @@ DOC_ORACLES: dict[str, str] = {
         )
         SELECT doc_id FROM corpus
         WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+    """,
+    # the full curation pipeline as ONE query: md5-nibble benchmark
+    # split -> exact dedup -> quality gate -> shingle decontamination ->
+    # PII mask -> token-window chunking. Mirrors _q_curated_chunks.
+    "curated_chunks": f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          WHERE substring(md5(text), 1, 1) <> '0'
+        ), bmark AS (
+          SELECT text FROM documents WHERE substring(md5(text), 1, 1) = '0'
+        ), surv AS (
+          SELECT doc_id, text FROM corpus WHERE doc_id IN (
+            SELECT min(doc_id) FROM corpus GROUP BY md5(text))
+        ), stats AS ({_doc_stats_sql('surv')}
+        ), good AS (
+          SELECT s.doc_id, s.text FROM surv s
+          JOIN stats t ON t.doc_id = s.doc_id
+          WHERE t.quality_score >= 0.5 AND t.n_tokens BETWEEN 3 AND 10000
+        ), bg AS (
+          SELECT DISTINCT unnest({_SHINGLES}) AS gram FROM bmark
+        ), dg AS (
+          SELECT doc_id, unnest({_SHINGLES}) AS gram FROM good
+        ), clean AS (
+          SELECT doc_id, text FROM good WHERE doc_id NOT IN (
+            SELECT DISTINCT doc_id FROM dg JOIN bg USING (gram))
+        ), masked AS (
+          SELECT doc_id, {_pii_chain()} AS text FROM clean
+        )
+        {_chunk_sql('masked')}
     """,
 }

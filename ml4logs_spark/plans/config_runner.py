@@ -132,6 +132,29 @@ def _a_doc_stats(spark, env, step, cfg):
     return textqa.doc_stats(env[step.get("from", "documents")])
 
 
+def _a_curate(spark, env, step, cfg):
+    from pyspark.sql import functions as F
+
+    from ml4logs_spark.operators import curate
+
+    src = env[step.get("from", "documents")]
+    if "benchmark" in step:
+        bench = env[step["benchmark"]]
+    else:
+        # no held-out set bound: deterministic md5-nibble split
+        nib = F.substring(F.md5("text"), 1, 1)
+        src, bench = src.filter(nib != "0"), src.filter(nib == "0")
+    return curate.curate_corpus(
+        src,
+        bench,
+        min_score=step.get("min_score", 0.5),
+        min_tokens=step.get("min_tokens", 3),
+        max_tokens=step.get("max_tokens", 10_000),
+        chunk_tokens=step.get("chunk_tokens", 64),
+        overlap=step.get("overlap", 8),
+    )
+
+
 def _a_drain(spark, env, step, cfg):
     from ml4logs_spark.operators import drain
 
@@ -159,6 +182,7 @@ ACTIONS: dict[str, Callable] = {
     "dedup_exact": _a_dedup_exact,
     "near_dups": _a_near_dups,
     "doc_stats": _a_doc_stats,
+    "curate": _a_curate,
 }
 
 

@@ -99,3 +99,20 @@ def test_config_documents_curation_path(spark, tmp_path):
     result = run_config(spark, cfg)
     assert result["doc_stats"] > 0 and result["dedup_exact"] > 0
     assert isinstance(result["near_dups"], int)
+
+
+def test_config_curate_action(spark, tmp_path):
+    cfg = {
+        "input": SF_DIR,
+        "warehouse": str(tmp_path / "whc"),
+        "pipeline": [
+            {"action": "documents"},
+            {"action": "curate", "min_score": 0.0, "min_tokens": 1,
+             "chunk_tokens": 32, "overlap": 4, "save": True,
+             "out": "curated_chunks"},
+        ],
+    }
+    result = run_config(spark, cfg)
+    assert result["curated_chunks"] > 0
+    saved = spark.read.parquet(str(tmp_path / "whc" / "curated_chunks"))
+    assert set(saved.columns) == {"doc_id", "chunk_idx", "chunk_text", "n_tokens"}

@@ -102,3 +102,30 @@ def test_decontaminate_empty_benchmark(spark):
     corpus = _docs(spark, [(0, "a b c d", "a")]).drop("source")
     bench = spark.createDataFrame([], "doc_id long, text string")
     assert dedup.decontaminate(corpus, bench).count() == 1
+
+
+def test_curate_corpus_end_to_end(spark):
+    from ml4logs_spark.operators import curate
+
+    corpus = _docs(spark, [
+        (0, "the cat and the dog sat on the mat with a hat", "a"),  # survives
+        (1, "the cat and the dog sat on the mat with a hat", "a"),  # exact dup
+        (2, "xx", "a"),                                             # fails gate
+        (3, "the red fox ran over the old stone bridge today", "a"),  # contaminated
+    ]).drop("source")
+    bench = _docs(spark, [
+        (100, "zz the old stone bridge yy", "b"),
+    ]).drop("source")
+
+    out = curate.curate_corpus(
+        corpus, bench, min_score=0.3, min_tokens=3, chunk_tokens=8, overlap=2
+    ).toPandas()
+    # only doc 0 survives: dup 1 dropped, 2 gated, 3 decontaminated
+    assert set(out.doc_id) == {0}
+    # 12 tokens, stride 6 -> 2 chunks
+    d0 = out.sort_values("chunk_idx")
+    assert d0.chunk_text.tolist() == [
+        "the cat and the dog sat on the",
+        "on the mat with a hat",
+    ]
+    assert d0.n_tokens.tolist() == [8, 6]
