@@ -8,10 +8,18 @@ between stages. This is the composition a user of the reference would
 script step-by-step (`/root/reference/src/__main__.py` dispatch); here
 it is one lazy DAG.
 
-Shape at scale: two shuffles total (the dedup min-aggregate and its
-semi-join on md5(text)) plus one broadcast shingle join for
-decontamination — everything else is map-side. The 1->N chunk explode
-runs last so rejected documents are never tokenized.
+Shape at scale: the dedup aggregate + its semi-join are the only
+corpus-wide shuffles; decontamination is a broadcast shingle join and
+everything else is map-side. The 1->N chunk explode runs last so
+rejected documents are never tokenized.
+
+The gated frame is persisted before decontamination branches on it
+(gram generation vs surviving rows): Catalyst has no cross-branch
+common-subexpression elimination, so without it the scan + dedup
+shuffle + gate would run twice — the same diamond-DAG fix as
+windows.conv_offsets. MEMORY_AND_DISK spills cleanly at corpus scale;
+pipelines that materialize stage boundaries anyway (config runner
+``save: true``) pay nothing extra.
 """
 
 from __future__ import annotations
@@ -37,7 +45,7 @@ def curate_corpus(
     good_ids = textqa.quality_filter(
         surv, min_score=min_score, min_tokens=min_tokens, max_tokens=max_tokens
     ).select("doc_id")
-    good = surv.join(good_ids, "doc_id", "left_semi")
+    good = surv.join(good_ids, "doc_id", "left_semi").persist()
     clean = dedup.decontaminate(good, benchmark)
     masked = textqa.mask_pii(clean).select(
         "doc_id", F.col("masked_text").alias("text")

@@ -71,6 +71,20 @@ def test_operators_handle_empty_input(spark):
     assert dedup.lsh_candidate_pairs(docs).count() == 0
     assert dedup.simhash64(docs).count() == 0
     assert dedup.simhash_near_dups(docs).count() == 0
+    assert dedup.decontaminate(docs, docs).count() == 0
+
+
+def test_curation_handles_empty_input(spark):
+    from ml4logs_spark.operators import curate, textqa
+
+    docs = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert textqa.quality_filter(docs).count() == 0
+    assert textqa.hash_sample(docs).count() == 0
+    assert textqa.build_vocab(docs).count() == 0
+    assert textqa.mask_pii(docs).count() == 0
+    assert textqa.chunk_documents(docs).count() == 0
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    assert curate.curate_corpus(docs, bench).count() == 0
 
 
 def test_similarity_handles_empty_input(spark):

@@ -191,3 +191,51 @@ def test_stream_route_sink_and_checkpoint_resume(spark, turns, tmp_path):
     got2 = spark.read.parquet(out_dir)
     # only the delta was appended — no double-processing of batch one
     assert got2.count() == turns.count()
+
+
+def test_stream_scrub_and_chunk_match_batch(spark, tmp_path):
+    """The map-only curation steps (PII scrub, token-window chunking)
+    run unchanged over a streaming source and equal their batch
+    results — pure Catalyst projections/explodes are streaming-safe."""
+    from ml4logs_spark.operators import textqa
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} " * (i % 7 + 1) + f"mail{i}@example.com end", f"s{i % 2}")
+         for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    in_dir = str(tmp_path / "docs_in")
+    docs.repartition(3).write.parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .parquet(in_dir)
+    )
+    chunked = textqa.chunk_documents(
+        textqa.mask_pii(stream).select(
+            "doc_id", textqa.F.col("masked_text").alias("text")
+        ),
+        chunk_tokens=4,
+        overlap=1,
+    )
+    q = (
+        chunked.writeStream.format("memory").queryName("t_stream_chunks")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_stream_chunks").toPandas()
+    q.stop()
+
+    batch = textqa.chunk_documents(
+        textqa.mask_pii(docs).select(
+            "doc_id", textqa.F.col("masked_text").alias("text")
+        ),
+        chunk_tokens=4,
+        overlap=1,
+    ).toPandas()
+    key = ["doc_id", "chunk_idx"]
+    a = got.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert (a.chunk_text == b.chunk_text).all()
+    assert a.chunk_text.str.contains("<EMAIL>").any()

@@ -159,6 +159,12 @@ def main() -> int:
     check("decontaminate: no cartesian product",
           "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
     check("decontaminate: benchmark side broadcast", "BroadcastHashJoin" in p)
+    from ml4logs_spark.operators import curate
+    nib = FF.substring(FF.md5("text"), 1, 1)
+    p = plan_of(curate.curate_corpus(docs.filter(nib != "0"), docs.filter(nib == "0")))
+    check("curate_corpus: no cartesian product", "CartesianProduct" not in p)
+    check("curate_corpus: gated frame cached once (diamond branch reuse)",
+          "InMemoryTableScan" in p)
 
     # 9. predicate pushdown on filtered scan
     m = t.filter("role = 'user'").select("conv_id")
