@@ -336,6 +336,45 @@ def main() -> None:
             "ivf_clustered_config": "8 trained centroids, 2 probes, 8 clusters x 16 dims",
             "ivf_clustered_sec": round(time.perf_counter() - t0, 3),
         })
+        # full curation chain throughput: replicate the docs table (rep
+        # suffix keeps texts distinct so dedup doesn't trivially
+        # collapse) and run dedup -> gate -> decontaminate -> scrub ->
+        # chunk end-to-end. The held-out benchmark is synthetic with a
+        # DISJOINT vocabulary: the fixture corpus draws on ~31 words, so
+        # any real slice as benchmark shingle-contaminates ~everything
+        # and the chunk stage would run on 0 rows. The drop-path
+        # SEMANTICS are proven by the oracle-checked decontaminated /
+        # curated_chunks queries; this measures wall-clock with every
+        # stage doing real work.
+        from ml4logs_spark.operators import curate
+
+        rep = int(os.environ.get("SPARK_GRAFT_CURATE_REPLICATE", "200"))
+        n_base = docs.count()
+        corpus = (
+            docs.crossJoin(spark.range(rep).withColumnRenamed("id", "rep"))
+            .select(
+                (F.col("doc_id") + F.col("rep") * F.lit(n_base)).alias("doc_id"),
+                F.concat_ws(" ", "text", F.concat(F.lit("r"), F.col("rep")))
+                .alias("text"),
+            )
+        )
+        bench_docs = spark.range(1000).select(
+            (F.col("id") + 10_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ", F.lit("heldout"), F.col("id").cast("string"),
+                F.lit("evaluation suite probe item"),
+                F.concat(F.lit("v"), (F.col("id") % 97).cast("string")),
+            ).alias("text"),
+        )
+        t0 = time.perf_counter()
+        n_chunks = curate.curate_corpus(corpus, bench_docs).count()
+        wall = time.perf_counter() - t0
+        docs_out.update({
+            "curate_docs_in": n_base * rep,
+            "curate_chunks_out": n_chunks,
+            "curate_sec": round(wall, 3),
+            "curate_docs_per_sec": round(n_base * rep / wall, 1),
+        })
 
     # -------- streaming route sink: throughput + exactly-once restart
     stream_out = _stream_bench(spark, turns)
