@@ -521,6 +521,34 @@ def _q_decontaminated(spark, sf_dir):
     return dedup_op.decontaminate(corpus, bench).select("doc_id")
 
 
+def _q_lang_confusion(spark, sf_dir):
+    # language-ID confusion rollup vs the dataset's labeled lang column
+    from ml4logs_spark.operators import textqa
+
+    return (
+        textqa.lang_guess(_docs(spark, sf_dir))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_source_rollup(spark, sf_dir):
+    # per-source curation stats: volume, distinct-text rate, mean quality
+    from ml4logs_spark.operators import textqa
+
+    docs = _docs(spark, sf_dir)
+    stats = textqa.doc_stats(docs).select("doc_id", "quality_score")
+    return (
+        docs.join(stats, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_uniq_texts"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        )
+    )
+
+
 def _q_curated_chunks(spark, sf_dir):
     # the WHOLE curation pipeline as one Catalyst plan: dedup ->
     # quality gate -> decontaminate -> PII scrub -> chunk
@@ -614,6 +642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_dim": _q_vocab_dim,
         "decontaminated": _q_decontaminated,
         "curated_chunks": _q_curated_chunks,
+        "lang_confusion": _q_lang_confusion,
+        "source_rollup": _q_source_rollup,
         "approx_distinct_convs": _q_approx_distinct_convs,
         "media_features": _q_media_features,
         "drain_templates": _q_drain_templates,

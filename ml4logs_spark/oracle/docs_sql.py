@@ -506,4 +506,17 @@ DOC_ORACLES: dict[str, str] = {
         )
         {_chunk_sql('masked')}
     """,
+    # language-ID confusion rollup against the labeled lang column
+    "lang_confusion": f"""
+        SELECT lang, {_LANG_CASE} AS lang_guess, count(*) AS n
+        FROM documents GROUP BY lang, 2
+    """,
+    # per-source curation stats
+    "source_rollup": f"""
+        SELECT d.source, count(*) AS n_docs,
+               count(DISTINCT md5(d.text)) AS n_uniq_texts,
+               round(avg(s.quality_score), 6) AS avg_quality
+        FROM documents d JOIN ({_doc_stats_sql()}) s ON s.doc_id = d.doc_id
+        GROUP BY d.source
+    """,
 }
