@@ -35,7 +35,11 @@ def test_grading_window_holds_only_full_oracle_queries():
     window = q[:50]
     assert all(name in o for name in window), [n for n in window if n not in o]
     for name in ("embedding_norms", "ann_cosine_topk", "lsh_cosine_topk",
-                 "ivf_cosine_topk", "embedding_near_dups", "simhash_near_dups"):
+                 "ivf_cosine_topk", "embedding_near_dups", "simhash_near_dups",
+                 # round-3 curation family — first driver check is round 3
+                 "ivf_codebook", "pii_masked", "doc_chunks", "quality_filtered",
+                 "docs_hash_sample", "vocab_dim", "decontaminated",
+                 "curated_chunks", "lang_confusion", "source_rollup"):
         assert name in window, f"{name} fell outside the grading window"
     assert set(ROWS_ONLY) <= set(q[50:])
 
