@@ -381,6 +381,18 @@ def _q_near_dups(spark, sf_dir):
     return dedup_op.near_dups(_docs(spark, sf_dir), 0.8)
 
 
+def _q_near_dup_clusters(spark, sf_dir):
+    # connected components over the near-dup graph (min-label fixpoint)
+    return dedup_op.near_dup_clusters(_docs(spark, sf_dir), 0.8)
+
+
+def _q_near_dup_survivors(spark, sf_dir):
+    # one kept doc per near-dup cluster + every unpaired doc
+    return dedup_op.near_dup_survivors(_docs(spark, sf_dir), 0.8).select(
+        "doc_id"
+    )
+
+
 def _q_simhash64(spark, sf_dir):
     # 64-bit signature as four sign-safe 16-bit chunk columns
     return dedup_op.simhash64(_docs(spark, sf_dir))
@@ -650,6 +662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_centered": _q_tfidf_centered,
         "timedelta_minmax": _q_timedelta_minmax,
         "error_threshold": _q_error_threshold,
+        "near_dup_clusters": _q_near_dup_clusters,
+        "near_dup_survivors": _q_near_dup_survivors,
         "approx_distinct_convs": _q_approx_distinct_convs,
         "media_features": _q_media_features,
         "drain_templates": _q_drain_templates,

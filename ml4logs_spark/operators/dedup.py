@@ -317,3 +317,90 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame) -> DataFrame:
     that shares a k-word shingle with ``benchmark`` (anti-join against
     ``contaminated_ids``)."""
     return docs.join(contaminated_ids(docs, benchmark), "doc_id", "left_anti")
+
+
+def near_dup_clusters(
+    docs: DataFrame, threshold: float = 0.8, max_iter: int = 25
+) -> DataFrame:
+    """Connected components over the near-duplicate pair graph:
+    ``(doc_id, cluster_id)`` for every document in at least one pair,
+    where cluster_id is the MINIMUM doc_id reachable through pairs.
+
+    This is the step real MinHash dedup pipelines run between pair
+    generation and survivor selection (near-duplication is not
+    transitive, so picking survivors per PAIR under-deletes: a~b, b~c
+    must collapse to one kept doc even when a~c wasn't generated).
+
+    Algorithm: alternating-min label propagation to a fixpoint —
+    label(x) starts as min(x, neighbors), then every round each node
+    takes the min label over itself and its neighbors. Converges in
+    O(component diameter) rounds; near-dup components are shallow
+    (star-ish around a template), so a handful of rounds suffice.
+    Each round is one equi-join + hash aggregate on doc_id — the
+    standard scalable CC shape (cf. "large-star/small-star",
+    Kiveris et al., SoCC'14); ``localCheckpoint`` truncates lineage so
+    round N's plan does not replay rounds 1..N-1, and the driver-side
+    loop is bounded by ``max_iter`` with an exact convergence check
+    (count of label changes == 0). The pair graph is the (tiny
+    relative to the corpus) output of LSH + Jaccard verification —
+    only docs IN a pair enter the iteration.
+    """
+    pairs = near_dups(docs, threshold).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_min_nbr"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.least("src", "_min_nbr").alias("cluster_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "dst"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("_nbr_lab"))
+        )
+        new_labels = (
+            labels.join(
+                nbr_min.withColumnRenamed("src", "doc_id"), "doc_id"
+            )
+            .select(
+                "doc_id",
+                F.least("cluster_id", "_nbr_lab").alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("cluster_id", "_new")
+            .join(labels, "doc_id")
+            .filter(F.col("_new") != F.col("cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dup_survivors(
+    docs: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Corpus rows surviving near-duplicate removal: keep the minimum
+    doc_id of each connected near-dup cluster plus every doc in no
+    pair (anti-join of the non-survivor set — the big side shuffles
+    once on doc_id)."""
+    clusters = near_dup_clusters(docs, threshold)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return docs.join(losers, "doc_id", "left_anti")

@@ -520,3 +520,43 @@ DOC_ORACLES: dict[str, str] = {
         GROUP BY d.source
     """,
 }
+
+
+# connected components over the near-dup pair graph as a recursive CTE:
+# reach(node, r) = every id r reachable from node through symmetric
+# pairs; min(r) per node == the min-label fixpoint the Spark operator
+# converges to (the graph is symmetric, so min reachable = component
+# minimum). Tractable for the oracle because only docs IN a pair enter.
+_CLUSTER_CTES = """,
+pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(node, r) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.node = e.d
+),
+clusters AS (
+  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+)
+"""
+
+
+def _dq_rec(body: str) -> str:
+    return (
+        _DOCS_PROLOGUE.replace("WITH sh AS", "WITH RECURSIVE sh AS", 1).rstrip()
+        + _CLUSTER_CTES
+        + body
+    )
+
+
+DOC_ORACLES["near_dup_clusters"] = _dq_rec(
+    "SELECT doc_id, cluster_id FROM clusters"
+)
+DOC_ORACLES["near_dup_survivors"] = _dq_rec(
+    "SELECT doc_id FROM documents WHERE doc_id NOT IN "
+    "(SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)"
+)

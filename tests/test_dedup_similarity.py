@@ -317,3 +317,31 @@ def test_chunk_documents(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         textqa.chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_near_dup_clusters_transitive_chain(spark):
+    """a~b and b~c must land in ONE cluster even when the a~c pair is
+    never generated (near-duplication is not transitive); survivors keep
+    exactly the component minimum plus unpaired docs."""
+    from ml4logs_spark.operators import dedup
+
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                       # chain: 1~2 (identical shingles)
+            (2, base + " x"),                # 2 ~ 1 and ~ 3
+            (3, base + " x y"),              # 3 ~ 2, farther from 1
+            (10, "entirely different words here that never collide at all"),
+        ],
+        "doc_id long, text string",
+    )
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in dedup.near_dup_clusters(docs, threshold=0.75).collect()
+    }
+    assert clusters.get(1) == clusters.get(2) == clusters.get(3) == 1
+    assert 10 not in clusters  # unpaired docs never enter the iteration
+    survivors = sorted(
+        r.doc_id for r in dedup.near_dup_survivors(docs, 0.75).collect()
+    )
+    assert survivors == [1, 10]
