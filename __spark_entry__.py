@@ -381,6 +381,15 @@ def _q_near_dups(spark, sf_dir):
     return dedup_op.near_dups(_docs(spark, sf_dir), 0.8)
 
 
+def _q_source_mix_sample(spark, sf_dir):
+    # per-source deterministic downsampling to a 3-tier training mixture
+    from ml4logs_spark.operators import textqa
+
+    return textqa.source_mix_sample(
+        _docs(spark, sf_dir), textqa.MIX_WEIGHTS
+    ).select("doc_id", "source")
+
+
 def _q_near_dup_clusters(spark, sf_dir):
     # connected components over the near-dup graph (min-label fixpoint)
     return dedup_op.near_dup_clusters(_docs(spark, sf_dir), 0.8)
@@ -664,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_threshold": _q_error_threshold,
         "near_dup_clusters": _q_near_dup_clusters,
         "near_dup_survivors": _q_near_dup_survivors,
+        "source_mix_sample": _q_source_mix_sample,
         "approx_distinct_convs": _q_approx_distinct_convs,
         "media_features": _q_media_features,
         "drain_templates": _q_drain_templates,

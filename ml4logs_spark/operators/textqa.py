@@ -231,6 +231,48 @@ def hash_sample(
     return docs.filter(F.substring(F.md5(key), 1, 2) < F.lit(rate_hex))
 
 
+# demo mixture over the synthetic corpus's src0..src19: three tiers
+# (75% / 50% / 12.5%) — shared by the queries() fixture and its oracle
+MIX_WEIGHTS: dict[str, str] = {
+    **{f"src{i}": "c0" for i in range(5)},
+    **{f"src{i}": "80" for i in range(5, 10)},
+    **{f"src{i}": "20" for i in range(10, 20)},
+}
+
+
+def source_mix_sample(
+    docs: DataFrame,
+    weights: dict[str, str],
+    key_cols: tuple[str, ...] = ("source", "doc_id"),
+) -> DataFrame:
+    """Data-mixing sampler: downsample each source to its own target
+    rate — the step that turns a raw crawl into a training mixture
+    ("2 parts web, 1 part code, 0.1 part forums"). ``weights`` maps
+    source -> 2-hex-char rate exactly as in ``hash_sample`` ("40" =
+    25%); sources absent from the map are dropped.
+
+    The weight table rides as a broadcast dim joined on ``source`` (an
+    inner join, so unlisted sources never pass), then the same
+    deterministic md5-prefix draw as ``hash_sample`` filters map-side —
+    reproducible across runs/retries/partitionings, independent per
+    stratum, and the 100 TB side never shuffles."""
+    for src, rate_hex in weights.items():
+        if len(rate_hex) != 2 or any(c not in "0123456789abcdef" for c in rate_hex):
+            raise ValueError(
+                f"rate for {src!r} must be 2 lowercase hex chars, got {rate_hex!r}"
+            )
+    spark = docs.sparkSession
+    dim = spark.createDataFrame(
+        list(weights.items()), "source string, _rate_hex string"
+    )
+    key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])
+    return (
+        docs.join(F.broadcast(dim), "source")
+        .filter(F.substring(F.md5(key), 1, 2) < F.col("_rate_hex"))
+        .drop("_rate_hex")
+    )
+
+
 def build_vocab(
     docs: DataFrame,
     min_df: int = 2,

@@ -553,6 +553,21 @@ def _dq_rec(body: str) -> str:
     )
 
 
+def _mix_sql() -> str:
+    from ml4logs_spark.operators.textqa import MIX_WEIGHTS
+
+    values = ", ".join(f"('{s}', '{r}')" for s, r in MIX_WEIGHTS.items())
+    return f"""
+        SELECT d.doc_id, d.source
+        FROM documents d
+        JOIN (VALUES {values}) m(source, rate) ON m.source = d.source
+        WHERE substring(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 2)
+              < m.rate
+    """
+
+
+DOC_ORACLES["source_mix_sample"] = _mix_sql()
+
 DOC_ORACLES["near_dup_clusters"] = _dq_rec(
     "SELECT doc_id, cluster_id FROM clusters"
 )

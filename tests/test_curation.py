@@ -129,3 +129,26 @@ def test_curate_corpus_end_to_end(spark):
         "on the mat with a hat",
     ]
     assert d0.n_tokens.tolist() == [8, 6]
+
+
+def test_source_mix_sample_rates_and_validation(spark):
+    """Per-source draws hit their tier rates and unlisted sources drop;
+    bad hex rates are rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+    from ml4logs_spark.operators import textqa
+
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("source"),
+        F.lit("x").alias("text"),
+    )
+    out = textqa.source_mix_sample(docs, {"s0": "80"})  # 50%, s1 dropped
+    rates = {r.source: r.n for r in
+             out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(rates) == {"s0"}
+    assert abs(rates["s0"] / 2000 - 0.5) < 0.05
+    # deterministic: identical draw on re-run
+    assert out.select("doc_id").collect() == out.select("doc_id").collect()
+    with pytest.raises(ValueError):
+        textqa.source_mix_sample(docs, {"s0": "GG"})
