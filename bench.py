@@ -305,6 +305,11 @@ def main() -> None:
             "ivf_recall_at_10": similarity.ivf_recall(emb, qids, k=10),
             "ivf_candidate_fraction": similarity.ivf_candidate_fraction(emb, qids),
             "ivf_config": "trained 16-centroid Lloyd codebook, 4 probes",
+            # isotropic gaussians have no cluster structure, so IVF
+            # recall is information-bounded near the candidate fraction;
+            # the clustered rows below show the codebook's intended
+            # operating regime
+            "ivf_note": "isotropic floor: recall tracks candidate fraction",
             "ivf_sec": round(time.perf_counter() - t0, 3),
         })
         # clustered fixture (realistic embedding geometry): the bands
