@@ -127,8 +127,14 @@ def main() -> int:
     # generation is an equi-join on (band, chunk) — never a cartesian.
     from ml4logs_spark.operators import dedup
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the exploded-token hash aggregate keeps partial aggregation
+    # map-side: exactly ONE doc_id exchange carrying ~65 ints per doc,
+    # with HashAggregate below AND above it (partial+final).
     p = plan_of(dedup.simhash64(docs))
-    check("simhash64: map-only (no exchange)", "Exchange" not in p)
+    check("simhash64: single doc_id exchange",
+          p.count("Exchange hashpartitioning") == 1)
+    check("simhash64: partial+final HashAggregate",
+          p.count("HashAggregate") >= 2)
     p = plan_of(dedup.simhash_near_dups(docs))
     check("simhash_near_dups: no cartesian product",
           "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
@@ -165,6 +171,17 @@ def main() -> int:
     check("curate_corpus: no cartesian product", "CartesianProduct" not in p)
     check("curate_corpus: gated frame cached once (diamond branch reuse)",
           "InMemoryTableScan" in p)
+
+    # 8f. data mixing: weight dim broadcast, corpus side never shuffles
+    p = plan_of(textqa.source_mix_sample(docs, {"src0": "80", "src1": "40"}))
+    check("source_mix_sample: weight dim broadcast", "BroadcastHashJoin" in p)
+    check("source_mix_sample: corpus side map-only",
+          "Exchange hashpartitioning" not in p)
+    # 8g. near-dup clustering: pair generation + every propagation round
+    # stays equi-join shaped (the fixpoint loop reuses this same plan)
+    p = plan_of(dedup.near_dups(docs))
+    check("near_dups: no cartesian product",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
 
     # 9. predicate pushdown on filtered scan
     m = t.filter("role = 'user'").select("conv_id")
