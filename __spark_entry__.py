@@ -390,6 +390,13 @@ def _q_source_mix_sample(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def _q_embedding_near_dup_clusters(spark, sf_dir):
+    # semantic-dedup clusters over the embedding-cosine pair graph
+    from ml4logs_spark.operators import similarity
+
+    return similarity.embedding_near_dup_clusters(_emb(spark, sf_dir), 0.3)
+
+
 def _q_near_dup_clusters(spark, sf_dir):
     # connected components over the near-dup graph (min-label fixpoint)
     return dedup_op.near_dup_clusters(_docs(spark, sf_dir), 0.8)
@@ -674,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": _q_near_dup_clusters,
         "near_dup_survivors": _q_near_dup_survivors,
         "source_mix_sample": _q_source_mix_sample,
+        "embedding_near_dup_clusters": _q_embedding_near_dup_clusters,
         "approx_distinct_convs": _q_approx_distinct_convs,
         "media_features": _q_media_features,
         "drain_templates": _q_drain_templates,

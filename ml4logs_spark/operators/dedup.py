@@ -345,11 +345,25 @@ def near_dup_clusters(
     relative to the corpus) output of LSH + Jaccard verification —
     only docs IN a pair enter the iteration.
     """
-    pairs = near_dups(docs, threshold).select("doc_a", "doc_b")
+    return connected_components(near_dups(docs, threshold), max_iter=max_iter)
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Min-label connected components over an undirected pair graph:
+    ``(doc_id, cluster_id)`` per node, cluster_id = min reachable id.
+    Generic over any pair source (text near-dups, embedding near-dups,
+    exact-hash groups); see ``near_dup_clusters`` for the algorithm
+    discussion."""
+    pairs = pairs.select(src, dst)
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .union(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+            pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
         )
         .localCheckpoint(eager=True)
     )

@@ -234,6 +234,24 @@ def embedding_near_dups(
     )
 
 
+def embedding_near_dup_clusters(
+    emb: DataFrame, threshold: float = 0.3, max_iter: int = 25
+) -> DataFrame:
+    """Connected components over the embedding-cosine near-dup graph:
+    ``(vec_id, cluster_id)`` with cluster_id = min reachable vec_id —
+    the vector analog of dedup.near_dup_clusters, sharing the same
+    min-label-propagation operator (semantic dedup collapses chains
+    a~b~c that pairwise similarity alone under-deletes)."""
+    from ml4logs_spark.operators.dedup import connected_components
+
+    return connected_components(
+        embedding_near_dups(emb, threshold),
+        src="vec_a",
+        dst="vec_b",
+        max_iter=max_iter,
+    ).withColumnRenamed("doc_id", "vec_id")
+
+
 def _cosine(a: Column, b: Column) -> Column:
     return F.round(
         _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))), 6

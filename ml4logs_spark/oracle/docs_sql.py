@@ -571,6 +571,35 @@ DOC_ORACLES["source_mix_sample"] = _mix_sql()
 DOC_ORACLES["near_dup_clusters"] = _dq_rec(
     "SELECT doc_id, cluster_id FROM clusters"
 )
+
+# same reachability fixpoint over the embedding-cosine pair graph
+DOC_ORACLES["embedding_near_dup_clusters"] = f"""
+    WITH RECURSIVE bsig AS ({_ANN_BSIG}),
+    cand AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bsig a JOIN bsig b USING (band, sig)
+      WHERE a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    nd AS (
+      SELECT p.vec_a, p.vec_b
+      FROM cand p
+      JOIN embeddings q ON q.vec_id = p.vec_a
+      JOIN embeddings c ON c.vec_id = p.vec_b
+      WHERE round({_COS}, 6) >= 0.3
+    ),
+    edges AS (
+      SELECT vec_a AS s, vec_b AS d FROM nd
+      UNION ALL
+      SELECT vec_b AS s, vec_a AS d FROM nd
+    ),
+    reach(node, r) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+      UNION
+      SELECT e.s, reach.r FROM edges e JOIN reach ON reach.node = e.d
+    )
+    SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node
+"""
 DOC_ORACLES["near_dup_survivors"] = _dq_rec(
     "SELECT doc_id FROM documents WHERE doc_id NOT IN "
     "(SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)"
