@@ -27,13 +27,7 @@ def _toks(text_col: str = "text") -> Column:
     return F.split(F.col(text_col), " ")
 
 
-def doc_stats(docs: DataFrame) -> DataFrame:
-    """Per-doc curation stats + a deterministic quality score.
-
-    quality = stopword_ratio bounded into [0,1] blended with a length
-    prior — the shape of heuristic quality scores used for pretraining
-    corpus filtering (length/punct/stopword ratios).
-    """
+def _stats_exprs() -> list[Column]:
     toks = _toks()
     n_tok = F.size(toks)
     n_chars = F.length("text")
@@ -43,8 +37,7 @@ def doc_stats(docs: DataFrame) -> DataFrame:
     bpe_count = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_REGEX), 0))
     stop_ratio = stop_hits / F.greatest(n_tok, F.lit(1))
     len_prior = F.least(n_chars / F.lit(400.0), F.lit(1.0))
-    return docs.select(
-        "doc_id",
+    return [
         n_tok.alias("n_tokens"),
         n_chars.alias("n_chars"),
         bpe_count.alias("n_bpe_tokens"),
@@ -52,7 +45,17 @@ def doc_stats(docs: DataFrame) -> DataFrame:
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(0.5 * len_prior + 0.5 * F.least(stop_ratio * F.lit(4.0), F.lit(1.0)), 6)
         .alias("quality_score"),
-    )
+    ]
+
+
+def doc_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc curation stats + a deterministic quality score.
+
+    quality = stopword_ratio bounded into [0,1] blended with a length
+    prior — the shape of heuristic quality scores used for pretraining
+    corpus filtering (length/punct/stopword ratios).
+    """
+    return docs.select("doc_id", *_stats_exprs())
 
 
 def lang_guess(docs: DataFrame) -> DataFrame:
@@ -201,17 +204,26 @@ def quality_filter(
     min_score: float = 0.5,
     min_tokens: int = 3,
     max_tokens: int = 10_000,
+    keep_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Keep documents that pass the curation gates — the filter step a
     pretraining pipeline runs on ``doc_stats``'s heuristics (quality
     score floor plus token-count bounds). The stats projection and the
     filter fuse into one map-only stage: nothing materializes the
-    rejected rows."""
-    return doc_stats(docs).filter(
+    rejected rows. ``keep_cols`` carries original columns through the
+    gate in the SAME select (no join back), which keeps the operator
+    usable on an unbounded streaming source where a stream-stream
+    semi-join would be rejected."""
+    gated = docs.select(
+        "doc_id", *(keep_cols or ()), *_stats_exprs()
+    ).filter(
         (F.col("quality_score") >= min_score)
         & (F.col("n_tokens") >= min_tokens)
         & (F.col("n_tokens") <= max_tokens)
-    ).select("doc_id", "n_tokens", "quality_score")
+    )
+    return gated.select(
+        "doc_id", *(keep_cols or ()), "n_tokens", "quality_score"
+    )
 
 
 def hash_sample(

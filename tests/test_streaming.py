@@ -239,3 +239,48 @@ def test_stream_scrub_and_chunk_match_batch(spark, tmp_path):
     assert len(a) == len(b) > 0
     assert (a.chunk_text == b.chunk_text).all()
     assert a.chunk_text.str.contains("<EMAIL>").any()
+
+
+def test_stream_quality_gate_and_mix_sample_match_batch(spark, tmp_path):
+    """The curation gate + data-mixing draw are stateless (map-only
+    filter/broadcast-join), so they run unchanged over a streaming
+    source and equal their batch results — a streaming ingest can apply
+    the SAME mixture policy as the batch curation pass."""
+    from ml4logs_spark.operators import textqa
+
+    docs = spark.createDataFrame(
+        [(i, ("the quick token " * (i % 9 + 1)).strip(), f"s{i % 3}")
+         for i in range(60)],
+        "doc_id long, text string, source string",
+    )
+    in_dir = str(tmp_path / "gate_in")
+    docs.repartition(3).write.parquet(in_dir)
+    weights = {"s0": "c0", "s1": "40"}  # s2 dropped
+
+    def chain(df):
+        gated = textqa.quality_filter(
+            df, min_score=0.3, min_tokens=4, keep_cols=("source",)
+        )
+        return textqa.source_mix_sample(gated, weights).select(
+            "doc_id", "source"
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .parquet(in_dir)
+    )
+    q = (
+        chain(stream).writeStream.format("memory")
+        .queryName("t_stream_gate_mix").outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_stream_gate_mix").toPandas()
+    q.stop()
+
+    batch = chain(docs).toPandas()
+    a = got.sort_values("doc_id").reset_index(drop=True)
+    b = batch.sort_values("doc_id").reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert (a.doc_id == b.doc_id).all() and (a.source == b.source).all()
+    assert set(a.source) <= {"s0", "s1"}
