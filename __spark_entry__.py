@@ -600,9 +600,14 @@ def _q_drain_templates(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is deliberate: the grading driver checks a window of
     # the first 50 entries, so every query goes in by evidence priority.
-    # In the window: every query with no prior driver-green row (the
-    # round-3 curation family ivf_codebook..source_rollup, the
-    # similarity family, 64-bit simhash) plus the core pipeline set.
+    # In the window: the queries with no prior driver-green row AS OF
+    # the round-3 reorder (the curation family ivf_codebook..
+    # source_rollup, the similarity family, 64-bit simhash) plus the
+    # core pipeline set. Queries added AFTER the window filled
+    # (near_dup_clusters/_survivors, source_mix_sample,
+    # embedding_near_dup_clusters) sit past the cutoff: their only
+    # oracle evidence is tests/test_oracle_gate.py until a future
+    # round rotates them in.
     # Demoted past the window: queries already driver-green in rounds
     # 1-2 whose operators are also evidenced by in-window queries
     # (head_limit, conv_embedding_maxpool, conv_bucket_pivot,

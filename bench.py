@@ -301,9 +301,11 @@ def main() -> None:
             "ann_sec": round(time.perf_counter() - t0, 3),
         })
         t0 = time.perf_counter()
+        cb = similarity.fit_ivf_codebook(emb).cache()
         docs_out.update({
-            "ivf_recall_at_10": similarity.ivf_recall(emb, qids, k=10),
-            "ivf_candidate_fraction": similarity.ivf_candidate_fraction(emb, qids),
+            "ivf_recall_at_10": similarity.ivf_recall(emb, qids, k=10, codebook=cb),
+            "ivf_candidate_fraction": similarity.ivf_candidate_fraction(
+                emb, qids, codebook=cb),
             "ivf_config": "trained 16-centroid Lloyd codebook, 4 probes",
             # isotropic gaussians have no cluster structure, so IVF
             # recall is information-bounded near the candidate fraction;
@@ -333,11 +335,12 @@ def main() -> None:
         # recall at a much lower candidate fraction than the isotropic
         # case above (the codebook's intended operating regime).
         t0 = time.perf_counter()
+        ccb = similarity.fit_ivf_codebook(clustered, 8).cache()
         docs_out.update({
             "ivf_clustered_recall_at_10": similarity.ivf_recall(
-                clustered, qids, k=10, n_centroids=8, n_probes=2),
+                clustered, qids, k=10, n_centroids=8, n_probes=2, codebook=ccb),
             "ivf_clustered_candidate_fraction": similarity.ivf_candidate_fraction(
-                clustered, qids, n_centroids=8, n_probes=2),
+                clustered, qids, n_centroids=8, n_probes=2, codebook=ccb),
             "ivf_clustered_config": "8 trained centroids, 2 probes, 8 clusters x 16 dims",
             "ivf_clustered_sec": round(time.perf_counter() - t0, 3),
         })

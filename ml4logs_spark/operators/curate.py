@@ -42,10 +42,15 @@ def curate_corpus(
     """documents -> model-ready chunks: dedup, gate, decontaminate,
     scrub, chunk. Returns (doc_id, chunk_idx, chunk_text, n_tokens)."""
     surv = dedup.exact_dedup(docs)
-    good_ids = textqa.quality_filter(
-        surv, min_score=min_score, min_tokens=min_tokens, max_tokens=max_tokens
-    ).select("doc_id")
-    good = surv.join(good_ids, "doc_id", "left_semi").persist()
+    # keep_cols carries text through the gate in the same map-side
+    # select — no join back to the corpus (one less doc_id shuffle)
+    good = textqa.quality_filter(
+        surv,
+        min_score=min_score,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        keep_cols=("text",),
+    ).select("doc_id", "text").persist()
     clean = dedup.decontaminate(good, benchmark)
     masked = textqa.mask_pii(clean).select(
         "doc_id", F.col("masked_text").alias("text")

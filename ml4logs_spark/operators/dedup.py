@@ -187,9 +187,16 @@ def simhash64(docs: DataFrame) -> DataFrame:
     bands for the hamming<=3 search, and the full signature is
     c0 | c1<<16 | c2<<32 | c3<<48 when a single value is wanted.
     """
+    # coalesce keeps NULL-text docs in the output (as the signature of
+    # the single empty token) instead of silently vanishing at explode;
+    # the oracle applies the same coalesce
     toks = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("_tok"),
+        F.explode(
+            F.array_distinct(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+            )
+        ).alias("_tok"),
     )
     h = F.md5(F.col("_tok"))
     tok_quads = toks.select(
@@ -403,6 +410,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silently returning non-minimal labels would diverge from the
+        # exact-reachability oracle and under-delete survivors
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
     return labels
 
 

@@ -194,8 +194,11 @@ def _compile_template_groups(
     return {
         k: (
             re.compile(
+                # \Z, not $: under str.extract (re.search) '$' also
+                # matches before a trailing newline, which would assign
+                # templates the previous str.fullmatch rejected
                 "|".join(
-                    f"(?P<t{i}>^{template_regex(t)}$)" for i, t in enumerate(ts)
+                    f"(?P<t{i}>^{template_regex(t)}\\Z)" for i, t in enumerate(ts)
                 )
             ),
             ts,

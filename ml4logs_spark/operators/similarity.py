@@ -337,22 +337,20 @@ def ivf_cells(
     return _assign_cells(vecs, codebook)
 
 
-def ivf_topk(
+def _ivf_candidates(
     emb: DataFrame,
     query_ids: list[int],
-    k: int = 10,
-    n_centroids: int = 16,
-    n_probes: int = 4,
-    vec_col: str = "embedding",
+    n_centroids: int,
+    n_probes: int,
+    vec_col: str,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: each query probes its ``n_probes`` nearest
-    centroid cells; candidates = vectors assigned to those cells; exact
-    cosine re-rank. The complement of the LSH path: data-adaptive cells
-    (trained Lloyd codebook, fit_ivf_codebook) vs data-oblivious
-    hyperplanes. Candidate generation is an equi-join on cell ids —
-    never all-pairs. The codebook is fit once and reused for both cell
-    assignment and query probing."""
-    codebook = fit_ivf_codebook(emb, n_centroids, vec_col=vec_col).cache()
+    """Shared IVF candidate generation: probe selection (top-n_probes
+    cells per query by centroid cosine, cent_id tie-break) + the cell
+    equi-join. One definition keeps ivf_topk and ivf_candidate_fraction
+    grading the SAME candidate set; ``codebook=None`` fits fresh."""
+    if codebook is None:
+        codebook = fit_ivf_codebook(emb, n_centroids, vec_col=vec_col).cache()
     cells = ivf_cells(emb, codebook, vec_col=vec_col)
     q_scored = (
         emb.filter(F.col("vec_id").isin(query_ids))
@@ -366,11 +364,33 @@ def ivf_topk(
         .filter(F.col("rn") <= n_probes)
         .select("query_id", F.col("cent_id").alias("cell"))
     )
-    pairs = (
+    return (
         cells.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("cand_id"))
         .distinct()
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probes: int = 4,
+    vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-style ANN: each query probes its ``n_probes`` nearest
+    centroid cells; candidates = vectors assigned to those cells; exact
+    cosine re-rank. The complement of the LSH path: data-adaptive cells
+    (trained Lloyd codebook, fit_ivf_codebook) vs data-oblivious
+    hyperplanes. Candidate generation is an equi-join on cell ids —
+    never all-pairs. The codebook is fit once and reused for both cell
+    assignment and query probing; pass a pre-fit ``codebook`` to share
+    one fit across topk/recall/fraction calls."""
+    pairs = _ivf_candidates(
+        emb, query_ids, n_centroids, n_probes, vec_col, codebook=codebook
     )
     q = emb.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col(vec_col).alias("qvec")
@@ -425,32 +445,15 @@ def ivf_candidate_fraction(
     n_centroids: int = 16,
     n_probes: int = 4,
     vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
 ) -> float:
     """Fraction of the corpus each query exactly re-ranks under IVF
     probing — the pruning counterpart of lsh_candidate_fraction (with a
     uniform codebook it approaches n_probes/n_centroids; skewed cells
     push it higher). Defaults mirror ivf_topk's."""
-    codebook = fit_ivf_codebook(emb, n_centroids, vec_col=vec_col).cache()
-    cells = ivf_cells(emb, codebook, vec_col=vec_col)
-    q_scored = (
-        emb.filter(F.col("vec_id").isin(query_ids))
-        .select(F.col("vec_id").alias("query_id"), F.col(vec_col).alias("qv"))
-        .crossJoin(F.broadcast(codebook))
-        .withColumn("sim", _cosine(F.col("qv"), F.col("centvec")))
-    )
-    w_p = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cent_id"))
-    probes = (
-        q_scored.withColumn("rn", F.row_number().over(w_p))
-        .filter(F.col("rn") <= n_probes)
-        .select("query_id", F.col("cent_id").alias("cell"))
-    )
-    n_cand = (
-        cells.join(F.broadcast(probes), "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id")
-        .distinct()
-        .count()
-    )
+    n_cand = _ivf_candidates(
+        emb, query_ids, n_centroids, n_probes, vec_col, codebook=codebook
+    ).count()
     n_total = emb.count()
     denom = len(query_ids) * max(n_total - 1, 1)
     return round(n_cand / denom, 4)

@@ -87,7 +87,8 @@ def _simhash_bit(i: int) -> str:
     d, j = divmod(i, 4)
     nib = f"(instr('0123456789abcdef', substring(md5(t), {d + 1}, 1)) - 1)"
     return (
-        "list_sum(list_transform(list_distinct(str_split(text, ' ')), "
+        "list_sum(list_transform(list_distinct("
+        "str_split(coalesce(text, ''), ' ')), "
         f"t -> CASE WHEN (({nib} >> {j}) & 1) = 1 THEN 1 ELSE -1 END)) >= 0"
     )
 

@@ -345,3 +345,17 @@ def test_near_dup_clusters_transitive_chain(spark):
         r.doc_id for r in dedup.near_dup_survivors(docs, 0.75).collect()
     )
     assert survivors == [1, 10]
+
+
+def test_simhash64_null_and_empty_text_rows_survive(spark):
+    """NULL/empty text docs must not vanish at the explode: both get the
+    empty-token signature, matching the oracle's coalesce."""
+    from ml4logs_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.c0, r.c1, r.c2, r.c3)
+           for r in dedup.simhash64(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2] == out[3]  # NULL ≡ empty: signature of the "" token

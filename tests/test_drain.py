@@ -184,3 +184,18 @@ def test_alternation_scales_to_1k_template_group(spark):
     for i in range(200):
         assert got[i] == f"svc job{i * 7 % 1000} code <*> done"
     assert pd.isna(got[200])
+
+
+def test_match_templates_rejects_trailing_newline(spark):
+    """fullmatch semantics: a text ending in '\n' must NOT match (the
+    alternation uses \\Z, where '$' under re.search would match)."""
+    from ml4logs_spark.operators import drain
+
+    turns = spark.createDataFrame(
+        [("c0", 0, "ERROR disk sda"), ("c0", 1, "ERROR disk sda\n")],
+        "conv_id string, turn_idx int, text string",
+    )
+    got = {r.turn_idx: r.drain_template
+           for r in drain.match_templates(turns, ["ERROR disk <*>"]).collect()}
+    assert got[0] == "ERROR disk <*>"
+    assert got[1] is None
