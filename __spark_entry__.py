@@ -599,15 +599,17 @@ def _q_drain_templates(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is deliberate: the grading driver checks a window of
-    # the first 50 entries, so every query goes in by evidence priority.
-    # In the window: the queries with no prior driver-green row AS OF
-    # the round-3 reorder (the curation family ivf_codebook..
-    # source_rollup, the similarity family, 64-bit simhash) plus the
-    # core pipeline set. Queries added AFTER the window filled
-    # (near_dup_clusters/_survivors, source_mix_sample,
-    # embedding_near_dup_clusters) sit past the cutoff: their only
-    # oracle evidence is tests/test_oracle_gate.py until a future
-    # round rotates them in.
+    # the first 50 entries, so every query goes in by evidence priority:
+    # queries with NO prior driver-green row first (round-3 additions —
+    # the curation family, similarity family, 64-bit simhash, near-dup
+    # clustering, data mixing), then the core pipeline set. Demoted
+    # past the cutoff: queries already driver-green in rounds 1-2 whose
+    # operators stay evidenced by in-window queries (e.g. conv_scores
+    # by confusion_at_half, labels_scan by labeled_turns,
+    # dedup_exact_groups by dedup_exact_survivors, conv_value_maxpool
+    # by conv_turnvec_maxpool) — demoted, not retired: every
+    # beyond-window oracle still runs per-pytest via
+    # tests/test_oracle_gate.py.
     # Demoted past the window: queries already driver-green in rounds
     # 1-2 whose operators are also evidenced by in-window queries
     # (head_limit, conv_embedding_maxpool, conv_bucket_pivot,
@@ -630,13 +632,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "next_template": _q_next_template,
         "conv_stats": _q_conv_stats,
         "conv_offsets": _q_conv_offsets,
-        "labels_scan": _q_labels_scan,
         "labeled_turns": _q_labeled_turns,
-        "conv_scores": _q_conv_scores,
         "confusion_at_half": _q_confusion_at_half,
         "threshold_sweep": _q_threshold_sweep,
         "tool_conv_union_distinct": _q_union_distinct,
-        "conv_value_maxpool": _q_conv_value_maxpool,
         "merged_features": _q_merged_features,
         "turn_embeddings": _q_turn_embeddings,
         "conv_turnvec_maxpool": _q_conv_turnvec_maxpool,
@@ -651,8 +650,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curated_chunks": _q_curated_chunks,
         "lang_confusion": _q_lang_confusion,
         "source_rollup": _q_source_rollup,
-        "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_exact_survivors": _q_dedup_exact_survivors,
+        "near_dup_clusters": _q_near_dup_clusters,
+        "near_dup_survivors": _q_near_dup_survivors,
+        "source_mix_sample": _q_source_mix_sample,
+        "embedding_near_dup_clusters": _q_embedding_near_dup_clusters,
         "minhash_signatures": _q_minhash_signatures,
         "lsh_candidate_pairs": _q_lsh_candidate_pairs,
         "lsh_jaccard_pairs": _q_lsh_jaccard_pairs,
@@ -670,6 +672,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cosine_topk": _q_ivf_cosine_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         # ---- end of the 50-entry grading window ----
+        "labels_scan": _q_labels_scan,
+        "conv_scores": _q_conv_scores,
+        "conv_value_maxpool": _q_conv_value_maxpool,
+        "dedup_exact_groups": _q_dedup_exact_groups,
         "head_limit": _q_head_limit,
         "conv_embedding_maxpool": _q_conv_embedding_maxpool,
         "conv_bucket_pivot": _q_conv_bucket_pivot,
@@ -683,10 +689,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_centered": _q_tfidf_centered,
         "timedelta_minmax": _q_timedelta_minmax,
         "error_threshold": _q_error_threshold,
-        "near_dup_clusters": _q_near_dup_clusters,
-        "near_dup_survivors": _q_near_dup_survivors,
-        "source_mix_sample": _q_source_mix_sample,
-        "embedding_near_dup_clusters": _q_embedding_near_dup_clusters,
         "approx_distinct_convs": _q_approx_distinct_convs,
         "media_features": _q_media_features,
         "drain_templates": _q_drain_templates,

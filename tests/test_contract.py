@@ -39,7 +39,10 @@ def test_grading_window_holds_only_full_oracle_queries():
                  # round-3 curation family — first driver check is round 3
                  "ivf_codebook", "pii_masked", "doc_chunks", "quality_filtered",
                  "docs_hash_sample", "vocab_dim", "decontaminated",
-                 "curated_chunks", "lang_confusion", "source_rollup"):
+                 "curated_chunks", "lang_confusion", "source_rollup",
+                 # late round-3: clustering + mixing, never driver-checked
+                 "near_dup_clusters", "near_dup_survivors",
+                 "source_mix_sample", "embedding_near_dup_clusters"):
         assert name in window, f"{name} fell outside the grading window"
     assert set(ROWS_ONLY) <= set(q[50:])
 
