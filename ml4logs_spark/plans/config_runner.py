@@ -155,6 +155,22 @@ def _a_curate(spark, env, step, cfg):
     )
 
 
+def _a_near_dup_survivors(spark, env, step, cfg):
+    from ml4logs_spark.operators import dedup
+
+    return dedup.near_dup_survivors(
+        env[step.get("from", "documents")], step.get("threshold", 0.8)
+    )
+
+
+def _a_source_mix(spark, env, step, cfg):
+    from ml4logs_spark.operators import textqa
+
+    return textqa.source_mix_sample(
+        env[step.get("from", "documents")], step["weights"]
+    )
+
+
 def _a_drain(spark, env, step, cfg):
     from ml4logs_spark.operators import drain
 
@@ -181,6 +197,8 @@ ACTIONS: dict[str, Callable] = {
     "documents": _a_documents,
     "dedup_exact": _a_dedup_exact,
     "near_dups": _a_near_dups,
+    "near_dup_survivors": _a_near_dup_survivors,
+    "source_mix": _a_source_mix,
     "doc_stats": _a_doc_stats,
     "curate": _a_curate,
 }

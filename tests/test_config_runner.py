@@ -116,3 +116,22 @@ def test_config_curate_action(spark, tmp_path):
     assert result["curated_chunks"] > 0
     saved = spark.read.parquet(str(tmp_path / "whc" / "curated_chunks"))
     assert set(saved.columns) == {"doc_id", "chunk_idx", "chunk_text", "n_tokens"}
+
+
+def test_config_near_dup_survivors_and_source_mix(spark, tmp_path):
+    cfg = {
+        "input": SF_DIR,
+        "warehouse": str(tmp_path / "whm"),
+        "pipeline": [
+            {"action": "documents"},
+            {"action": "near_dup_survivors", "threshold": 0.8, "save": True},
+            {"action": "source_mix",
+             "from": "near_dup_survivors",
+             "weights": {f"src{i}": "80" for i in range(20)},
+             "save": True},
+        ],
+    }
+    result = run_config(spark, cfg)
+    assert 0 < result["near_dup_survivors"] <= 500
+    # ~50% draw over the survivors
+    assert 0 < result["source_mix"] < result["near_dup_survivors"]
