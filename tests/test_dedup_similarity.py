@@ -359,3 +359,21 @@ def test_simhash64_null_and_empty_text_rows_survive(spark):
            for r in dedup.simhash64(docs).collect()}
     assert set(out) == {1, 2, 3}
     assert out[2] == out[3]  # NULL ≡ empty: signature of the "" token
+
+
+def test_connected_components_long_chain_and_guard(spark):
+    """Pointer jumping converges a 60-node path in O(log n) rounds
+    (min-label alone would need ~59); the guard raises rather than
+    return unconverged labels when max_iter is too small."""
+    import pytest
+    from ml4logs_spark.operators import dedup
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 60)], "doc_a long, doc_b long"
+    )
+    labels = dedup.connected_components(chain, max_iter=10)
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert set(got.values()) == {1} and len(got) == 60
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=1)
