@@ -38,10 +38,20 @@ def curate_corpus(
     max_tokens: int = 10_000,
     chunk_tokens: int = 64,
     overlap: int = 8,
+    near_threshold: float | None = None,
 ) -> DataFrame:
     """documents -> model-ready chunks: dedup, gate, decontaminate,
-    scrub, chunk. Returns (doc_id, chunk_idx, chunk_text, n_tokens)."""
+    scrub, chunk. Returns (doc_id, chunk_idx, chunk_text, n_tokens).
+
+    ``near_threshold`` adds a near-duplicate removal stage after exact
+    dedup (LSH pairs -> connected components -> one survivor per
+    cluster). Unlike the rest of the chain it is inherently iterative
+    (the clustering fixpoint runs driver-bounded rounds), so the chain
+    is no longer one single lazy plan when enabled — the default None
+    keeps the fully-lazy exact-dedup chain."""
     surv = dedup.exact_dedup(docs)
+    if near_threshold is not None:
+        surv = dedup.near_dup_survivors(surv, near_threshold)
     # keep_cols carries text through the gate in the same map-side
     # select — no join back to the corpus (one less doc_id shuffle)
     good = textqa.quality_filter(

@@ -152,3 +152,27 @@ def test_source_mix_sample_rates_and_validation(spark):
     assert out.select("doc_id").collect() == out.select("doc_id").collect()
     with pytest.raises(ValueError):
         textqa.source_mix_sample(docs, {"s0": "GG"})
+
+
+def test_curate_corpus_near_dedup_stage(spark):
+    """near_threshold collapses near-duplicate chains that exact dedup
+    keeps: only the cluster minimum contributes chunks."""
+    from ml4logs_spark.operators import curate
+
+    base = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " xtra"), (50, "completely different text "
+          + " ".join(f"q{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "zz1 zz2 zz3 zz4")], "doc_id long, text string"
+    )
+    exact = curate.curate_corpus(docs, bench, min_score=0.0, min_tokens=3)
+    near = curate.curate_corpus(
+        docs, bench, min_score=0.0, min_tokens=3, near_threshold=0.8
+    )
+    exact_ids = {r.doc_id for r in exact.select("doc_id").distinct().collect()}
+    near_ids = {r.doc_id for r in near.select("doc_id").distinct().collect()}
+    assert exact_ids == {1, 2, 50}   # exact dedup keeps both near-dups
+    assert near_ids == {1, 50}       # near-dedup keeps the cluster min
