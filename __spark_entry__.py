@@ -391,10 +391,11 @@ def _q_source_mix_sample(spark, sf_dir):
 
 
 def _q_embedding_near_dup_clusters(spark, sf_dir):
-    # semantic-dedup clusters over the embedding-cosine pair graph
-    from ml4logs_spark.operators import similarity
-
-    return similarity.embedding_near_dup_clusters(_emb(spark, sf_dir), 0.3)
+    # semantic-dedup clusters over the embedding-cosine pair graph.
+    # 0.4 (vs embedding_near_dups' 0.3) so the fixture shows real
+    # cluster structure (~35 multi-node clusters at sf0.01) instead of
+    # one giant component swallowing 94% of the corpus
+    return similarity.embedding_near_dup_clusters(_emb(spark, sf_dir), 0.4)
 
 
 def _q_near_dup_clusters(spark, sf_dir):

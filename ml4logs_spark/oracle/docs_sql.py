@@ -587,7 +587,7 @@ DOC_ORACLES["embedding_near_dup_clusters"] = f"""
       FROM cand p
       JOIN embeddings q ON q.vec_id = p.vec_a
       JOIN embeddings c ON c.vec_id = p.vec_b
-      WHERE round({_COS}, 6) >= 0.3
+      WHERE round({_COS}, 6) >= 0.4
     ),
     edges AS (
       SELECT vec_a AS s, vec_b AS d FROM nd
