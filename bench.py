@@ -281,9 +281,12 @@ def main() -> None:
         from ml4logs_spark.operators import similarity
 
         docs = spark.read.parquet(docs_path)
+        n_docs = docs.count()
         t0 = time.perf_counter()
         force(dedup_op.simhash64(docs))
-        docs_out["simhash_docs_sec"] = round(time.perf_counter() - t0, 3)
+        _sh = time.perf_counter() - t0
+        docs_out["simhash_sec"] = round(_sh, 3)
+        docs_out["simhash_docs_per_sec"] = round(n_docs / _sh, 1)
         emb = spark.read.parquet(emb_path)
         qids = list(range(5))
         t0 = time.perf_counter()
