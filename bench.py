@@ -281,10 +281,27 @@ def main() -> None:
         from ml4logs_spark.operators import similarity
 
         docs = spark.read.parquet(docs_path)
-        n_docs = docs.count()
+        # measure signature throughput on a >=100k-doc replicated corpus
+        # (rep suffix keeps texts distinct); at raw fixture size the wall
+        # is fixed overhead, not per-doc work
+        n_raw = docs.count()
+        sh_rep = max(1, 100_000 // max(n_raw, 1))
+        sh_corpus = (
+            docs.crossJoin(spark.range(sh_rep).withColumnRenamed("id", "rep"))
+            .select(
+                (F.col("doc_id") + F.col("rep") * F.lit(n_raw)).alias("doc_id"),
+                F.concat_ws(
+                    " ", "text", F.concat(F.lit("r"), F.col("rep"))
+                ).alias("text"),
+            )
+        )
+        sh_corpus = sh_corpus.persist()
+        n_docs = sh_corpus.count()  # materialize before the clock starts
         t0 = time.perf_counter()
-        force(dedup_op.simhash64(docs))
+        force(dedup_op.simhash64(sh_corpus))
         _sh = time.perf_counter() - t0
+        sh_corpus.unpersist()
+        docs_out["simhash_docs"] = n_docs
         docs_out["simhash_sec"] = round(_sh, 3)
         docs_out["simhash_docs_per_sec"] = round(n_docs / _sh, 1)
         emb = spark.read.parquet(emb_path)
