@@ -112,3 +112,44 @@ def test_merge_features_width_property(spark, la, lb, n):
     out = feat.merge_features(a, b, ["conv_id", "turn_idx"]).toPandas()
     assert len(out) == n
     assert out.features.map(len).eq(la + lb).all()
+
+
+@settings(**SLOW)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation + pointer jumping equals a reference
+    union-find on arbitrary graphs (cycles, self-merging stars,
+    disconnected pieces)."""
+    from ml4logs_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(pairs, max_iter=30).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
