@@ -448,3 +448,56 @@ def near_dup_survivors(
         "doc_id"
     )
     return docs.join(losers, "doc_id", "left_anti")
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame, seen_hashes: DataFrame
+) -> DataFrame:
+    """Cross-batch exact dedup: rows of ``new_docs`` whose content hash
+    is NOT already in ``seen_hashes`` (a (text_hash) dim maintained by
+    prior ingest runs, e.g. ``exact_dup_groups().select("text_hash")``),
+    deduped within the batch as well.
+
+    The daily-ingest shape at 100 TB: the historical side is a compact
+    hash dim (one row per distinct content ever seen), the new batch
+    anti-joins against it on the uniform digest key and never rescans
+    the historical corpus. Emit ``exact_dup_groups(new_out)`` back into
+    the dim to advance the frontier."""
+    fresh = with_text_hash(new_docs).join(
+        seen_hashes.select("text_hash"), "text_hash", "left_anti"
+    )
+    return exact_dedup(fresh.drop("text_hash"))
+
+
+def incremental_near_dups(
+    new_docs: DataFrame, seen_bands: DataFrame
+) -> DataFrame:
+    """Cross-batch near-dup candidate pairs: each new doc joined against
+    the HISTORICAL LSH band table (doc_id, band, h) — plus new-vs-new
+    candidates within the batch. Returns (doc_a, doc_b, jaccard) pairs
+    with doc_a from the new batch; exact Jaccard verification runs only
+    for colliding pairs whose text both sides still carry.
+
+    At scale the historical band table is the only state kept (bands x
+    docs rows, no text), the equi-join on (band, h) touches matching
+    buckets only, and appending ``lsh_bands(minhash_signatures(new))``
+    advances the frontier."""
+    nb = lsh_bands(minhash_signatures(new_docs))
+    hist_hits = (
+        nb.withColumnRenamed("doc_id", "doc_a")
+        .join(
+            seen_bands.withColumnRenamed("doc_id", "doc_b"), ["band", "h"]
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    new_hits = (
+        nb.alias("a")
+        .join(nb.alias("b"), ["band", "h"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return hist_hits.unionByName(new_hits)

@@ -377,3 +377,47 @@ def test_connected_components_long_chain_and_guard(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(chain, max_iter=1)
+
+
+def test_incremental_exact_dedup_across_batches(spark):
+    """Batch 2 drops content already seen in batch 1 (via the hash dim)
+    AND its own in-batch duplicates."""
+    from ml4logs_spark.operators import dedup
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    seen = dedup.exact_dup_groups(b1).select("text_hash")
+    b2 = spark.createDataFrame(
+        [(10, "alpha beta"),      # seen in batch 1 -> dropped
+         (11, "epsilon zeta"),    # new
+         (12, "epsilon zeta"),    # in-batch dup of 11 -> dropped
+         (13, "eta theta")],      # new
+        "doc_id long, text string",
+    )
+    out = sorted(
+        r.doc_id for r in dedup.incremental_exact_dedup(b2, seen).collect()
+    )
+    assert out == [11, 13]
+
+
+def test_incremental_near_dups_across_batches(spark):
+    """A new doc collides with the HISTORICAL band table without
+    rescanning historical text; new-vs-new pairs are also produced."""
+    from ml4logs_spark.operators import dedup
+
+    base = " ".join(f"w{i}" for i in range(30))
+    hist = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    hist_bands = dedup.lsh_bands(dedup.minhash_signatures(hist))
+    new = spark.createDataFrame(
+        [(10, base + " x"), (11, base + " x y"),
+         (20, "totally unrelated content with no overlap at all")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.incremental_near_dups(new, hist_bands).collect()
+    }
+    assert (10, 1) in pairs          # new vs historical
+    assert (10, 11) in pairs         # new vs new
+    assert not any(20 in p for p in pairs)
