@@ -76,6 +76,10 @@ def _stream_bench(spark, turns) -> dict:
         "stream_rows": in_rows,
         "stream_wall_sec": wall,
         "stream_rows_per_sec": round(in_rows / wall, 1),
+        # wall covers TWO full checkpointed query lifecycles (cold start
+        # + restart-from-checkpoint) — the exactly-once proof, not a
+        # steady-state throughput number
+        "stream_note": "includes cold start + checkpoint restart",
         "restart_overlap_rows": out_rows - in_rows,
         "exactly_once_pass": out_rows == in_rows,
     }
