@@ -607,20 +607,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # past the cutoff: queries already driver-green in rounds 1-2 whose
     # operators stay evidenced by in-window queries (e.g. conv_scores
     # by confusion_at_half, labels_scan by labeled_turns,
-    # dedup_exact_groups by dedup_exact_survivors, conv_value_maxpool
-    # by conv_turnvec_maxpool) — demoted, not retired: every
-    # beyond-window oracle still runs per-pytest via
-    # tests/test_oracle_gate.py.
-    # Demoted past the window: queries already driver-green in rounds
-    # 1-2 whose operators are also evidenced by in-window queries
-    # (head_limit, conv_embedding_maxpool, conv_bucket_pivot,
-    # conv_top_template, conv_td_median, dense_fit_counts,
-    # session_stats, timedelta_standardize, conv_template_seq,
-    # enrich_rollup, tfidf_centered, timedelta_minmax,
-    # error_threshold) — demoted, not retired: their oracles still run
-    # every pytest via tests/test_oracle_gate.py — then the three
-    # rows-only queries whose justification is pinned in
-    # tests/test_contract.py.
+    # dedup_exact_groups by dedup_exact_survivors, conv_value_maxpool /
+    # conv_embedding_maxpool by conv_turnvec_maxpool, head_limit and
+    # the rollup/scaler variants by their base queries) — demoted, not
+    # retired: every beyond-window oracle still runs per-pytest via
+    # tests/test_oracle_gate.py. The three rows-only queries come last;
+    # their justification is pinned in tests/test_contract.py.
     return {
         "transcripts_scan": _q_transcripts_scan,
         "template_dim": _q_template_dim,

@@ -51,6 +51,10 @@ def curate_corpus(
     keeps the fully-lazy exact-dedup chain."""
     surv = dedup.exact_dedup(docs)
     if near_threshold is not None:
+        # the clustering fixpoint and the final anti-join each consume
+        # surv in separate jobs — persist so the scan + dedup shuffle
+        # doesn't replay (same diamond-DAG rule as the gated frame)
+        surv = surv.persist()
         surv = dedup.near_dup_survivors(surv, near_threshold)
     # keep_cols carries text through the gate in the same map-side
     # select — no join back to the corpus (one less doc_id shuffle)

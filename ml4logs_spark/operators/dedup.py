@@ -122,17 +122,7 @@ def lsh_bands(sig: DataFrame, bands: int = LSH_BANDS, n: int = N_MINHASH) -> Dat
 
 def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     """Near-dup candidate pairs: docs sharing any LSH band bucket."""
-    b = lsh_bands(minhash_signatures(docs))
-    a = b.alias("a")
-    c = b.alias("b")
-    return (
-        a.join(c, ["band", "h"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    return _band_pairs(lsh_bands(minhash_signatures(docs)))
 
 
 def jaccard_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -462,42 +452,63 @@ def incremental_exact_dedup(
     hash dim (one row per distinct content ever seen), the new batch
     anti-joins against it on the uniform digest key and never rescans
     the historical corpus. Emit ``exact_dup_groups(new_out)`` back into
-    the dim to advance the frontier."""
-    fresh = with_text_hash(new_docs).join(
-        seen_hashes.select("text_hash"), "text_hash", "left_anti"
+    the dim to advance the frontier. The anti-join is null-safe so a
+    historically-seen NULL-text row stays deduplicated (plain equality
+    would never match a NULL key); each row is hashed exactly once and
+    the in-batch dedup reuses that hash."""
+    hashed = with_text_hash(new_docs)
+    fresh = hashed.join(
+        seen_hashes.select(F.col("text_hash").alias("_seen_hash")),
+        F.col("text_hash").eqNullSafe(F.col("_seen_hash")),
+        "left_anti",
     )
-    return exact_dedup(fresh.drop("text_hash"))
-
-
-def incremental_near_dups(
-    new_docs: DataFrame, seen_bands: DataFrame
-) -> DataFrame:
-    """Cross-batch near-dup candidate pairs: each new doc joined against
-    the HISTORICAL LSH band table (doc_id, band, h) — plus new-vs-new
-    candidates within the batch. Returns (doc_a, doc_b, jaccard) pairs
-    with doc_a from the new batch; exact Jaccard verification runs only
-    for colliding pairs whose text both sides still carry.
-
-    At scale the historical band table is the only state kept (bands x
-    docs rows, no text), the equi-join on (band, h) touches matching
-    buckets only, and appending ``lsh_bands(minhash_signatures(new))``
-    advances the frontier."""
-    nb = lsh_bands(minhash_signatures(new_docs))
-    hist_hits = (
-        nb.withColumnRenamed("doc_id", "doc_a")
-        .join(
-            seen_bands.withColumnRenamed("doc_id", "doc_b"), ["band", "h"]
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
+    keep = fresh.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
+    return fresh.join(keep.select("doc_id"), "doc_id", "left_semi").drop(
+        "text_hash"
     )
-    new_hits = (
-        nb.alias("a")
-        .join(nb.alias("b"), ["band", "h"])
+
+
+def _band_pairs(bands: DataFrame) -> DataFrame:
+    """Bucket-colliding (doc_a < doc_b) pairs from a (doc_id, band, h)
+    band table — shared by whole-corpus and incremental candidate
+    generation."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band", "h"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
     )
-    return hist_hits.unionByName(new_hits)
+
+
+def incremental_near_dups(
+    new_docs: DataFrame, seen_bands: DataFrame
+) -> DataFrame:
+    """Cross-batch near-dup CANDIDATE pairs: each new doc joined against
+    the HISTORICAL LSH band table (doc_id, band, h), plus new-vs-new
+    candidates within the batch. Returns (doc_a, doc_b) with
+    doc_a < doc_b (canonical order, self-pairs from replayed batches
+    filtered); run the result through ``jaccard_pairs`` on whichever
+    sides still carry text for exact verification.
+
+    At scale the historical band table is the only state kept (bands x
+    docs rows, no text), the equi-join on (band, h) touches matching
+    buckets only, and appending ``lsh_bands(minhash_signatures(new))``
+    advances the frontier. Canonical ordering means a batch replayed
+    after its bands were already appended yields each pair once, never
+    a (x, x) self-pair."""
+    nb = lsh_bands(minhash_signatures(new_docs))
+    hist_hits = (
+        nb.withColumnRenamed("doc_id", "new_id")
+        .join(seen_bands.withColumnRenamed("doc_id", "hist_id"), ["band", "h"])
+        .filter(F.col("new_id") != F.col("hist_id"))
+        .select(
+            F.least("new_id", "hist_id").alias("doc_a"),
+            F.greatest("new_id", "hist_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return hist_hits.unionByName(_band_pairs(nb)).distinct()

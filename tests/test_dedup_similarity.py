@@ -418,6 +418,7 @@ def test_incremental_near_dups_across_batches(spark):
         (r.doc_a, r.doc_b)
         for r in dedup.incremental_near_dups(new, hist_bands).collect()
     }
-    assert (10, 1) in pairs          # new vs historical
+    assert (1, 10) in pairs          # new vs historical (canonical order)
     assert (10, 11) in pairs         # new vs new
     assert not any(20 in p for p in pairs)
+    assert all(a < b for a, b in pairs)  # no self-pairs, one order only
