@@ -299,7 +299,9 @@ def main() -> None:
                 ).alias("text"),
             )
         )
-        sh_corpus = sh_corpus.persist()
+        # the raw fixture parquet is a single split, so the replicated
+        # frame would inherit ~1 partition and use one core — spread it
+        sh_corpus = sh_corpus.repartition(max(16, 2 * ncores)).persist()
         n_docs = sh_corpus.count()  # materialize before the clock starts
         t0 = time.perf_counter()
         force(dedup_op.simhash64(sh_corpus))
@@ -389,6 +391,9 @@ def main() -> None:
                 F.concat_ws(" ", "text", F.concat(F.lit("r"), F.col("rep")))
                 .alias("text"),
             )
+            # single-split parquet x broadcast range = 1 input partition;
+            # spread so the first map stage (hashing) uses every core
+            .repartition(max(16, 2 * ncores))
         )
         bench_docs = spark.range(1000).select(
             (F.col("id") + 10_000_000).alias("doc_id"),
