@@ -257,7 +257,15 @@ def simhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     are rare and candidate volume stays near-linear in the corpus (the
     round-2 4-bit-nibble banding had only 16 buckets per band, which
     degenerated to ~N^2/16 candidates). The hamming verify is four
-    sign-safe int xor+popcounts — no UDF."""
+    sign-safe int xor+popcounts — no UDF.
+
+    Extreme-scale path: at ~10^10+ docs even 65,536 buckets/band fill
+    up (bucket ~ N/65k, within-bucket join quadratic again). The same
+    pigeonhole argument generalizes — widen the signature (the
+    simhash64 aggregate extends to 128 bits as 8 sum columns more) and
+    band into 4x32-bit chunks: hamming<=3 still guarantees one clean
+    chunk, with 2^32 buckets per band. Chunk width is the knob; no
+    structural change."""
     bands = _simhash_bands(simhash64(docs))
     a, b = bands.alias("a"), bands.alias("b")
     hamming = sum(
