@@ -381,6 +381,13 @@ def _q_near_dups(spark, sf_dir):
     return dedup_op.near_dups(_docs(spark, sf_dir), 0.8)
 
 
+def _q_bigram_counts(spark, sf_dir):
+    # adjacent-pair counts — the BPE merge statistic
+    from ml4logs_spark.operators import textqa
+
+    return textqa.bigram_counts(_docs(spark, sf_dir), min_count=2)
+
+
 def _q_source_mix_sample(spark, sf_dir):
     # per-source deterministic downsampling to a 3-tier training mixture
     from ml4logs_spark.operators import textqa
@@ -665,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cosine_topk": _q_ivf_cosine_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         # ---- end of the 50-entry grading window ----
+        "bigram_counts": _q_bigram_counts,
         "labels_scan": _q_labels_scan,
         "conv_scores": _q_conv_scores,
         "conv_value_maxpool": _q_conv_value_maxpool,

@@ -285,6 +285,38 @@ def source_mix_sample(
     )
 
 
+def bigram_counts(
+    docs: DataFrame, min_count: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Adjacent-token pair counts over the corpus — the merge-pair
+    statistic BPE-style tokenizer training iterates on (count all
+    adjacent symbol pairs, merge the most frequent). Returns
+    (tok_a, tok_b, n) for pairs seen at least ``min_count`` times.
+
+    Shape at scale: zip the lowercased token array with its own tail
+    (map-side), explode pairs, ONE partial+final hash aggregate on the
+    pair key — the same explode+agg shape as build_vocab; no UDF."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    pairs = F.zip_with(
+        toks,
+        F.slice(toks, 2, 1 << 30),
+        lambda a, b: F.struct(a.alias("tok_a"), b.alias("tok_b")),
+    )
+    exploded = docs.select(F.explode(pairs).alias("p")).select(
+        F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b")
+    )
+    return (
+        exploded.filter(
+            F.col("tok_b").isNotNull()
+            & (F.col("tok_a") != "")
+            & (F.col("tok_b") != "")
+        )
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+
+
 def build_vocab(
     docs: DataFrame,
     min_df: int = 2,

@@ -554,6 +554,22 @@ def _dq_rec(body: str) -> str:
     )
 
 
+# BPE merge-pair statistic: adjacent lowercased token pairs, counted
+DOC_ORACLES["bigram_counts"] = """
+    WITH pairs AS (
+      SELECT unnest(list_transform(
+               generate_series(1, greatest(len(a) - 1, 0)),
+               i -> struct_pack(tok_a := a[i], tok_b := a[i + 1]))) AS p
+      FROM (SELECT str_split(lower(text), ' ') AS a FROM documents)
+    )
+    SELECT p.tok_a AS tok_a, p.tok_b AS tok_b, count(*) AS n
+    FROM pairs
+    WHERE p.tok_a <> '' AND p.tok_b <> ''
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+"""
+
+
 def _mix_sql() -> str:
     from ml4logs_spark.operators.textqa import MIX_WEIGHTS
 
