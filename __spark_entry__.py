@@ -381,6 +381,13 @@ def _q_near_dups(spark, sf_dir):
     return dedup_op.near_dups(_docs(spark, sf_dir), 0.8)
 
 
+def _q_repetition_stats(spark, sf_dir):
+    # Gopher-style repetition signals per document
+    from ml4logs_spark.operators import textqa
+
+    return textqa.repetition_stats(_docs(spark, sf_dir))
+
+
 def _q_bigram_counts(spark, sf_dir):
     # adjacent-pair counts — the BPE merge statistic
     from ml4logs_spark.operators import textqa
@@ -673,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         # ---- end of the 50-entry grading window ----
         "bigram_counts": _q_bigram_counts,
+        "repetition_stats": _q_repetition_stats,
         "labels_scan": _q_labels_scan,
         "conv_scores": _q_conv_scores,
         "conv_value_maxpool": _q_conv_value_maxpool,

@@ -285,6 +285,45 @@ def source_mix_sample(
     )
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/RefinedWeb-style within-document repetition signals:
+
+    - distinct_ratio: distinct tokens / tokens (low = loops/boilerplate)
+    - top_token_frac: occurrences of the most frequent token / tokens
+    - dup_bigram_frac: 1 - distinct bigrams / bigrams (repeated phrasing)
+
+    All ratios in [0,1], rounded to 6dp; single-token docs have zero
+    bigrams and report dup_bigram_frac 0. Pure map-side higher-order
+    expressions (the per-doc token multiset is small; no explode, no
+    shuffle) — the curation gate this feeds is a plain filter."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(toks)
+    n_d = F.size(F.array_distinct(toks))
+    # occurrences of the most frequent token: max over distinct tokens
+    # of the count of equal elements
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    bigrams = F.zip_with(
+        toks, F.slice(toks, 2, 1 << 30), lambda a, b: F.concat_ws(" ", a, b)
+    )
+    bigrams = F.slice(bigrams, 1, F.greatest(n - F.lit(1), F.lit(0)))
+    n_bg = F.size(bigrams)
+    n_bg_d = F.size(F.array_distinct(bigrams))
+    return docs.select(
+        "doc_id",
+        F.round(n_d / F.greatest(n, F.lit(1)), 6).alias("distinct_ratio"),
+        F.round(top / F.greatest(n, F.lit(1)), 6).alias("top_token_frac"),
+        F.round(
+            F.when(n_bg > 0, F.lit(1.0) - n_bg_d / n_bg).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+
+
 def bigram_counts(
     docs: DataFrame, min_count: int = 2, text_col: str = "text"
 ) -> DataFrame:

@@ -554,6 +554,27 @@ def _dq_rec(body: str) -> str:
     )
 
 
+# Gopher-style within-doc repetition signals
+DOC_ORACLES["repetition_stats"] = """
+    SELECT doc_id,
+           round(len(list_distinct(a)) * 1.0 / greatest(len(a), 1), 6)
+             AS distinct_ratio,
+           round(list_max(list_transform(list_distinct(a),
+                   t -> len(list_filter(a, x -> x = t)))) * 1.0
+                 / greatest(len(a), 1), 6)
+             AS top_token_frac,
+           round(CASE WHEN len(a) > 1
+                 THEN 1.0 - len(list_distinct(bg)) * 1.0 / (len(a) - 1)
+                 ELSE 0.0 END, 6)
+             AS dup_bigram_frac
+    FROM (
+      SELECT doc_id, a,
+             list_transform(generate_series(1, greatest(len(a) - 1, 0)),
+                            i -> a[i] || ' ' || a[i + 1]) AS bg
+      FROM (SELECT doc_id, str_split(lower(text), ' ') AS a FROM documents)
+    )
+"""
+
 # BPE merge-pair statistic: adjacent lowercased token pairs, counted
 DOC_ORACLES["bigram_counts"] = """
     WITH pairs AS (

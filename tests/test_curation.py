@@ -176,3 +176,22 @@ def test_curate_corpus_near_dedup_stage(spark):
     near_ids = {r.doc_id for r in near.select("doc_id").distinct().collect()}
     assert exact_ids == {1, 2, 50}   # exact dedup keeps both near-dups
     assert near_ids == {1, 50}       # near-dedup keeps the cluster min
+
+
+def test_repetition_stats_degenerate_docs(spark):
+    """Looping text scores high on every repetition signal; varied text
+    scores low; single-token and empty docs report 0 dup_bigram_frac."""
+    from ml4logs_spark.operators import textqa
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam spam"),
+         (2, "all unique words in this one"),
+         (3, "one"),
+         (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in textqa.repetition_stats(docs).collect()}
+    assert got[1].distinct_ratio == 0.2 and got[1].top_token_frac == 1.0
+    assert got[1].dup_bigram_frac == 0.75  # 4 bigrams, 1 distinct
+    assert got[2].distinct_ratio == 1.0 and got[2].dup_bigram_frac == 0.0
+    assert got[3].dup_bigram_frac == 0.0 and got[4].dup_bigram_frac == 0.0
