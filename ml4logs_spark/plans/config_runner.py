@@ -132,6 +132,20 @@ def _a_doc_stats(spark, env, step, cfg):
     return textqa.doc_stats(env[step.get("from", "documents")])
 
 
+def _a_repetition_stats(spark, env, step, cfg):
+    from ml4logs_spark.operators import textqa
+
+    return textqa.repetition_stats(env[step.get("from", "documents")])
+
+
+def _a_bigram_counts(spark, env, step, cfg):
+    from ml4logs_spark.operators import textqa
+
+    return textqa.bigram_counts(
+        env[step.get("from", "documents")], step.get("min_count", 2)
+    )
+
+
 def _a_curate(spark, env, step, cfg):
     from pyspark.sql import functions as F
 
@@ -201,6 +215,8 @@ ACTIONS: dict[str, Callable] = {
     "near_dup_survivors": _a_near_dup_survivors,
     "source_mix": _a_source_mix,
     "doc_stats": _a_doc_stats,
+    "repetition_stats": _a_repetition_stats,
+    "bigram_counts": _a_bigram_counts,
     "curate": _a_curate,
 }
 
