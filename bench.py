@@ -153,6 +153,7 @@ def main() -> None:
         ncores = n_exec * c_exec
     else:
         ncores = 32
+    n_parts = max(16, 2 * ncores)
     lc_conf = (
         {"spark.executor.memory": os.environ.get("ML4S_EXECUTOR_MEM", "5g")}
         if cores.startswith("local-cluster[") else {}
@@ -161,7 +162,7 @@ def main() -> None:
     if java_opts:
         lc_conf["spark.executor.extraJavaOptions"] = java_opts
     spark = get_spark(app_name="ml4logs_bench", cores=cores,
-                      shuffle_partitions=max(16, 2 * ncores),
+                      shuffle_partitions=n_parts,
                       extra_conf={**lc_conf,
                           # persistent catalog so the bucketed input table
                           # survives across bench processes (single-writer
@@ -301,7 +302,7 @@ def main() -> None:
         )
         # the raw fixture parquet is a single split, so the replicated
         # frame would inherit ~1 partition and use one core — spread it
-        sh_corpus = sh_corpus.repartition(max(16, 2 * ncores)).persist()
+        sh_corpus = sh_corpus.repartition(n_parts).persist()
         n_docs = sh_corpus.count()  # materialize before the clock starts
         t0 = time.perf_counter()
         force(dedup_op.simhash64(sh_corpus))
@@ -393,7 +394,7 @@ def main() -> None:
             )
             # single-split parquet x broadcast range = 1 input partition;
             # spread so the first map stage (hashing) uses every core
-            .repartition(max(16, 2 * ncores))
+            .repartition(n_parts)
         )
         bench_docs = spark.range(1000).select(
             (F.col("id") + 10_000_000).alias("doc_id"),

@@ -27,6 +27,17 @@ def _toks(text_col: str = "text") -> Column:
     return F.split(F.col(text_col), " ")
 
 
+def _toks_lower(text_col: str = "text") -> Column:
+    """Lowercased tokens with empty strings (from leading/double spaces
+    or NULL text) removed — the tokenizer the corpus-statistics
+    operators share; its DuckDB mirror is
+    list_filter(str_split(lower(coalesce(text, '')), ' '), t -> t <> '')."""
+    return F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda t: t != "",
+    )
+
+
 def _stats_exprs() -> list[Column]:
     toks = _toks()
     n_tok = F.size(toks)
@@ -292,21 +303,34 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     - top_token_frac: occurrences of the most frequent token / tokens
     - dup_bigram_frac: 1 - distinct bigrams / bigrams (repeated phrasing)
 
-    All ratios in [0,1], rounded to 6dp; single-token docs have zero
-    bigrams and report dup_bigram_frac 0. Pure map-side higher-order
-    expressions (the per-doc token multiset is small; no explode, no
-    shuffle) — the curation gate this feeds is a plain filter."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
+    All ratios in [0,1], rounded to 6dp; empty/whitespace-only docs
+    report zeros, single-token docs zero dup_bigram_frac. Tokens are
+    lowercased with empty strings filtered (``_toks_lower``), so
+    double spaces never masquerade as a repeated token. Pure map-side
+    higher-order expressions, all LINEAR in document length (the mode
+    count is the longest run in the sorted token array, not a
+    count-per-distinct-token scan) — no explode, no shuffle."""
+    toks = _toks_lower(text_col)
     n = F.size(toks)
     n_d = F.size(F.array_distinct(toks))
-    # occurrences of the most frequent token: max over distinct tokens
-    # of the count of equal elements
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda t: F.size(F.filter(toks, lambda x: x == t)),
-        )
+    # occurrences of the most frequent token == longest run in the
+    # sorted array: cut positions i (1..n-1) where s[i] != s[i+1],
+    # padded with 0 and n; the widest gap between cuts is the mode
+    # count. sequence() is DESCENDING for n<2, so that case is guarded.
+    s = F.array_sort(toks)
+    # upper bound clamped to >=1 (sequence() turns descending below
+    # that) and try_element_at (NULL past the end -> predicate NULL ->
+    # dropped) keep the n<=1 rows, whose value the when() below
+    # overrides anyway, from throwing under ANSI evaluation
+    cuts_mid = F.filter(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(1), F.lit(1))),
+        lambda i: F.try_element_at(s, i) != F.try_element_at(s, i + 1),
     )
+    bounds = F.concat(F.array(F.lit(0)), cuts_mid, F.array(n))
+    gaps = F.zip_with(
+        F.slice(bounds, 2, 1 << 30), bounds, lambda b, a: b - a
+    )
+    top = F.when(n <= 1, n).otherwise(F.array_max(gaps))
     bigrams = F.zip_with(
         toks, F.slice(toks, 2, 1 << 30), lambda a, b: F.concat_ws(" ", a, b)
     )
@@ -332,10 +356,12 @@ def bigram_counts(
     adjacent symbol pairs, merge the most frequent). Returns
     (tok_a, tok_b, n) for pairs seen at least ``min_count`` times.
 
-    Shape at scale: zip the lowercased token array with its own tail
-    (map-side), explode pairs, ONE partial+final hash aggregate on the
-    pair key — the same explode+agg shape as build_vocab; no UDF."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
+    Shape at scale: zip the lowercased empty-filtered token array
+    (``_toks_lower``, so double spaces don't break adjacency) with its
+    own tail (map-side), explode pairs, ONE partial+final hash
+    aggregate on the pair key — the same explode+agg shape as
+    build_vocab; no UDF."""
+    toks = _toks_lower(text_col)
     pairs = F.zip_with(
         toks,
         F.slice(toks, 2, 1 << 30),
@@ -345,11 +371,7 @@ def bigram_counts(
         F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b")
     )
     return (
-        exploded.filter(
-            F.col("tok_b").isNotNull()
-            & (F.col("tok_a") != "")
-            & (F.col("tok_b") != "")
-        )
+        exploded.filter(F.col("tok_b").isNotNull())
         .groupBy("tok_a", "tok_b")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)

@@ -554,13 +554,19 @@ def _dq_rec(body: str) -> str:
     )
 
 
-# Gopher-style within-doc repetition signals
-DOC_ORACLES["repetition_stats"] = """
+# shared lowered empty-filtered tokenizer (mirror of textqa._toks_lower)
+_TOKS_LOWER = "list_filter(str_split(lower(coalesce(text, '')), ' '), t -> t <> '')"
+
+# Gopher-style within-doc repetition signals; the mode count mirrors the
+# Spark longest-run-in-sorted-array formulation (linear, not per-token)
+DOC_ORACLES["repetition_stats"] = f"""
     SELECT doc_id,
            round(len(list_distinct(a)) * 1.0 / greatest(len(a), 1), 6)
              AS distinct_ratio,
-           round(list_max(list_transform(list_distinct(a),
-                   t -> len(list_filter(a, x -> x = t)))) * 1.0
+           round(CASE WHEN len(a) <= 1 THEN len(a)
+                 ELSE list_max(list_transform(
+                        generate_series(1, len(bounds) - 1),
+                        j -> bounds[j + 1] - bounds[j])) END * 1.0
                  / greatest(len(a), 1), 6)
              AS top_token_frac,
            round(CASE WHEN len(a) > 1
@@ -568,24 +574,31 @@ DOC_ORACLES["repetition_stats"] = """
                  ELSE 0.0 END, 6)
              AS dup_bigram_frac
     FROM (
-      SELECT doc_id, a,
-             list_transform(generate_series(1, greatest(len(a) - 1, 0)),
-                            i -> a[i] || ' ' || a[i + 1]) AS bg
-      FROM (SELECT doc_id, str_split(lower(text), ' ') AS a FROM documents)
+      SELECT doc_id, a, bg,
+             list_concat(list_concat(
+               [CAST(0 AS BIGINT)],
+               list_filter(generate_series(1, greatest(len(a) - 1, 0)),
+                           i -> s[i] <> s[i + 1])),
+               [CAST(len(a) AS BIGINT)]) AS bounds
+      FROM (
+        SELECT doc_id, a, list_sort(a) AS s,
+               list_transform(generate_series(1, greatest(len(a) - 1, 0)),
+                              i -> a[i] || ' ' || a[i + 1]) AS bg
+        FROM (SELECT doc_id, {_TOKS_LOWER} AS a FROM documents)
+      )
     )
 """
 
 # BPE merge-pair statistic: adjacent lowercased token pairs, counted
-DOC_ORACLES["bigram_counts"] = """
+DOC_ORACLES["bigram_counts"] = f"""
     WITH pairs AS (
       SELECT unnest(list_transform(
                generate_series(1, greatest(len(a) - 1, 0)),
                i -> struct_pack(tok_a := a[i], tok_b := a[i + 1]))) AS p
-      FROM (SELECT str_split(lower(text), ' ') AS a FROM documents)
+      FROM (SELECT {_TOKS_LOWER} AS a FROM documents)
     )
     SELECT p.tok_a AS tok_a, p.tok_b AS tok_b, count(*) AS n
     FROM pairs
-    WHERE p.tok_a <> '' AND p.tok_b <> ''
     GROUP BY 1, 2
     HAVING count(*) >= 2
 """

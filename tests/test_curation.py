@@ -187,10 +187,13 @@ def test_repetition_stats_degenerate_docs(spark):
         [(1, "spam spam spam spam spam"),
          (2, "all unique words in this one"),
          (3, "one"),
-         (4, "")],
+         (4, ""),
+         (5, "a  b  c  d")],
         "doc_id long, text string",
     )
     got = {r.doc_id: r for r in textqa.repetition_stats(docs).collect()}
+    # double spaces are tokenizer noise, not a repeated '' token
+    assert got[5].distinct_ratio == 1.0 and got[5].top_token_frac == 0.25
     assert got[1].distinct_ratio == 0.2 and got[1].top_token_frac == 1.0
     assert got[1].dup_bigram_frac == 0.75  # 4 bigrams, 1 distinct
     assert got[2].distinct_ratio == 1.0 and got[2].dup_bigram_frac == 0.0
