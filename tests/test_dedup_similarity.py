@@ -422,3 +422,19 @@ def test_incremental_near_dups_across_batches(spark):
     assert (10, 11) in pairs         # new vs new
     assert not any(20 in p for p in pairs)
     assert all(a < b for a, b in pairs)  # no self-pairs, one order only
+
+
+def test_incremental_exact_dedup_null_text_cross_batch(spark):
+    """A historically-seen NULL-text row stays deduplicated: the
+    anti-join is null-safe (plain equality never matches NULL keys)."""
+    from ml4logs_spark.operators import dedup
+
+    b1 = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    seen = dedup.exact_dup_groups(b1).select("text_hash")
+    b2 = spark.createDataFrame(
+        [(10, None), (11, "fresh content")], "doc_id long, text string"
+    )
+    out = sorted(
+        r.doc_id for r in dedup.incremental_exact_dedup(b2, seen).collect()
+    )
+    assert out == [11]
