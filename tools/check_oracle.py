@@ -75,7 +75,11 @@ def main() -> int:
     import __spark_entry__ as entry
     from ml4logs_spark.session import get_spark
 
-    spark = get_spark(cores=8)
+    # no console progress bar: its carriage returns splice into the
+    # OK/FAIL lines and break line-oriented consumers (grep/awk)
+    spark = get_spark(
+        cores=8, extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     con = duckdb.connect()
     for p in sorted(Path(sf_dir).glob("*.parquet")):
         con.execute(f"CREATE VIEW {p.stem} AS SELECT * FROM '{p}'")
