@@ -86,6 +86,27 @@ in the same wall time on 4x the executors). Weak scaling is supporting
 context for the 100 TB growth model; the stated criterion is the strong
 number above.
 """
+    sus_p = BENCH / "sustained.json"
+    sus = json.loads(sus_p.read_text()) if sus_p.exists() else None
+    if sus:
+        md += """
+## Sustained throughput (fixed 32 cores, growing input)
+
+| input turns | e2e wall (s) | turns/sec |
+|---|---|---|
+"""
+        for r in sus["runs"]:
+            md += (
+                f"| {r['turns']:,} | {r['e2e_sec']} "
+                f"| {r['turns_per_sec']:,.1f} |\n"
+            )
+        md += f"""
+Throughput RISES with input size — the sf0.1 wall is dominated by fixed
+per-query overhead (planning, codegen, task launch), so the per-row
+cost the 100 TB projection depends on is far below the headline bench
+number. Protocol: {sus['protocol']}.
+"""
+
     if datapoints:
         md += """
 ## All recorded strong-scaling datapoints
