@@ -135,3 +135,24 @@ def test_config_near_dup_survivors_and_source_mix(spark, tmp_path):
     assert 0 < result["near_dup_survivors"] <= 500
     # ~50% draw over the survivors
     assert 0 < result["source_mix"] < result["near_dup_survivors"]
+
+
+def test_run_pipeline_cli_smoke(tmp_path):
+    """The spark-submit entry point (jobs/run_pipeline.py) runs end to
+    end as its own process and prints the metrics JSON contract."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [sys.executable, "jobs/run_pipeline.py",
+         "--input", SF_DIR, "--warehouse", str(tmp_path / "wh"),
+         "--cores", "4"],
+        capture_output=True, text=True, cwd=repo, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["routed_turns"] > 0
+    assert out["stages_ran"] and out["turns_per_sec"] > 0
