@@ -156,3 +156,31 @@ def test_run_pipeline_cli_smoke(tmp_path):
     out = json.loads(proc.stdout.strip().splitlines()[-1])
     assert out["routed_turns"] > 0
     assert out["stages_ran"] and out["turns_per_sec"] > 0
+
+
+def test_run_config_cli_smoke(tmp_path):
+    """The config-driven CLI (the reference's `python -m ml4logs
+    <config.json>` UX) runs a shipped-style config end to end."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    cfg = {
+        "input": SF_DIR,
+        "warehouse": str(tmp_path / "wh"),
+        "pipeline": [
+            {"action": "documents"},
+            {"action": "doc_stats", "save": True},
+        ],
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    proc = subprocess.run(
+        [sys.executable, "jobs/run_config.py", str(cfg_path)],
+        capture_output=True, text=True, cwd=repo, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["doc_stats"] > 0
