@@ -407,6 +407,13 @@ def main() -> None:
         t0 = time.perf_counter()
         n_chunks = curate.curate_corpus(corpus, bench_docs).count()
         wall = time.perf_counter() - t0
+        # free the tracked diamond-node persists (curate's gated frame)
+        # and the bench-local codebook caches before the next section
+        from ml4logs_spark import cache as _cache
+
+        _cache.release_all()
+        cb.unpersist()
+        ccb.unpersist()
         docs_out.update({
             "curate_docs_in": n_base * rep,
             "curate_chunks_out": n_chunks,

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ml4logs_spark import cache
 from ml4logs_spark.operators import dedup, textqa
 
 
@@ -53,18 +54,21 @@ def curate_corpus(
     if near_threshold is not None:
         # the clustering fixpoint and the final anti-join each consume
         # surv in separate jobs — persist so the scan + dedup shuffle
-        # doesn't replay (same diamond-DAG rule as the gated frame)
-        surv = surv.persist()
+        # doesn't replay (same diamond-DAG rule as the gated frame).
+        # Tracked: looping callers free it via cache.release_all().
+        surv = cache.track(surv)
         surv = dedup.near_dup_survivors(surv, near_threshold)
     # keep_cols carries text through the gate in the same map-side
     # select — no join back to the corpus (one less doc_id shuffle)
-    good = textqa.quality_filter(
-        surv,
-        min_score=min_score,
-        min_tokens=min_tokens,
-        max_tokens=max_tokens,
-        keep_cols=("text",),
-    ).select("doc_id", "text").persist()
+    good = cache.track(
+        textqa.quality_filter(
+            surv,
+            min_score=min_score,
+            min_tokens=min_tokens,
+            max_tokens=max_tokens,
+            keep_cols=("text",),
+        ).select("doc_id", "text")
+    )
     clean = dedup.decontaminate(good, benchmark)
     masked = textqa.mask_pii(clean).select(
         "doc_id", F.col("masked_text").alias("text")

@@ -191,20 +191,26 @@ def _compile_template_groups(
     for t in templates:
         if t:
             by_k.setdefault(len(t.split()), []).append(t)
-    return {
-        k: (
-            re.compile(
-                # \Z, not $: under str.extract (re.search) '$' also
-                # matches before a trailing newline, which would assign
-                # templates the previous str.fullmatch rejected
-                "|".join(
-                    f"(?P<t{i}>^{template_regex(t)}\\Z)" for i, t in enumerate(ts)
-                )
-            ),
-            ts,
+    groups: dict[int, tuple[re.Pattern, list[str]]] = {}
+    for k, ts in by_k.items():
+        rx = re.compile(
+            # \Z, not $: under str.extract (re.search) '$' also
+            # matches before a trailing newline, which would assign
+            # templates the previous str.fullmatch rejected
+            "|".join(f"(?P<t{i}>^{template_regex(t)}\\Z)" for i, t in enumerate(ts))
         )
-        for k, ts in by_k.items()
-    }
+        # the matcher maps extract-column index -> template index 1:1,
+        # which is only sound while template_regex stays capture-free
+        # (re.escape + \S+). A future capture group would silently
+        # shift that mapping and mis-assign templates — fail loudly.
+        if rx.groups != len(ts):
+            raise AssertionError(
+                f"template alternation for k={k} compiled {rx.groups} groups "
+                f"for {len(ts)} templates — template_regex emitted a capture "
+                "group; the index->template mapping would be wrong"
+            )
+        groups[k] = (rx, ts)
+    return groups
 
 
 def match_templates(turns: DataFrame, templates: list[str], text_col: str = "text") -> DataFrame:

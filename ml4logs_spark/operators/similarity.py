@@ -350,7 +350,9 @@ def _ivf_candidates(
     equi-join. One definition keeps ivf_topk and ivf_candidate_fraction
     grading the SAME candidate set; ``codebook=None`` fits fresh."""
     if codebook is None:
-        codebook = fit_ivf_codebook(emb, n_centroids, vec_col=vec_col).cache()
+        from ml4logs_spark import cache
+
+        codebook = cache.track(fit_ivf_codebook(emb, n_centroids, vec_col=vec_col))
     cells = ivf_cells(emb, codebook, vec_col=vec_col)
     q_scored = (
         emb.filter(F.col("vec_id").isin(query_ids))

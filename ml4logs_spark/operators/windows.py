@@ -117,12 +117,13 @@ def conv_offsets(turns: DataFrame, n_parts: int | None = None) -> DataFrame:
     points, assign buckets by range lookup) — same shape as the drain
     fit — which trades the cache for an extra sampling job.
     """
+    from ml4logs_spark import cache
+
     sizes = turns.groupBy("conv_id").agg(F.count(F.lit(1)).alias("conv_size"))
     parts = n_parts or turns.sparkSession.sparkContext.defaultParallelism
-    ranged = (
+    ranged = cache.track(
         sizes.repartitionByRange(parts, "conv_id")
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
     w_local = (
         Window.partitionBy("_pid").orderBy("conv_id")

@@ -48,6 +48,11 @@ def compare_frames(sdf: pd.DataFrame, ddf: pd.DataFrame) -> str | None:
     """
     if sorted(sdf.columns) != sorted(ddf.columns):
         return f"columns {sorted(sdf.columns)} vs {sorted(ddf.columns)}"
+    # align ddf to sdf's column order before normalize so both frames
+    # sort rows on identical keys (normalize sorts columns by name, but
+    # belt-and-braces: a same-named differently-ordered frame must never
+    # report a spurious row-order mismatch)
+    ddf = ddf[list(sdf.columns)]
     s, d = normalize(sdf), normalize(ddf)
     if len(s) != len(d):
         return f"rows {len(s)} vs {len(d)}"
@@ -84,6 +89,8 @@ def main() -> int:
     for p in sorted(Path(sf_dir).glob("*.parquet")):
         con.execute(f"CREATE VIEW {p.stem} AS SELECT * FROM '{p}'")
 
+    from ml4logs_spark import cache
+
     qs, oracles = entry.queries(), entry.oracle_sql()
     failed = []
     for name, fn in qs.items():
@@ -94,7 +101,12 @@ def main() -> int:
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
             failed.append(name)
+            cache.release_all()
             continue
+        # the result is already in pandas — release the operators'
+        # tracked diamond-node persists so a 70-query sweep doesn't
+        # accumulate cached blocks across queries
+        cache.release_all()
         sql = oracles.get(name)
         if sql is None:
             print(f"SKIP {name}: no oracle (rows-only, {len(sdf)} rows)")
