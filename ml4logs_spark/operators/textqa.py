@@ -383,6 +383,7 @@ def build_vocab(
     min_df: int = 2,
     max_df_ratio: float = 0.5,
     text_col: str = "text",
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Corpus vocabulary dimension with document-frequency thresholds:
     (token_id, token, df, tf). Tokens seen in fewer than ``min_df``
@@ -392,10 +393,27 @@ def build_vocab(
 
     Shape at scale: explode + one partial+final hash aggregate on
     token; the corpus-size divisor rides along as a broadcast 1-row
-    aggregate (fully lazy, no driver count). Ids are dense_rank over
-    token text on the ALREADY-AGGREGATED dim (vocabulary-bounded, tiny
-    — same deliberate single-partition ranking as parse.template_dim)."""
+    aggregate (fully lazy, no driver count). Dense 1-based ids ordered
+    by token text come from a DISTRIBUTED two-phase ranking — the same
+    shape as windows.conv_offsets — because unlike template grammars a
+    web-corpus vocabulary is NOT bounded (10^8-10^9 distinct tokens
+    pass min_df=2 at 100 TB) and a single-partition rank would sort it
+    all in one task:
+
+    1. range-partition the filtered vocab by token; row_number WITHIN
+       each range partition (tokens are distinct post-aggregate, so
+       row_number == dense_rank);
+    2. per-partition counts (#partitions rows — tiny) get an exclusive
+       prefix sum and broadcast-join back as the base offset.
+
+    Range partitions compose in token order, so base + local rank is
+    the global dense rank. The only single-partition window left runs
+    over #partitions rows. ``ranged`` is persisted (cache.track) before
+    the two consumers branch — repartitionByRange samples boundaries,
+    so evaluating it twice risks inconsistent ``_pid`` assignments."""
     from pyspark.sql.window import Window
+
+    from ml4logs_spark import cache
 
     toks = docs.select(
         "doc_id",
@@ -406,17 +424,32 @@ def build_vocab(
         F.count(F.lit(1)).alias("tf"),
     )
     total = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
-    w = Window.partitionBy(F.substring("token", 1, 0)).orderBy("token")
-    return (
-        vocab.crossJoin(F.broadcast(total))
-        .filter(
-            (F.col("df") >= min_df)
-            & (F.col("df") <= F.lit(max_df_ratio) * F.col("n_docs"))
-        )
-        .select(
-            F.dense_rank().over(w).cast("long").alias("token_id"),
-            "token",
-            "df",
-            "tf",
-        )
+    kept = vocab.crossJoin(F.broadcast(total)).filter(
+        (F.col("df") >= min_df)
+        & (F.col("df") <= F.lit(max_df_ratio) * F.col("n_docs"))
+    )
+    parts = n_parts or docs.sparkSession.sparkContext.defaultParallelism
+    ranged = cache.track(
+        kept.repartitionByRange(parts, "token")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("_pid").orderBy("token")
+    local = ranged.withColumn("_local", F.row_number().over(w_local))
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    # bounded by #partitions rows — deliberate single-partition window;
+    # the non-foldable constant key survives the optimizer (see
+    # windows.conv_offsets)
+    w_base = (
+        Window.partitionBy(F.substring(F.col("_pid").cast("string"), 1, 0))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = counts.withColumn(
+        "_base", F.coalesce(F.sum("_n").over(w_base), F.lit(0))
+    ).select("_pid", "_base")
+    return local.join(F.broadcast(bases), "_pid").select(
+        (F.col("_base") + F.col("_local")).cast("long").alias("token_id"),
+        "token",
+        "df",
+        "tf",
     )

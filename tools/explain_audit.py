@@ -159,6 +159,21 @@ def main() -> int:
     p = plan_of(textqa.build_vocab(docs))
     check("build_vocab: partial+final HashAggregate",
           p.count("HashAggregate") >= 2)
+    # token-id ranking must be the distributed two-phase form: the
+    # vocabulary-sized window partitioned by the range-partition id,
+    # never a single-partition sort over the whole vocab (the only
+    # SinglePartition stage allowed is the #partitions-row totals side)
+    check("build_vocab: range repartition on token",
+          "rangepartitioning(token" in p)
+    check("build_vocab: vocab window partitioned by _pid",
+          "windowspecdefinition(_pid" in p)
+    # allowed SinglePartition stages: the 1-row n_docs scalar aggregate
+    # (partial+final, so the single task receives #tasks rows) and the
+    # #partitions-row totals window. The cached `ranged` subtree is
+    # re-printed inside InMemoryRelation — count live operators only.
+    n_single = p.split("InMemoryRelation")[0].count("Exchange SinglePartition")
+    check("build_vocab: no single-partition stage over the vocab",
+          n_single <= 2, f"SinglePartition exchanges={n_single}")
     from pyspark.sql import functions as FF
     nib = FF.substring(FF.md5("text"), 1, 1)
     p = plan_of(dedup.decontaminate(docs.filter(nib != "0"), docs.filter(nib == "0")))
