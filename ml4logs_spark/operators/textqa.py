@@ -237,29 +237,49 @@ def quality_filter(
     )
 
 
+def _norm_rate_hex(rate_hex: str, what: str = "rate_hex") -> str:
+    """Validate a 2- or 4-hex-char sampling rate and normalize it to 4
+    chars. A 2-char rate right-padded with "00" selects exactly the
+    same rows (``md5[:4] < "4000"`` <=> ``md5[:2] < "40"``), so legacy
+    2-char rates stay bit-identical while 4-char rates unlock
+    1/65,536-step precision — real data-mixing recipes ("0.1 parts
+    forums") need weights below the old 1/256 floor."""
+    if len(rate_hex) not in (2, 4) or any(
+        c not in "0123456789abcdef" for c in rate_hex
+    ):
+        raise ValueError(
+            f"{what} must be 2 or 4 lowercase hex chars, got {rate_hex!r}"
+        )
+    return rate_hex if len(rate_hex) == 4 else rate_hex + "00"
+
+
 def hash_sample(
     docs: DataFrame,
-    rate_hex: str = "40",
+    rate_hex: str = "4000",
     key_cols: tuple[str, ...] = ("source", "doc_id"),
 ) -> DataFrame:
     """Deterministic corpus sampling: keep rows whose md5(key) hex
-    prefix sorts below ``rate_hex`` — int(rate_hex, 16)/256 of the
-    corpus (``"40"`` = 25%). Unlike ``rand()``-based sampling this is
-    reproducible across runs, retries, and partitionings (the property
-    that matters for auditable 100 TB subsets), and salting the key
-    with ``source`` keeps the draw independent per stratum. Map-only."""
-    if len(rate_hex) != 2 or any(c not in "0123456789abcdef" for c in rate_hex):
-        raise ValueError(f"rate_hex must be 2 lowercase hex chars, got {rate_hex!r}")
+    prefix sorts below ``rate_hex`` — int(rate_hex, 16)/65,536 of the
+    corpus (``"4000"`` = 25%; 2-char legacy rates like ``"40"``
+    normalize to the same draw). Unlike ``rand()``-based sampling this
+    is reproducible across runs, retries, and partitionings (the
+    property that matters for auditable 100 TB subsets), and salting
+    the key with ``source`` keeps the draw independent per stratum.
+    Map-only."""
+    rate = _norm_rate_hex(rate_hex)
     key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])
-    return docs.filter(F.substring(F.md5(key), 1, 2) < F.lit(rate_hex))
+    return docs.filter(F.substring(F.md5(key), 1, 4) < F.lit(rate))
 
 
-# demo mixture over the synthetic corpus's src0..src19: three tiers
-# (75% / 50% / 12.5%) — shared by the queries() fixture and its oracle
+# demo mixture over the synthetic corpus's src0..src19: four tiers
+# (75% / 50% / 12.5% / ~0.2%) — shared by the queries() fixture and its
+# oracle. The last tier sits BELOW the old 1/256 floor (0x0080/0x10000
+# = 1/512) to keep the 4-hex-char precision path exercised end-to-end.
 MIX_WEIGHTS: dict[str, str] = {
-    **{f"src{i}": "c0" for i in range(5)},
-    **{f"src{i}": "80" for i in range(5, 10)},
-    **{f"src{i}": "20" for i in range(10, 20)},
+    **{f"src{i}": "c000" for i in range(5)},
+    **{f"src{i}": "8000" for i in range(5, 10)},
+    **{f"src{i}": "2000" for i in range(10, 15)},
+    **{f"src{i}": "0080" for i in range(15, 20)},
 }
 
 
@@ -271,27 +291,28 @@ def source_mix_sample(
     """Data-mixing sampler: downsample each source to its own target
     rate — the step that turns a raw crawl into a training mixture
     ("2 parts web, 1 part code, 0.1 part forums"). ``weights`` maps
-    source -> 2-hex-char rate exactly as in ``hash_sample`` ("40" =
-    25%); sources absent from the map are dropped.
+    source -> hex rate exactly as in ``hash_sample`` ("4000" = 25%;
+    4-char rates give 1/65,536 steps so sub-0.4% mixture weights are
+    expressible, 2-char legacy rates normalize bit-identically);
+    sources absent from the map are dropped.
 
     The weight table rides as a broadcast dim joined on ``source`` (an
     inner join, so unlisted sources never pass), then the same
     deterministic md5-prefix draw as ``hash_sample`` filters map-side —
     reproducible across runs/retries/partitionings, independent per
     stratum, and the 100 TB side never shuffles."""
-    for src, rate_hex in weights.items():
-        if len(rate_hex) != 2 or any(c not in "0123456789abcdef" for c in rate_hex):
-            raise ValueError(
-                f"rate for {src!r} must be 2 lowercase hex chars, got {rate_hex!r}"
-            )
+    norm = {
+        src: _norm_rate_hex(rate_hex, what=f"rate for {src!r}")
+        for src, rate_hex in weights.items()
+    }
     spark = docs.sparkSession
     dim = spark.createDataFrame(
-        list(weights.items()), "source string, _rate_hex string"
+        list(norm.items()), "source string, _rate_hex string"
     )
     key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])
     return (
         docs.join(F.broadcast(dim), "source")
-        .filter(F.substring(F.md5(key), 1, 2) < F.col("_rate_hex"))
+        .filter(F.substring(F.md5(key), 1, 4) < F.col("_rate_hex"))
         .drop("_rate_hex")
     )
 

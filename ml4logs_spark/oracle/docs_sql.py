@@ -439,11 +439,12 @@ DOC_ORACLES: dict[str, str] = {
         WHERE quality_score >= 0.5 AND n_tokens BETWEEN 3 AND 10000
     """,
     # deterministic md5-prefix sampling: string comparison of the hex
-    # prefix is engine-neutral (no hex->int conversion needed)
+    # prefix is engine-neutral (no hex->int conversion needed); 4-char
+    # prefix = 1/65,536-step rates
     "docs_hash_sample": """
         SELECT doc_id, source FROM documents
-        WHERE substring(md5(concat_ws(':', source, CAST(doc_id AS VARCHAR))), 1, 2)
-              < '40'
+        WHERE substring(md5(concat_ws(':', source, CAST(doc_id AS VARCHAR))), 1, 4)
+              < '4000'
     """,
     # vocabulary dim with df thresholds; dense_rank over token text
     # mirrors the Spark bounded-dim ranking
@@ -612,7 +613,7 @@ def _mix_sql() -> str:
         SELECT d.doc_id, d.source
         FROM documents d
         JOIN (VALUES {values}) m(source, rate) ON m.source = d.source
-        WHERE substring(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 2)
+        WHERE substring(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 4)
               < m.rate
     """
 

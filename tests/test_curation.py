@@ -49,6 +49,32 @@ def test_hash_sample_deterministic_and_rated(spark):
         textqa.hash_sample(df, rate_hex="GG")
     with pytest.raises(ValueError):
         textqa.hash_sample(df, rate_hex="4")
+    with pytest.raises(ValueError):
+        textqa.hash_sample(df, rate_hex="400")  # 3 chars: neither form
+
+
+def test_hash_sample_subpercent_precision(spark):
+    """4-hex-char rates express weights below the old 1/256 floor:
+    "0080" = 1/512 ~ 0.195%, unreachable with 2-char rates (and "00"
+    still means exactly zero)."""
+    from pyspark.sql import functions as F
+    from ml4logs_spark.operators import textqa
+
+    docs = spark.range(20000).select(
+        F.col("id").alias("doc_id"), F.lit("s0").alias("source"),
+        F.lit("x").alias("text"),
+    )
+    n = textqa.hash_sample(docs, rate_hex="0080").count()
+    # binomial(20000, 1/512): mean ~39, sd ~6.2 — generous 4-sigma band
+    assert 14 <= n <= 66, n
+    # 2-char legacy rate normalizes bit-identically to its padded form
+    a = sorted(textqa.hash_sample(docs, rate_hex="20").toPandas().doc_id)
+    b = sorted(textqa.hash_sample(docs, rate_hex="2000").toPandas().doc_id)
+    assert a == b
+    assert textqa.hash_sample(docs, rate_hex="00").count() == 0
+    # the mixture sampler takes the same sub-1/256 weights per source
+    m = textqa.source_mix_sample(docs, {"s0": "0080"}).count()
+    assert 14 <= m <= 66, m
 
 
 def test_build_vocab_df_thresholds(spark):
