@@ -520,3 +520,93 @@ def incremental_near_dups(
         .distinct()
     )
     return hist_hits.unionByName(_band_pairs(nb)).distinct()
+
+
+STORE_HASH_CHARS = 8  # 32-bit hashed shingles in the verification store
+
+
+def shingle_store(
+    docs: DataFrame, text_col: str = "text", hash_chars: int = STORE_HASH_CHARS
+) -> DataFrame:
+    """Compact per-doc verification state: (doc_id, sh_sig) where
+    ``sh_sig`` is the doc's distinct shingle set as sorted md5-prefix
+    hashes — the second half of the incremental near-dup state (next to
+    the LSH band table), kept so new-vs-historical candidate pairs can
+    be Jaccard-verified WITHOUT the historical corpus text.
+
+    Jaccard over hashed distinct shingles equals Jaccard over the
+    shingles themselves up to hash collisions: at the default 8 hex
+    chars (32 bits), a 500-shingle doc has ~3e-5 probability of ANY
+    within-doc collision, and a collision merely merges two shingles —
+    noise far below the dedup threshold's resolution. Fixed-width hex
+    entries also columnar-compress better than raw text. Map-only;
+    sorted so the stored state is byte-deterministic across runs."""
+    sig = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                shingles_col(text_col),
+                lambda s: F.substring(F.md5(s), 1, hash_chars),
+            )
+        )
+    )
+    return docs.select("doc_id", sig.alias("sh_sig"))
+
+
+def store_jaccard_pairs(store: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact hashed-shingle Jaccard for candidate pairs, joined against
+    a ``shingle_store`` frame instead of document text — the
+    verification step when one (or both) sides only exist as state.
+    Same two doc_id equi-joins as ``jaccard_pairs``; the store side is
+    compact fixed-width arrays."""
+    s = store.select("doc_id", "sh_sig")
+    out = (
+        pairs.join(
+            s.withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("sh_sig", "sig_a"),
+            "doc_a",
+        ).join(
+            s.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("sh_sig", "sig_b"),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect("sig_a", "sig_b"))
+    union = F.size(F.array_union("sig_a", "sig_b"))
+    return out.select(
+        "doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard")
+    )
+
+
+def incremental_near_dup_verified(
+    new_docs: DataFrame,
+    seen_bands: DataFrame,
+    seen_store: DataFrame,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Cross-batch near-dup pairs, VERIFIED: LSH candidates from
+    ``incremental_near_dups`` (new-vs-historical + new-vs-new), then
+    exact hashed-shingle Jaccard against the union of the historical
+    ``shingle_store`` state and the batch's own store, thresholded.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    This closes the day-2 ingest loop: the batch path (``near_dups``)
+    verifies against text, but a real pipeline only keeps state — the
+    band table for candidates plus this store for verification; the
+    historical corpus is never rescanned and no text is retained. To
+    advance the frontier append ``lsh_bands(minhash_signatures(new))``
+    and ``shingle_store(new)`` for the ACCEPTED rows.
+
+    Replay-safe: a batch whose state was already appended anti-joins
+    its (identical — the store is a deterministic function of text)
+    entries out of the union, candidate pairs stay canonical with no
+    self-pairs, and the verified output is unchanged. Assumes doc_ids
+    are stable content ids (a doc_id reused for different text is an
+    upstream bug this operator does not referee)."""
+    cands = incremental_near_dups(new_docs, seen_bands)
+    new_store = shingle_store(new_docs)
+    store = seen_store.select("doc_id", "sh_sig").unionByName(
+        new_store.join(seen_store.select("doc_id"), "doc_id", "left_anti")
+    )
+    return store_jaccard_pairs(store, cands).filter(
+        F.col("jaccard") >= threshold
+    )

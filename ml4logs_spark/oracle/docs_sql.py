@@ -35,10 +35,14 @@ _MH_EXPRS = ",\n         ".join(
     for i in range(N_MINHASH)
 )
 
-_BANDS = "\nUNION ALL ".join(
-    f"SELECT doc_id, {b} AS band, md5(mh{2*b} || mh{2*b+1}) AS h FROM sig"
-    for b in range(LSH_BANDS)
-)
+def _bands_sql(sig_tbl: str) -> str:
+    return "\nUNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(mh{2*b} || mh{2*b+1}) AS h FROM {sig_tbl}"
+        for b in range(LSH_BANDS)
+    )
+
+
+_BANDS = _bands_sql("sig")
 
 _DOCS_PROLOGUE = f"""
 WITH sh AS (
@@ -602,6 +606,58 @@ DOC_ORACLES["bigram_counts"] = f"""
     FROM pairs
     GROUP BY 1, 2
     HAVING count(*) >= 2
+"""
+
+
+# Incremental near-dup verification mirror: even doc_ids play the
+# historical corpus (present only as state: LSH bands + hashed-shingle
+# store), odd doc_ids are the new batch. Candidates = new-vs-hist band
+# collisions (canonical least/greatest) UNION new-vs-new pairs; verify
+# = Jaccard over the md5-prefix hashed shingle sets from the store.
+def _store_sig_sql() -> str:
+    from ml4logs_spark.operators.dedup import STORE_HASH_CHARS
+
+    return (
+        "list_sort(list_distinct(list_transform(shingles, "
+        f"s -> substring(md5(s), 1, {STORE_HASH_CHARS}))))"
+    )
+
+
+DOC_ORACLES["incremental_near_dup_verified"] = f"""
+    WITH sh_h AS (
+      SELECT doc_id, {_SHINGLES} AS shingles FROM documents WHERE doc_id % 2 = 0
+    ), sh_n AS (
+      SELECT doc_id, {_SHINGLES} AS shingles FROM documents WHERE doc_id % 2 = 1
+    ), sig_h AS (
+      SELECT doc_id, {_MH_EXPRS} FROM sh_h
+    ), sig_n AS (
+      SELECT doc_id, {_MH_EXPRS} FROM sh_n
+    ), bands_h AS ({_bands_sql('sig_h')}
+    ), bands_n AS ({_bands_sql('sig_n')}
+    ), cand AS (
+      SELECT least(a.doc_id, b.doc_id) AS doc_a,
+             greatest(a.doc_id, b.doc_id) AS doc_b
+      FROM bands_n a JOIN bands_h b USING (band, h)
+      WHERE a.doc_id <> b.doc_id
+      UNION
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands_n a JOIN bands_n b USING (band, h)
+      WHERE a.doc_id < b.doc_id
+    ), store AS (
+      SELECT doc_id, {_store_sig_sql()} AS sh_sig FROM sh_h
+      UNION ALL
+      SELECT doc_id, {_store_sig_sql()} AS sh_sig FROM sh_n
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_intersect(sa.sh_sig, sb.sh_sig)) * 1.0
+                 / len(list_distinct(list_concat(sa.sh_sig, sb.sh_sig))), 6)
+             AS jaccard
+    FROM cand c
+    JOIN store sa ON sa.doc_id = c.doc_a
+    JOIN store sb ON sb.doc_id = c.doc_b
+    WHERE round(len(list_intersect(sa.sh_sig, sb.sh_sig)) * 1.0
+                / len(list_distinct(list_concat(sa.sh_sig, sb.sh_sig))), 6)
+          >= 0.8
 """
 
 

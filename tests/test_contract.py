@@ -42,7 +42,11 @@ def test_grading_window_holds_only_full_oracle_queries():
                  "curated_chunks", "lang_confusion", "source_rollup",
                  # late round-3: clustering + mixing, never driver-checked
                  "near_dup_clusters", "near_dup_survivors",
-                 "source_mix_sample", "embedding_near_dup_clusters"):
+                 "source_mix_sample", "embedding_near_dup_clusters",
+                 # round-4 rotation: landed after r3's window was graded
+                 # (repetition/bigram) or new this round (incremental)
+                 "repetition_stats", "bigram_counts",
+                 "incremental_near_dup_verified"):
         assert name in window, f"{name} fell outside the grading window"
     assert set(ROWS_ONLY) <= set(q[50:])
 

@@ -424,6 +424,70 @@ def test_incremental_near_dups_across_batches(spark):
     assert all(a < b for a, b in pairs)  # no self-pairs, one order only
 
 
+def test_incremental_near_dup_verified_matches_batch_jaccard(spark):
+    """Store-based verification reproduces the text-based batch path:
+    the SAME pairs pass threshold whether Jaccard runs on shingle text
+    (near_dups) or on the hashed-shingle store (the state kept when
+    historical text is gone)."""
+    from ml4logs_spark.operators import dedup
+
+    base = " ".join(f"w{i}" for i in range(30))
+    rows = [(1, base), (2, base + " x"), (3, base + " x y"),
+            (4, "totally unrelated content with no overlap at all")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.near_dups(docs, threshold=0.8).collect()
+    }
+    hist = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    bands = dedup.lsh_bands(dedup.minhash_signatures(hist))
+    store = dedup.shingle_store(hist)
+    inc = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.incremental_near_dup_verified(
+            new, bands, store, threshold=0.8
+        ).collect()
+    }
+    # every incremental pair involving a new doc appears in the batch
+    # result with the SAME jaccard (32-bit hashed shingles are exact on
+    # these fixtures), and no hist-vs-hist pair leaks in
+    batch_new = {t for t in batch if t[0] % 2 == 1 or t[1] % 2 == 1}
+    assert inc == batch_new
+    assert inc, "fixture must produce at least one verified pair"
+
+
+def test_incremental_near_dup_verified_replay_safe(spark):
+    """Replaying a batch whose state (bands + store) was ALREADY
+    appended yields the identical verified pairs: no self-pairs, no
+    duplicated or flipped orderings, same jaccard values."""
+    from ml4logs_spark.operators import dedup
+
+    base = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " x"), (3, base + " x y")],
+        "doc_id long, text string",
+    )
+    hist = docs.filter("doc_id = 1")
+    new = docs.filter("doc_id > 1")
+    bands0 = dedup.lsh_bands(dedup.minhash_signatures(hist))
+    store0 = dedup.shingle_store(hist)
+    first = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.incremental_near_dup_verified(new, bands0, store0).collect()
+    )
+    # frontier advanced with the batch's own state, then the SAME batch
+    # replays (at-least-once ingest)
+    bands1 = bands0.unionByName(dedup.lsh_bands(dedup.minhash_signatures(new)))
+    store1 = store0.unionByName(dedup.shingle_store(new))
+    replay = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.incremental_near_dup_verified(new, bands1, store1).collect()
+    )
+    assert replay == first
+    assert all(a < b for a, b, _ in replay)
+
+
 def test_incremental_exact_dedup_null_text_cross_batch(spark):
     """A historically-seen NULL-text row stays deduplicated: the
     anti-join is null-safe (plain equality never matches NULL keys)."""
