@@ -134,6 +134,35 @@ def scaling_section(bench_dir: str) -> str:
     return "\n".join(parts)
 
 
+def _sources(repo: str) -> list[str]:
+    """The newest per-kind artifacts a fresh report would collate —
+    the staleness contract: a RUN_REPORT.md citing anything else is
+    stale and `--check` (and tests/test_report_md.py) fails it."""
+    out = []
+    for pat in ("CORRECTNESS_r*.json", "BENCH_r*.json"):
+        p = _latest(repo, pat)
+        if p:
+            out.append(os.path.basename(p))
+    return out
+
+
+def check_fresh(repo: str, report_path: str) -> str | None:
+    """None if ``report_path`` cites the newest artifacts, else a
+    human-readable staleness message."""
+    if not os.path.exists(report_path):
+        return f"{report_path} does not exist — run tools/report_md.py"
+    with open(report_path) as f:
+        head = f.read(2000)
+    want = _sources(repo)
+    marker = f"<!-- sources: {' '.join(want)} -->"
+    if marker not in head:
+        return (
+            f"RUN_REPORT.md is stale: expected it to collate {want} "
+            f"(marker {marker!r} not found) — re-run tools/report_md.py"
+        )
+    return None
+
+
 def build_report(repo: str) -> str:
     manifest = None
     for cand in (os.path.join(repo, ".data", "warehouse", "_manifest.jsonl"),
@@ -143,6 +172,7 @@ def build_report(repo: str) -> str:
             break
     sections = [
         "# Run report\n",
+        f"<!-- sources: {' '.join(_sources(repo))} -->\n",
         "Collated from the warehouse manifest, the newest correctness "
         "gate, and the newest bench artifacts by `tools/report_md.py`.\n",
         "## Pipeline stages (manifest)\n", manifest_section(manifest), "",
@@ -161,9 +191,18 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__))))
     ap.add_argument("-o", "--out", default=None,
                     help="output path (default <repo>/RUN_REPORT.md)")
+    ap.add_argument("--check", action="store_true",
+                    help="verify the existing report cites the newest "
+                         "artifacts; exit 1 if stale (writes nothing)")
     args = ap.parse_args()
-    report = build_report(args.repo)
     out = args.out or os.path.join(args.repo, "RUN_REPORT.md")
+    if args.check:
+        msg = check_fresh(args.repo, out)
+        if msg:
+            raise SystemExit(msg)
+        print(f"{out} is fresh")
+        return
+    report = build_report(args.repo)
     with open(out, "w") as f:
         f.write(report)
     print(out)
