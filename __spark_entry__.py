@@ -412,6 +412,23 @@ def _q_embedding_near_dup_clusters(spark, sf_dir):
     return similarity.embedding_near_dup_clusters(_emb(spark, sf_dir), 0.4)
 
 
+def _q_span_dedup(spark, sf_dir):
+    # sub-document span dedup (block-hash ExactSubstr approximation):
+    # repeated 16-token spans survive only at their canonical first
+    # occurrence; docs reassemble from surviving blocks
+    return dedup_op.span_dedup(_docs(spark, sf_dir), span_tokens=16)
+
+
+def _q_doc_length_histogram(spark, sf_dir):
+    # corpus length distribution in power-of-2 token buckets
+    return textqa.doc_length_histogram(_docs(spark, sf_dir))
+
+
+def _q_top_ngrams_per_source(spark, sf_dir):
+    # per-source frequent-bigram ranking (stratified corpus statistics)
+    return textqa.top_ngrams_per_source(_docs(spark, sf_dir), k=5, min_count=2)
+
+
 def _q_incremental_near_dup_verified(spark, sf_dir):
     # day-2 ingest loop: even doc_ids play the historical corpus —
     # present ONLY as state (LSH band table + hashed-shingle store, no
@@ -636,8 +653,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # then everything not yet multi-round green. Demoted past the
     # cutoff: queries with 2-3 driver-green rounds whose operators stay
     # evidenced by in-window siblings (round 4 demotes doc_fingerprint
-    # — sibling doc_rolling_fingerprint in-window — media_meta, and
-    # lang_guess, wrapped by the in-window lang_confusion rollup; prior
+    # — sibling doc_rolling_fingerprint in-window — media_meta,
+    # lang_guess (wrapped by the in-window lang_confusion rollup),
+    # minhash_signatures (lsh_candidate_pairs builds directly on the
+    # signatures), near_dups (lsh_jaccard_pairs plus the in-window
+    # cluster/survivor queries run the same candidates->Jaccard chain),
+    # and doc_stats (quality_filtered/source_rollup share _stats_exprs);
+    # prior
     # rounds demoted conv_scores -> confusion_at_half, labels_scan ->
     # labeled_turns, dedup_exact_groups -> dedup_exact_survivors, the
     # maxpool/scaler variants -> their base queries) — demoted, not
@@ -649,6 +671,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "bigram_counts": _q_bigram_counts,
         "incremental_near_dup_verified": _q_incremental_near_dup_verified,
+        "span_dedup": _q_span_dedup,
+        "doc_length_histogram": _q_doc_length_histogram,
+        "top_ngrams_per_source": _q_top_ngrams_per_source,
         "transcripts_scan": _q_transcripts_scan,
         "template_dim": _q_template_dim,
         "parsed_turns": _q_parsed_turns,
@@ -683,13 +708,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_survivors": _q_near_dup_survivors,
         "source_mix_sample": _q_source_mix_sample,
         "embedding_near_dup_clusters": _q_embedding_near_dup_clusters,
-        "minhash_signatures": _q_minhash_signatures,
         "lsh_candidate_pairs": _q_lsh_candidate_pairs,
         "lsh_jaccard_pairs": _q_lsh_jaccard_pairs,
-        "near_dups": _q_near_dups,
         "simhash64": _q_simhash64,
         "simhash_near_dups": _q_simhash_near_dups,
-        "doc_stats": _q_doc_stats,
         "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
         "embedding_norms": _q_embedding_norms,
         "ann_cosine_topk": _q_ann_cosine_topk,
@@ -700,6 +722,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_guess": _q_lang_guess,
         "doc_fingerprint": _q_doc_fingerprint,
         "media_meta": _q_media_meta,
+        "minhash_signatures": _q_minhash_signatures,
+        "near_dups": _q_near_dups,
+        "doc_stats": _q_doc_stats,
         "labels_scan": _q_labels_scan,
         "conv_scores": _q_conv_scores,
         "conv_value_maxpool": _q_conv_value_maxpool,

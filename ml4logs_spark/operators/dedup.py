@@ -149,6 +149,74 @@ def near_dups(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     )
 
 
+def span_blocks(
+    docs: DataFrame, span_tokens: int = 16, text_col: str = "text"
+) -> DataFrame:
+    """Non-overlapping ``span_tokens``-token blocks per doc:
+    (doc_id, block_idx, block_text, block_hash). The unit of span-level
+    dedup; the trailing partial block keeps its tail. Map-side 1->N
+    explode, no shuffle."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_blocks = F.greatest(
+        ((n + F.lit(span_tokens - 1)) / F.lit(span_tokens)).cast("int"), F.lit(1)
+    )
+    blocks = F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * span_tokens + 1, span_tokens)
+        ),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(blocks).alias("block_idx", "block_text")
+    ).withColumn("block_hash", F.md5("block_text"))
+
+
+def span_dedup(
+    docs: DataFrame, span_tokens: int = 16, text_col: str = "text"
+) -> DataFrame:
+    """Span-level (sub-document) deduplication: remove exact repeated
+    token spans CORPUS-WIDE while keeping the documents — the
+    block-hash approximation of ExactSubstr dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"), which
+    showed boilerplate repeated across otherwise-distinct documents
+    (headers, licenses, templates) is what document-level dedup misses.
+
+    Each doc splits into non-overlapping ``span_tokens``-token blocks;
+    a block whose content appears anywhere else in the corpus survives
+    only at its canonical first occurrence (minimum (doc_id,
+    block_idx)); surviving blocks reassemble in order. Docs whose every
+    block is a non-canonical duplicate drop out entirely (their content
+    fully exists elsewhere).
+
+    Shape at scale: map-side 1->N block explode, ONE shuffle on the
+    uniform block_hash for canonical-winner selection (partial+final
+    min aggregate), a semi-join shaped filter, then one doc_id shuffle
+    to reassemble — O(tokens/span) rows throughout, no all-pairs
+    anything. The reassembly collect_list is bounded by doc length
+    (blocks-per-doc), not corpus size."""
+    b = span_blocks(docs, span_tokens, text_col)
+    winners = b.groupBy("block_hash").agg(
+        F.min(F.struct("doc_id", "block_idx")).alias("w")
+    ).select(
+        "block_hash", F.col("w.doc_id").alias("_wdoc"),
+        F.col("w.block_idx").alias("_widx"),
+    )
+    kept = b.join(winners, "block_hash").filter(
+        (F.col("doc_id") == F.col("_wdoc")) & (F.col("block_idx") == F.col("_widx"))
+    )
+    assembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("block_idx", "block_text"))),
+                lambda s: s["block_text"],
+            ),
+            " ",
+        ).alias(text_col)
+    )
+    return assembled
+
+
 SIMHASH_CHUNKS = 4  # 4 x 16-bit chunks = 64-bit signature
 
 

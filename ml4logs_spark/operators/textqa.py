@@ -399,6 +399,68 @@ def bigram_counts(
     )
 
 
+def doc_length_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus length distribution in power-of-2 token buckets:
+    (bucket_lo, n_docs, n_tokens_total) where ``bucket_lo`` = 2^floor(
+    log2(n_tokens)) — the corpus report a pretraining pipeline uses to
+    pick chunk sizes and spot truncation/boilerplate artifacts. Token
+    count matches ``doc_stats``'s whitespace definition. One partial+
+    final hash aggregate over ~60 possible buckets (map-side combine
+    collapses everything before the shuffle)."""
+    n = F.size(F.split(F.col(text_col), " "))
+    bucket_lo = F.when(n <= 0, F.lit(0)).otherwise(
+        F.pow(F.lit(2.0), F.floor(F.log2(n)))
+    ).cast("long")
+    return (
+        docs.select(bucket_lo.alias("bucket_lo"), n.alias("_n"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("n_tokens_total"),
+        )
+    )
+
+
+def top_ngrams_per_source(
+    docs: DataFrame, k: int = 5, min_count: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Per-source most frequent adjacent-token bigrams:
+    (source, tok_a, tok_b, n, rank) with rank <= ``k`` — the stratified
+    corpus-statistics view (which phrases dominate each crawl source)
+    that feeds boilerplate and contamination review.
+
+    Shape at scale: the same zip-with-tail explode + partial+final hash
+    aggregate as ``bigram_counts`` keyed by (source, pair), then
+    ``min_count`` prunes the long tail BEFORE the per-source ranking
+    window, so the sort behind row_number runs over each source's
+    frequent-pair set (Heaps'-law bounded), not the raw pair space.
+    Deterministic tie-break: (n desc, tok_a, tok_b)."""
+    from pyspark.sql.window import Window
+
+    toks = _toks_lower(text_col)
+    pairs = F.zip_with(
+        toks,
+        F.slice(toks, 2, 1 << 30),
+        lambda a, b: F.struct(a.alias("tok_a"), b.alias("tok_b")),
+    )
+    exploded = docs.select("source", F.explode(pairs).alias("p")).select(
+        "source", F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b")
+    )
+    agg = (
+        exploded.filter(F.col("tok_b").isNotNull())
+        .groupBy("source", "tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n").desc(), "tok_a", "tok_b"
+    )
+    return agg.select(
+        "source", "tok_a", "tok_b", "n",
+        F.row_number().over(w).cast("long").alias("rank"),
+    ).filter(F.col("rank") <= k)
+
+
 def build_vocab(
     docs: DataFrame,
     min_df: int = 2,

@@ -609,6 +609,62 @@ DOC_ORACLES["bigram_counts"] = f"""
 """
 
 
+# Span-level dedup mirror (block-hash ExactSubstr approximation):
+# non-overlapping 16-token blocks, canonical first occurrence per
+# block hash (min doc_id, block_idx), ordered reassembly.
+DOC_ORACLES["span_dedup"] = """
+    WITH b AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS block_idx,
+             array_to_string(
+               list_slice(toks, (i - 1) * 16 + 1, (i - 1) * 16 + 16), ' ')
+               AS block_text
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest((n + 15) // 16, 1))) AS i
+        FROM (
+          SELECT doc_id, str_split(text, ' ') AS toks,
+                 len(str_split(text, ' ')) AS n
+          FROM documents
+        )
+      )
+    ), ranked AS (
+      SELECT doc_id, block_idx, block_text,
+             row_number() OVER (PARTITION BY md5(block_text)
+                                ORDER BY doc_id, block_idx) AS rn
+      FROM b
+    )
+    SELECT doc_id, string_agg(block_text, ' ' ORDER BY block_idx) AS text
+    FROM ranked WHERE rn = 1 GROUP BY doc_id
+"""
+
+# power-of-2 token-length histogram (doc_stats' whitespace tokens)
+DOC_ORACLES["doc_length_histogram"] = """
+    SELECT CAST(CASE WHEN n <= 0 THEN 0
+                ELSE power(2, floor(log2(n))) END AS BIGINT) AS bucket_lo,
+           count(*) AS n_docs, sum(n) AS n_tokens_total
+    FROM (SELECT len(str_split(text, ' ')) AS n FROM documents)
+    GROUP BY 1
+"""
+
+# per-source frequent-bigram ranking; same tokenizer as bigram_counts
+DOC_ORACLES["top_ngrams_per_source"] = f"""
+    WITH pairs AS (
+      SELECT source, unnest(list_transform(
+               generate_series(1, greatest(len(a) - 1, 0)),
+               i -> struct_pack(tok_a := a[i], tok_b := a[i + 1]))) AS p
+      FROM (SELECT source, {_TOKS_LOWER} AS a FROM documents)
+    ), agg AS (
+      SELECT source, p.tok_a AS tok_a, p.tok_b AS tok_b, count(*) AS n
+      FROM pairs GROUP BY 1, 2, 3 HAVING count(*) >= 2
+    ), ranked AS (
+      SELECT source, tok_a, tok_b, n,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n DESC, tok_a, tok_b) AS rank
+      FROM agg
+    )
+    SELECT source, tok_a, tok_b, n, rank FROM ranked WHERE rank <= 5
+"""
+
 # Incremental near-dup verification mirror: even doc_ids play the
 # historical corpus (present only as state: LSH bands + hashed-shingle
 # store), odd doc_ids are the new batch. Candidates = new-vs-hist band

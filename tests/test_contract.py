@@ -44,9 +44,10 @@ def test_grading_window_holds_only_full_oracle_queries():
                  "near_dup_clusters", "near_dup_survivors",
                  "source_mix_sample", "embedding_near_dup_clusters",
                  # round-4 rotation: landed after r3's window was graded
-                 # (repetition/bigram) or new this round (incremental)
+                 # (repetition/bigram) or new this round
                  "repetition_stats", "bigram_counts",
-                 "incremental_near_dup_verified"):
+                 "incremental_near_dup_verified", "span_dedup",
+                 "doc_length_histogram", "top_ngrams_per_source"):
         assert name in window, f"{name} fell outside the grading window"
     assert set(ROWS_ONLY) <= set(q[50:])
 

@@ -77,6 +77,40 @@ def test_hash_sample_subpercent_precision(spark):
     assert 14 <= m <= 66, m
 
 
+def test_doc_length_histogram_buckets(spark):
+    from ml4logs_spark.operators import textqa
+
+    docs = spark.createDataFrame(
+        [(0, "t", "s"), (1, "a b c", "s"), (2, "a b c d e f", "s")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.bucket_lo: (r.n_docs, r.n_tokens_total)
+           for r in textqa.doc_length_histogram(docs).collect()}
+    # n=1 -> bucket 1; n=3 -> bucket 2; n=6 -> bucket 4
+    assert out == {1: (1, 1), 2: (1, 3), 4: (1, 6)}
+
+
+def test_top_ngrams_per_source_rank_and_prune(spark):
+    """Per-source ranking with deterministic tie-break; pairs under
+    min_count never reach the ranking window."""
+    from ml4logs_spark.operators import textqa
+
+    docs = spark.createDataFrame(
+        [
+            (0, "x y x y x y", "s0"),   # (x,y)x3  (y,x)x2
+            (1, "p q p q", "s0"),       # (p,q)x2  (q,p)x1 -> pruned
+            (2, "m n m n", "s1"),       # (m,n)x2  (n,m)x1 -> pruned
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = textqa.top_ngrams_per_source(docs, k=5, min_count=2).collect()
+    by_src = {}
+    for r in sorted(rows, key=lambda r: (r.source, r.rank)):
+        by_src.setdefault(r.source, []).append((r.tok_a, r.tok_b, r.n, r.rank))
+    assert by_src["s0"] == [("x", "y", 3, 1), ("p", "q", 2, 2), ("y", "x", 2, 3)]
+    assert by_src["s1"] == [("m", "n", 2, 1)]
+
+
 def test_build_vocab_df_thresholds(spark):
     from ml4logs_spark.operators import textqa
 

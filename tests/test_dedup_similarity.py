@@ -424,6 +424,49 @@ def test_incremental_near_dups_across_batches(spark):
     assert all(a < b for a, b in pairs)  # no self-pairs, one order only
 
 
+def test_span_dedup_removes_cross_doc_repeated_spans(spark):
+    """A 4-token block repeated across docs survives only at its
+    canonical first occurrence; unique content is untouched; a doc
+    whose every block duplicates earlier content drops out."""
+    from ml4logs_spark.operators import dedup
+
+    boiler = "a b c d"  # one exact 4-token block
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " u1 u2 u3 u4"),      # first occurrence -> kept
+            (2, boiler + " v1 v2 v3 v4"),      # later occurrence -> stripped
+            (3, "w1 w2 w3 w4 w5 w6 w7 w8"),    # no dup blocks -> unchanged
+            (4, boiler),                        # all blocks dup -> drops out
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text
+           for r in dedup.span_dedup(docs, span_tokens=4).collect()}
+    assert out[1] == boiler + " u1 u2 u3 u4"
+    assert out[2] == "v1 v2 v3 v4"
+    assert out[3] == "w1 w2 w3 w4 w5 w6 w7 w8"
+    assert 4 not in out
+    # deterministic on re-run (canonical winner, ordered reassembly)
+    again = {r.doc_id: r.text
+             for r in dedup.span_dedup(docs, span_tokens=4).collect()}
+    assert again == out
+
+
+def test_span_dedup_within_doc_and_partial_tail(spark):
+    """Within-doc repeated blocks keep only the first; the trailing
+    partial block is its own unit and dedups like any other."""
+    from ml4logs_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b x"), (2, "x")],  # span=2: [a b][a b][x] ; [x]
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text
+           for r in dedup.span_dedup(docs, span_tokens=2).collect()}
+    assert out[1] == "a b x"  # second [a b] removed, tail [x] kept
+    assert 2 not in out       # doc 2's only block lost to doc 1's tail
+
+
 def test_incremental_near_dup_verified_matches_batch_jaccard(spark):
     """Store-based verification reproduces the text-based batch path:
     the SAME pairs pass threshold whether Jaccard runs on shingle text

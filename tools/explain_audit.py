@@ -192,6 +192,23 @@ def main() -> int:
     check("source_mix_sample: weight dim broadcast", "BroadcastHashJoin" in p)
     check("source_mix_sample: corpus side map-only",
           "Exchange hashpartitioning" not in p)
+    # 8g2. span dedup: block explode is map-side; winner selection is a
+    # partial+final min aggregate on the uniform block hash; reassembly
+    # shuffles once on doc_id — no cartesian, no single-partition stage.
+    p = plan_of(dedup.span_dedup(docs))
+    check("span_dedup: no cartesian product",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
+    check("span_dedup: partial+final HashAggregate",
+          p.count("HashAggregate") >= 2)
+    check("span_dedup: no single-partition stage",
+          "Exchange SinglePartition" not in p)
+    # 8g3. per-source top-ngrams: min_count prunes before the ranking
+    # window, and the window is partitioned by source (never global)
+    p = plan_of(textqa.top_ngrams_per_source(docs))
+    check("top_ngrams: window partitioned by source",
+          "windowspecdefinition(source" in p)
+    check("top_ngrams: no single-partition stage",
+          "Exchange SinglePartition" not in p)
     # 8g. near-dup clustering: pair generation + every propagation round
     # stays equi-join shaped (the fixpoint loop reuses this same plan)
     p = plan_of(dedup.near_dups(docs))
