@@ -146,6 +146,30 @@ def _a_bigram_counts(spark, env, step, cfg):
     )
 
 
+def _a_span_dedup(spark, env, step, cfg):
+    from ml4logs_spark.operators import dedup
+
+    return dedup.span_dedup(
+        env[step.get("from", "documents")], step.get("span_tokens", 16)
+    )
+
+
+def _a_length_histogram(spark, env, step, cfg):
+    from ml4logs_spark.operators import textqa
+
+    return textqa.doc_length_histogram(env[step.get("from", "documents")])
+
+
+def _a_top_ngrams(spark, env, step, cfg):
+    from ml4logs_spark.operators import textqa
+
+    return textqa.top_ngrams_per_source(
+        env[step.get("from", "documents")],
+        k=step.get("k", 5),
+        min_count=step.get("min_count", 2),
+    )
+
+
 def _a_curate(spark, env, step, cfg):
     from pyspark.sql import functions as F
 
@@ -217,6 +241,9 @@ ACTIONS: dict[str, Callable] = {
     "doc_stats": _a_doc_stats,
     "repetition_stats": _a_repetition_stats,
     "bigram_counts": _a_bigram_counts,
+    "span_dedup": _a_span_dedup,
+    "length_histogram": _a_length_histogram,
+    "top_ngrams": _a_top_ngrams,
     "curate": _a_curate,
 }
 

@@ -137,6 +137,23 @@ def test_config_near_dup_survivors_and_source_mix(spark, tmp_path):
     assert 0 < result["source_mix"] < result["near_dup_survivors"]
 
 
+def test_config_span_dedup_and_corpus_stats(spark, tmp_path):
+    cfg = {
+        "input": SF_DIR,
+        "warehouse": str(tmp_path / "whs"),
+        "pipeline": [
+            {"action": "documents"},
+            {"action": "span_dedup", "span_tokens": 16, "save": True},
+            {"action": "length_histogram", "from": "documents", "save": True},
+            {"action": "top_ngrams", "from": "documents", "k": 3, "save": True},
+        ],
+    }
+    result = run_config(spark, cfg)
+    assert 0 < result["span_dedup"] <= 500
+    assert result["length_histogram"] > 0
+    assert result["top_ngrams"] > 0
+
+
 def test_run_pipeline_cli_smoke(tmp_path):
     """The spark-submit entry point (jobs/run_pipeline.py) runs end to
     end as its own process and prints the metrics JSON contract."""
