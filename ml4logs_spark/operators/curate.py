@@ -40,6 +40,7 @@ def curate_corpus(
     chunk_tokens: int = 64,
     overlap: int = 8,
     near_threshold: float | None = None,
+    span_tokens: int | None = None,
 ) -> DataFrame:
     """documents -> model-ready chunks: dedup, gate, decontaminate,
     scrub, chunk. Returns (doc_id, chunk_idx, chunk_text, n_tokens).
@@ -49,7 +50,14 @@ def curate_corpus(
     cluster). Unlike the rest of the chain it is inherently iterative
     (the clustering fixpoint runs driver-bounded rounds), so the chain
     is no longer one single lazy plan when enabled — the default None
-    keeps the fully-lazy exact-dedup chain."""
+    keeps the fully-lazy exact-dedup chain.
+
+    ``span_tokens`` adds sub-document span dedup (dedup.span_dedup)
+    after the document-level stages: corpus-wide repeated k-token
+    spans survive only at their canonical first occurrence, and docs
+    whose every block duplicates earlier content drop out before the
+    gate ever scores them. Pure Catalyst, so unlike near_threshold it
+    keeps the chain one lazy plan."""
     surv = dedup.exact_dedup(docs)
     if near_threshold is not None:
         # the clustering fixpoint and the final anti-join each consume
@@ -58,6 +66,8 @@ def curate_corpus(
         # Tracked: looping callers free it via cache.release_all().
         surv = cache.track(surv)
         surv = dedup.near_dup_survivors(surv, near_threshold)
+    if span_tokens is not None:
+        surv = dedup.span_dedup(surv, span_tokens=span_tokens)
     # keep_cols carries text through the gate in the same map-side
     # select — no join back to the corpus (one less doc_id shuffle)
     good = cache.track(

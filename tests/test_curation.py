@@ -238,6 +238,31 @@ def test_curate_corpus_near_dedup_stage(spark):
     assert near_ids == {1, 50}       # near-dedup keeps the cluster min
 
 
+def test_curate_corpus_span_dedup_stage(spark):
+    """span_tokens strips corpus-wide repeated spans before the gate:
+    doc 2's boilerplate half disappears from its chunks while its
+    unique half survives; the chain stays one lazy Catalyst plan."""
+    from ml4logs_spark.operators import curate
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    uniq = " ".join(f"u{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, boiler + " " + " ".join(f"w{i}" for i in range(8))),
+         (2, boiler + " " + uniq)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "zz1 zz2 zz3 zz4")], "doc_id long, text string"
+    )
+    out = curate.curate_corpus(
+        docs, bench, min_score=0.0, min_tokens=3,
+        chunk_tokens=32, overlap=0, span_tokens=8,
+    )
+    chunks = {r.doc_id: r.chunk_text for r in out.collect()}
+    assert boiler in chunks[1]          # canonical first occurrence kept
+    assert chunks[2] == uniq            # doc 2 keeps only its unique span
+
+
 def test_repetition_stats_degenerate_docs(spark):
     """Looping text scores high on every repetition signal; varied text
     scores low; single-token and empty docs report 0 dup_bigram_frac."""
