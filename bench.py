@@ -307,10 +307,18 @@ def main() -> None:
         t0 = time.perf_counter()
         force(dedup_op.simhash64(sh_corpus))
         _sh = time.perf_counter() - t0
+        # span-level dedup (block-hash ExactSubstr approximation) on the
+        # same replicated corpus: explode -> min-agg on block hash ->
+        # reassemble, end-to-end
+        t0 = time.perf_counter()
+        force(dedup_op.span_dedup(sh_corpus))
+        _sp = time.perf_counter() - t0
         sh_corpus.unpersist()
         docs_out["simhash_docs"] = n_docs
         docs_out["simhash_sec"] = round(_sh, 3)
         docs_out["simhash_docs_per_sec"] = round(n_docs / _sh, 1)
+        docs_out["span_dedup_sec"] = round(_sp, 3)
+        docs_out["span_dedup_docs_per_sec"] = round(n_docs / _sp, 1)
         emb = spark.read.parquet(emb_path)
         qids = list(range(5))
         t0 = time.perf_counter()
