@@ -154,9 +154,12 @@ def span_blocks(
 ) -> DataFrame:
     """Non-overlapping ``span_tokens``-token blocks per doc:
     (doc_id, block_idx, block_text, block_hash). The unit of span-level
-    dedup; the trailing partial block keeps its tail. Map-side 1->N
+    dedup; the trailing partial block keeps its tail. NULL text is
+    treated as empty (coalesce — same convention as textqa._toks_lower
+    and simhash64) so NULL-text rows dedup alongside empty-text rows
+    instead of silently vanishing at the explode. Map-side 1->N
     explode, no shuffle."""
-    toks = F.split(F.col(text_col), " ")
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     n = F.size(toks)
     n_blocks = F.greatest(
         ((n + F.lit(span_tokens - 1)) / F.lit(span_tokens)).cast("int"), F.lit(1)

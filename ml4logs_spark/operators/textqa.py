@@ -382,18 +382,36 @@ def bigram_counts(
     own tail (map-side), explode pairs, ONE partial+final hash
     aggregate on the pair key — the same explode+agg shape as
     build_vocab; no UDF."""
+    return _bigram_pair_counts(docs, (), min_count, text_col)
+
+
+def _bigram_pair_counts(
+    docs: DataFrame,
+    key_cols: tuple[str, ...],
+    min_count: int,
+    text_col: str,
+) -> DataFrame:
+    """Shared adjacent-pair counting core for ``bigram_counts`` and
+    ``top_ngrams_per_source``: zip-with-tail pair construction over
+    ``_toks_lower``, explode, drop the NULL tail pad, one hash
+    aggregate on (*key_cols, tok_a, tok_b), ``min_count`` floor. One
+    definition so a tokenizer or pair-shape fix can never drift between
+    the corpus-wide and per-source variants (their DuckDB oracles share
+    the mirrored SQL the same way)."""
     toks = _toks_lower(text_col)
     pairs = F.zip_with(
         toks,
         F.slice(toks, 2, 1 << 30),
         lambda a, b: F.struct(a.alias("tok_a"), b.alias("tok_b")),
     )
-    exploded = docs.select(F.explode(pairs).alias("p")).select(
-        F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b")
+    exploded = docs.select(*key_cols, F.explode(pairs).alias("p")).select(
+        *key_cols,
+        F.col("p.tok_a").alias("tok_a"),
+        F.col("p.tok_b").alias("tok_b"),
     )
     return (
         exploded.filter(F.col("tok_b").isNotNull())
-        .groupBy("tok_a", "tok_b")
+        .groupBy(*key_cols, "tok_a", "tok_b")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
     )
@@ -437,21 +455,7 @@ def top_ngrams_per_source(
     Deterministic tie-break: (n desc, tok_a, tok_b)."""
     from pyspark.sql.window import Window
 
-    toks = _toks_lower(text_col)
-    pairs = F.zip_with(
-        toks,
-        F.slice(toks, 2, 1 << 30),
-        lambda a, b: F.struct(a.alias("tok_a"), b.alias("tok_b")),
-    )
-    exploded = docs.select("source", F.explode(pairs).alias("p")).select(
-        "source", F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b")
-    )
-    agg = (
-        exploded.filter(F.col("tok_b").isNotNull())
-        .groupBy("source", "tok_a", "tok_b")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= min_count)
-    )
+    agg = _bigram_pair_counts(docs, ("source",), min_count, text_col)
     w = Window.partitionBy("source").orderBy(
         F.col("n").desc(), "tok_a", "tok_b"
     )

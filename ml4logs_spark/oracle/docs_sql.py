@@ -622,8 +622,8 @@ DOC_ORACLES["span_dedup"] = """
         SELECT doc_id, toks,
                unnest(generate_series(1, greatest((n + 15) // 16, 1))) AS i
         FROM (
-          SELECT doc_id, str_split(text, ' ') AS toks,
-                 len(str_split(text, ' ')) AS n
+          SELECT doc_id, str_split(coalesce(text, ''), ' ') AS toks,
+                 len(str_split(coalesce(text, ''), ' ')) AS n
           FROM documents
         )
       )

@@ -467,6 +467,21 @@ def test_span_dedup_within_doc_and_partial_tail(spark):
     assert 2 not in out       # doc 2's only block lost to doc 1's tail
 
 
+def test_span_dedup_null_and_empty_text(spark):
+    """NULL text is treated as empty (coalesce, matching _toks_lower /
+    simhash64): the first NULL/empty doc keeps an empty string, later
+    ones dedup against it instead of silently vanishing."""
+    from ml4logs_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "real content here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text
+           for r in dedup.span_dedup(docs, span_tokens=4).collect()}
+    assert out == {1: "", 3: "real content here"}  # doc 2 dedups into 1
+
+
 def test_incremental_near_dup_verified_matches_batch_jaccard(spark):
     """Store-based verification reproduces the text-based batch path:
     the SAME pairs pass threshold whether Jaccard runs on shingle text

@@ -169,11 +169,16 @@ def main() -> int:
           "windowspecdefinition(_pid" in p)
     # allowed SinglePartition stages: the 1-row n_docs scalar aggregate
     # (partial+final, so the single task receives #tasks rows) and the
-    # #partitions-row totals window. The cached `ranged` subtree is
-    # re-printed inside InMemoryRelation — count live operators only.
-    n_single = p.split("InMemoryRelation")[0].count("Exchange SinglePartition")
+    # #partitions-row totals window. Cached subtrees re-print the same
+    # operator (same plan_id) in several places, so count DISTINCT
+    # plan_ids — a regression to a vocab-sized single-partition sort
+    # would add a third distinct SinglePartition exchange and fail.
+    import re as _re
+
+    single_ids = set(_re.findall(
+        r"Exchange SinglePartition[^\[\n]*\[plan_id=(\d+)\]", p))
     check("build_vocab: no single-partition stage over the vocab",
-          n_single <= 2, f"SinglePartition exchanges={n_single}")
+          len(single_ids) <= 2, f"SinglePartition plan_ids={sorted(single_ids)}")
     from pyspark.sql import functions as FF
     nib = FF.substring(FF.md5("text"), 1, 1)
     p = plan_of(dedup.decontaminate(docs.filter(nib != "0"), docs.filter(nib == "0")))
