@@ -412,6 +412,16 @@ def _q_embedding_near_dup_clusters(spark, sf_dir):
     return similarity.embedding_near_dup_clusters(_emb(spark, sf_dir), 0.4)
 
 
+def _q_contamination_report(spark, sf_dir):
+    # per-benchmark-item leak severity (zeros included) — the reverse
+    # view of decontaminated, same md5-nibble corpus split
+    docs = _docs(spark, sf_dir)
+    nib = F.substring(F.md5("text"), 1, 1)
+    return dedup_op.contamination_report(
+        docs.filter(nib != "0"), docs.filter(nib == "0")
+    )
+
+
 def _q_span_dedup(spark, sf_dir):
     # sub-document span dedup (block-hash ExactSubstr approximation):
     # repeated 16-token spans survive only at their canonical first
@@ -674,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": _q_span_dedup,
         "doc_length_histogram": _q_doc_length_histogram,
         "top_ngrams_per_source": _q_top_ngrams_per_source,
+        "contamination_report": _q_contamination_report,
         "transcripts_scan": _q_transcripts_scan,
         "template_dim": _q_template_dim,
         "parsed_turns": _q_parsed_turns,
@@ -709,7 +720,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix_sample": _q_source_mix_sample,
         "embedding_near_dup_clusters": _q_embedding_near_dup_clusters,
         "lsh_candidate_pairs": _q_lsh_candidate_pairs,
-        "lsh_jaccard_pairs": _q_lsh_jaccard_pairs,
         "simhash64": _q_simhash64,
         "simhash_near_dups": _q_simhash_near_dups,
         "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
@@ -724,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": _q_media_meta,
         "minhash_signatures": _q_minhash_signatures,
         "near_dups": _q_near_dups,
+        "lsh_jaccard_pairs": _q_lsh_jaccard_pairs,
         "doc_stats": _q_doc_stats,
         "labels_scan": _q_labels_scan,
         "conv_scores": _q_conv_scores,

@@ -395,6 +395,47 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame) -> DataFrame:
     return docs.join(contaminated_ids(docs, benchmark), "doc_id", "left_anti")
 
 
+def contamination_report(docs: DataFrame, benchmark: DataFrame) -> DataFrame:
+    """Per-benchmark-item contamination severity: for EVERY benchmark
+    doc, how many corpus docs share at least one k-word shingle with it
+    — (bench_id, n_contaminating_docs), zeros included. The reverse
+    view of ``decontaminate``: that drops corpus rows; this tells the
+    EVAL owner which benchmark items are compromised and how badly
+    (a 10^4-hit item measures memorization, not capability).
+
+    Shape at scale: the benchmark side keeps (bench_id, gram) and is
+    broadcast exactly like ``contaminated_ids``; the corpus explodes
+    map-side and never shuffles into the join. The post-join distinct
+    on (bench_id, doc_id) is the only corpus-derived shuffle, bounded
+    by contamination volume rather than corpus size; the final count
+    and the zero-fill left join run on benchmark-sized frames."""
+    doc_grams = with_shingles(docs, distinct=False).select(
+        "doc_id", F.explode("shingles").alias("gram")
+    )
+    bench_grams = (
+        with_shingles(benchmark, distinct=False)
+        .select(F.col("doc_id").alias("bench_id"), F.explode("shingles").alias("gram"))
+        .distinct()
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .select("bench_id", "doc_id")
+        .distinct()
+    )
+    counts = hits.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("n_contaminating_docs")
+    )
+    return (
+        benchmark.select(F.col("doc_id").alias("bench_id"))
+        .join(counts, "bench_id", "left")
+        .select(
+            "bench_id",
+            F.coalesce("n_contaminating_docs", F.lit(0)).cast("long")
+            .alias("n_contaminating_docs"),
+        )
+    )
+
+
 def near_dup_clusters(
     docs: DataFrame, threshold: float = 0.8, max_iter: int = 25
 ) -> DataFrame:

@@ -609,6 +609,29 @@ DOC_ORACLES["bigram_counts"] = f"""
 """
 
 
+# Contamination-severity mirror: same md5-nibble benchmark/corpus
+# split as `decontaminated`, reversed — per benchmark item, count the
+# distinct corpus docs sharing any shingle, zeros via left join.
+DOC_ORACLES["contamination_report"] = f"""
+    WITH bmark AS (
+      SELECT doc_id AS bench_id, text FROM documents
+      WHERE substring(md5(text), 1, 1) = '0'
+    ), corpus AS (
+      SELECT doc_id, text FROM documents
+      WHERE substring(md5(text), 1, 1) <> '0'
+    ), bg AS (
+      SELECT DISTINCT bench_id, unnest({_SHINGLES}) AS gram FROM bmark
+    ), dg AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS gram FROM corpus
+    ), hits AS (
+      SELECT DISTINCT bg.bench_id, dg.doc_id FROM dg JOIN bg USING (gram)
+    ), c AS (
+      SELECT bench_id, count(*) AS n FROM hits GROUP BY 1
+    )
+    SELECT b.bench_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_contaminating_docs
+    FROM bmark b LEFT JOIN c USING (bench_id)
+"""
+
 # Span-level dedup mirror (block-hash ExactSubstr approximation):
 # non-overlapping 16-token blocks, canonical first occurrence per
 # block hash (min doc_id, block_idx), ordered reassembly.

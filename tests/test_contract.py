@@ -47,7 +47,8 @@ def test_grading_window_holds_only_full_oracle_queries():
                  # (repetition/bigram) or new this round
                  "repetition_stats", "bigram_counts",
                  "incremental_near_dup_verified", "span_dedup",
-                 "doc_length_histogram", "top_ngrams_per_source"):
+                 "doc_length_histogram", "top_ngrams_per_source",
+                 "contamination_report"):
         assert name in window, f"{name} fell outside the grading window"
     assert set(ROWS_ONLY) <= set(q[50:])
 

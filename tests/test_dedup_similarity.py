@@ -482,6 +482,26 @@ def test_span_dedup_null_and_empty_text(spark):
     assert out == {1: "", 3: "real content here"}  # doc 2 dedups into 1
 
 
+def test_contamination_report_counts_and_zeros(spark):
+    """Each benchmark item reports the number of DISTINCT corpus docs
+    sharing a shingle with it; untouched items report 0 (not dropped);
+    multiple shared shingles with one doc count once."""
+    from ml4logs_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c x y"), (3, "p q r s t")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c d z"),   # shares shingles with docs 1 and 2
+         (101, "u v w x2 y2")],  # clean
+        "doc_id long, text string",
+    )
+    out = {r.bench_id: r.n_contaminating_docs
+           for r in dedup.contamination_report(corpus, bench).collect()}
+    assert out == {100: 2, 101: 0}
+
+
 def test_incremental_near_dup_verified_matches_batch_jaccard(spark):
     """Store-based verification reproduces the text-based batch path:
     the SAME pairs pass threshold whether Jaccard runs on shingle text
