@@ -185,6 +185,9 @@ def main() -> int:
     check("decontaminate: no cartesian product",
           "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
     check("decontaminate: benchmark side broadcast", "BroadcastHashJoin" in p)
+    p = plan_of(dedup.contamination_report(docs.filter(nib != "0"), docs.filter(nib == "0")))
+    check("contamination_report: benchmark side broadcast",
+          "BroadcastHashJoin" in p and "CartesianProduct" not in p)
     from ml4logs_spark.operators import curate
     nib = FF.substring(FF.md5("text"), 1, 1)
     p = plan_of(curate.curate_corpus(docs.filter(nib != "0"), docs.filter(nib == "0")))
