@@ -153,3 +153,41 @@ def test_connected_components_matches_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in parent}
     assert got == want
+
+
+@settings(**SLOW)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=24),
+        min_size=1, max_size=12,
+    ),
+    span=st.integers(min_value=1, max_value=5),
+)
+def test_span_dedup_matches_reference_property(spark, docs, span):
+    """span_dedup == an independent Python reference over arbitrary
+    small corpora: split each doc into non-overlapping span-token
+    blocks, keep a block only at the minimum (doc_id, block_idx)
+    holding its content, reassemble in order, drop emptied docs."""
+    from ml4logs_spark.operators import dedup
+
+    texts = [" ".join(toks) for toks in docs]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r.doc_id: r.text
+           for r in dedup.span_dedup(df, span_tokens=span).collect()}
+
+    first: dict[str, tuple[int, int]] = {}
+    blocks: dict[int, list[tuple[int, str]]] = {}
+    for i, text in enumerate(texts):
+        toks = text.split(" ")  # '' -> [''] like Spark's split
+        bs = [" ".join(toks[j:j + span]) for j in range(0, len(toks), span)]
+        blocks[i] = list(enumerate(bs))
+        for bi, b in blocks[i]:
+            first.setdefault(b, (i, bi))
+    want = {}
+    for i in blocks:
+        kept = [b for bi, b in blocks[i] if first[b] == (i, bi)]
+        if kept:
+            want[i] = " ".join(kept)
+    assert got == want
