@@ -191,3 +191,39 @@ def test_span_dedup_matches_reference_property(spark, docs, span):
         if kept:
             want[i] = " ".join(kept)
     assert got == want
+
+
+@settings(**SLOW)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["w0", "w1", "w2", "w3"]),
+                 min_size=4, max_size=12),
+        min_size=2, max_size=8,
+    ),
+)
+def test_incremental_near_dup_equals_batch_property(spark, docs):
+    """For ANY corpus split into history (even ids, state only) and a
+    new batch (odd ids), the store-verified incremental pairs equal the
+    text-verified batch pairs restricted to pairs touching a new doc —
+    same LSH banding, same Jaccard values, no extra or missing pairs."""
+    from ml4logs_spark.operators import dedup
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.near_dups(df, threshold=0.5).collect()
+    }
+    hist = df.filter("doc_id % 2 = 0")
+    new = df.filter("doc_id % 2 = 1")
+    inc = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.incremental_near_dup_verified(
+            new,
+            dedup.lsh_bands(dedup.minhash_signatures(hist)),
+            dedup.shingle_store(hist),
+            threshold=0.5,
+        ).collect()
+    }
+    want = {p: j for p, j in batch.items() if p[0] % 2 == 1 or p[1] % 2 == 1}
+    assert inc == want
