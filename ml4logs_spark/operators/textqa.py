@@ -352,20 +352,31 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.slice(bounds, 2, 1 << 30), bounds, lambda b, a: b - a
     )
     top = F.when(n <= 1, n).otherwise(F.array_max(gaps))
+    return docs.select(
+        "doc_id",
+        F.round(n_d / F.greatest(n, F.lit(1)), 6).alias("distinct_ratio"),
+        F.round(top / F.greatest(n, F.lit(1)), 6).alias("top_token_frac"),
+        dup_bigram_frac_expr(text_col).alias("dup_bigram_frac"),
+    )
+
+
+def dup_bigram_frac_expr(text_col: str = "text") -> Column:
+    """Repeated-phrasing ratio ``1 - distinct bigrams / bigrams`` as a
+    pure map-side Column (rounded 6dp; 0.0 for docs of <2 tokens) —
+    ONE definition shared by ``repetition_stats`` (the report) and
+    ``curate_corpus``'s Gopher-style repetition gate (the filter), so
+    the tokenizer or bigram shape can never drift between them. Same
+    ``_toks_lower`` tokens as every other docs operator."""
+    toks = _toks_lower(text_col)
+    n = F.size(toks)
     bigrams = F.zip_with(
         toks, F.slice(toks, 2, 1 << 30), lambda a, b: F.concat_ws(" ", a, b)
     )
     bigrams = F.slice(bigrams, 1, F.greatest(n - F.lit(1), F.lit(0)))
     n_bg = F.size(bigrams)
     n_bg_d = F.size(F.array_distinct(bigrams))
-    return docs.select(
-        "doc_id",
-        F.round(n_d / F.greatest(n, F.lit(1)), 6).alias("distinct_ratio"),
-        F.round(top / F.greatest(n, F.lit(1)), 6).alias("top_token_frac"),
-        F.round(
-            F.when(n_bg > 0, F.lit(1.0) - n_bg_d / n_bg).otherwise(F.lit(0.0)),
-            6,
-        ).alias("dup_bigram_frac"),
+    return F.round(
+        F.when(n_bg > 0, F.lit(1.0) - n_bg_d / n_bg).otherwise(F.lit(0.0)), 6
     )
 
 
@@ -424,8 +435,9 @@ def doc_length_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
     pick chunk sizes and spot truncation/boilerplate artifacts. Token
     count matches ``doc_stats``'s whitespace definition. One partial+
     final hash aggregate over ~60 possible buckets (map-side combine
-    collapses everything before the shuffle)."""
-    n = F.size(F.split(F.col(text_col), " "))
+    collapses everything before the shuffle). NULL text coalesces to ''
+    (repo NULL-text contract) so NULL docs bucket with empty docs."""
+    n = F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
     bucket_lo = F.when(n <= 0, F.lit(0)).otherwise(
         F.pow(F.lit(2.0), F.floor(F.log2(n)))
     ).cast("long")

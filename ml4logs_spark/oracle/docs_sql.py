@@ -664,8 +664,8 @@ DOC_ORACLES["span_dedup"] = """
 DOC_ORACLES["doc_length_histogram"] = """
     SELECT CAST(CASE WHEN n <= 0 THEN 0
                 ELSE power(2, floor(log2(n))) END AS BIGINT) AS bucket_lo,
-           count(*) AS n_docs, sum(n) AS n_tokens_total
-    FROM (SELECT len(str_split(text, ' ')) AS n FROM documents)
+           count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens_total
+    FROM (SELECT len(str_split(coalesce(text, ''), ' ')) AS n FROM documents)
     GROUP BY 1
 """
 

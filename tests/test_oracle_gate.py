@@ -16,7 +16,7 @@ import pytest
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 import __spark_entry__ as entry
-from check_oracle import compare_frames
+from check_oracle import compare_arrow_schemas, compare_frames
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -37,8 +37,11 @@ def duck():
 
 @pytest.mark.parametrize("name", _beyond_window_oracle_queries())
 def test_beyond_window_query_matches_oracle(spark, duck, name):
-    sdf = entry.queries()[name](spark, SF_DIR).toPandas()
+    s_tbl = entry.queries()[name](spark, SF_DIR).toArrow()
+    sdf = s_tbl.to_pandas()
     assert len(sdf) > 0, f"{name} returned no rows at sf0.001"
-    ddf = duck.execute(entry.oracle_sql()[name]).df()
-    err = compare_frames(sdf, ddf)
+    d_tbl = duck.execute(entry.oracle_sql()[name]).arrow()
+    err = compare_arrow_schemas(s_tbl, d_tbl) or compare_frames(
+        sdf, d_tbl.to_pandas()
+    )
     assert err is None, f"{name}: {err}"

@@ -41,6 +41,59 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
 
 
+def arrow_type_key(t) -> str:
+    """Canonical serialized-type key used to replicate the driver's hash
+    sensitivity.
+
+    The driver hashes values at their serialized (arrow) types, so an
+    int64 Spark column vs a DuckDB HUGEINT/decimal128 column mismatches
+    even when every value is equal (the doc_length_histogram r4 bug) —
+    and pandas-level comparison can't see it because ``.df()``/
+    ``toPandas()`` both collapse to float64/object. Compare the raw
+    arrow schema instead: nullable ints stay int64 in arrow (no float
+    promotion false-positive) while HUGEINT stays decimal128.
+
+    Strictness is calibrated to driver EVIDENCE, not guesswork: in r4
+    the driver hashed `quality_filtered` green with Spark int32 vs
+    DuckDB int64 (so integer/float WIDTHS fold — the hash is over
+    pandas-level values), while `doc_length_histogram` hashed red with
+    Spark int64 vs DuckDB decimal128 of identical values (so decimal,
+    which converts to float/Decimal objects, must NOT fold into int).
+    Representation-identical spellings fold too (string/large_string,
+    tz on timestamps — the dialect rules forbid surfacing raw
+    timestamps anyway).
+    """
+    import pyarrow as pa
+
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_timestamp(t):
+        return f"timestamp[{t.unit}]"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{arrow_type_key(t.value_type)}>"
+    return str(t)
+
+
+def compare_arrow_schemas(s_tbl, d_tbl) -> str | None:
+    """Assert per-column serialized-type agreement before the tolerant
+    value compare (returns a message for the first divergent column)."""
+    d_types = {f.name: f.type for f in d_tbl.schema}
+    for f in s_tbl.schema:
+        if f.name not in d_types:
+            continue  # column-name mismatch reported by compare_frames
+        ks, kd = arrow_type_key(f.type), arrow_type_key(d_types[f.name])
+        if ks != kd:
+            return (
+                f"column {f.name} serialized type differs: spark={ks} "
+                f"duck={kd} — driver hash would mismatch"
+            )
+    return None
+
+
 def compare_frames(sdf: pd.DataFrame, ddf: pd.DataFrame) -> str | None:
     """Driver-style compare (order-insensitive, 1e-9 float tolerance).
 
@@ -97,13 +150,14 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            s_tbl = fn(spark, sf_dir).toArrow()
+            sdf = s_tbl.to_pandas()
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
             failed.append(name)
             cache.release_all()
             continue
-        # the result is already in pandas — release the operators'
+        # the result is already collected — release the operators'
         # tracked diamond-node persists so a 70-query sweep doesn't
         # accumulate cached blocks across queries
         cache.release_all()
@@ -112,12 +166,13 @@ def main() -> int:
             print(f"SKIP {name}: no oracle (rows-only, {len(sdf)} rows)")
             continue
         try:
-            ddf = con.execute(sql).df()
+            d_tbl = con.execute(sql).arrow()
+            ddf = d_tbl.to_pandas()
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
             failed.append(name)
             continue
-        err = compare_frames(sdf, ddf)
+        err = compare_arrow_schemas(s_tbl, d_tbl) or compare_frames(sdf, ddf)
         if err:
             print(f"FAIL {name}: {err}")
             failed.append(name)
