@@ -635,13 +635,21 @@ def _q_source_rollup(spark, sf_dir):
 
 
 def _q_curated_chunks(spark, sf_dir):
-    # the WHOLE curation pipeline as one Catalyst plan: dedup ->
-    # quality gate -> decontaminate -> PII scrub -> chunk
-    from ml4logs_spark.operators import curate
+    # the WHOLE curation pipeline as one Catalyst plan, with the r5
+    # in-plan stages ON: source mixing (MIX_WEIGHTS broadcast dim at the
+    # scan) -> dedup -> Gopher repetition gate (<=0.1 dup-bigram frac,
+    # ~p99 of the corpus so it genuinely excludes docs here) -> quality
+    # gate -> decontaminate -> PII scrub -> chunk
+    from ml4logs_spark.operators import curate, textqa
 
     docs = _docs(spark, sf_dir)
     nib = F.substring(F.md5("text"), 1, 1)
-    return curate.curate_corpus(docs.filter(nib != "0"), docs.filter(nib == "0"))
+    return curate.curate_corpus(
+        docs.filter(nib != "0"),
+        docs.filter(nib == "0"),
+        mix_weights=textqa.MIX_WEIGHTS,
+        max_dup_bigram_frac=0.1,
+    )
 
 
 def _q_drain_templates(spark, sf_dir):

@@ -41,9 +41,27 @@ def curate_corpus(
     overlap: int = 8,
     near_threshold: float | None = None,
     span_tokens: int | None = None,
+    mix_weights: dict[str, str] | None = None,
+    max_dup_bigram_frac: float | None = None,
 ) -> DataFrame:
-    """documents -> model-ready chunks: dedup, gate, decontaminate,
+    """documents -> model-ready chunks: mix, dedup, gate, decontaminate,
     scrub, chunk. Returns (doc_id, chunk_idx, chunk_text, n_tokens).
+
+    ``mix_weights`` (source -> hex rate as in textqa.source_mix_sample)
+    applies the training-mixture downsample FIRST: it is a deterministic
+    per-row predicate (md5-prefix draw + broadcast weight dim), so
+    putting it at the scan means rows outside the mixture never reach
+    the dedup shuffle — at 100 TB that is the difference between
+    shuffling the crawl and shuffling the mixture. Weights are therefore
+    defined on the RAW corpus (a doc dropped by the mix can't be a
+    dedup survivor); sources absent from the map are dropped.
+
+    ``max_dup_bigram_frac`` adds the Gopher-style repetition gate:
+    docs whose ``textqa.dup_bigram_frac_expr`` (1 - distinct bigrams /
+    bigrams, the repeated-phrasing signal) exceeds the ceiling drop
+    before the quality gate ever scores them. A pure map-side predicate
+    Catalyst fuses into the same stage as the quality filter — the
+    chain stays one lazy plan.
 
     ``near_threshold`` adds a near-duplicate removal stage after exact
     dedup (LSH pairs -> connected components -> one survivor per
@@ -58,6 +76,8 @@ def curate_corpus(
     whose every block duplicates earlier content drop out before the
     gate ever scores them. Pure Catalyst, so unlike near_threshold it
     keeps the chain one lazy plan."""
+    if mix_weights is not None:
+        docs = textqa.source_mix_sample(docs, mix_weights)
     surv = dedup.exact_dedup(docs)
     if near_threshold is not None:
         # the clustering fixpoint and the final anti-join each consume
@@ -68,6 +88,12 @@ def curate_corpus(
         surv = dedup.near_dup_survivors(surv, near_threshold)
     if span_tokens is not None:
         surv = dedup.span_dedup(surv, span_tokens=span_tokens)
+    if max_dup_bigram_frac is not None:
+        # gate on post-span text (span dedup rewrites it) so the signal
+        # measures what would actually be trained on
+        surv = surv.filter(
+            textqa.dup_bigram_frac_expr("text") <= F.lit(max_dup_bigram_frac)
+        )
     # keep_cols carries text through the gate in the same map-side
     # select — no join back to the corpus (one less doc_id shuffle)
     good = cache.track(

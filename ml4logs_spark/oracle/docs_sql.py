@@ -17,6 +17,7 @@ from ml4logs_spark.operators.similarity import _hyperplane
 from ml4logs_spark.operators.textqa import (
     BPE_REGEX,
     LANG_MARKERS,
+    MIX_WEIGHTS,
     PII_PATTERNS,
     STOPWORDS,
 )
@@ -87,6 +88,9 @@ _STOP_HITS = (
 # 64-bit SimHash mirror: global bit i = bit (i%4) of md5 hex nibble
 # (i//4); chunk b = sum of 2^j over set bits 16b+j. Each bit recomputes
 # md5 per token — fine for the oracle, where clarity beats speed.
+_TOKS_LOWER = "list_filter(str_split(lower(coalesce(text, '')), ' '), t -> t <> '')"
+
+
 def _simhash_bit(i: int) -> str:
     d, j = divmod(i, 4)
     nib = f"(instr('0123456789abcdef', substring(md5(t), {d + 1}, 1)) - 1)"
@@ -191,6 +195,19 @@ def _ivf_fit_ctes() -> str:
             f"FROM m{it} GROUP BY cell)"
         )
     return ",\n        ".join(ctes)
+
+# training-mixture weight dim as a VALUES list (mirrors the broadcast
+# dim in textqa.source_mix_sample) and the repeated-phrasing ratio over
+# a token-array alias `a` (mirrors textqa.dup_bigram_frac_expr) — both
+# shared by the standalone queries and the in-plan curation stages
+_MIX_VALUES = ", ".join(f"('{s}', '{r}')" for s, r in MIX_WEIGHTS.items())
+_DUP_BG_FRAC = (
+    "round(CASE WHEN len(a) > 1 THEN 1.0 - "
+    "len(list_distinct(list_transform(generate_series(1, len(a) - 1), "
+    "i -> a[i] || ' ' || a[i + 1]))) * 1.0 / (len(a) - 1) "
+    "ELSE 0.0 END, 6)"
+)
+
 
 def _pii_chain(col: str = "text") -> str:
     """Nested regexp_replace chain mirroring textqa.mask_pii (same
@@ -484,17 +501,26 @@ DOC_ORACLES: dict[str, str] = {
         WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
     """,
     # the full curation pipeline as ONE query: md5-nibble benchmark
-    # split -> exact dedup -> quality gate -> shingle decontamination ->
-    # PII mask -> token-window chunking. Mirrors _q_curated_chunks.
+    # split -> source mixing (weight dim + md5-prefix draw) -> exact
+    # dedup -> Gopher repetition gate (dup-bigram frac <= 0.1) ->
+    # quality gate -> shingle decontamination -> PII mask ->
+    # token-window chunking. Mirrors _q_curated_chunks.
     "curated_chunks": f"""
         WITH corpus AS (
-          SELECT doc_id, text FROM documents
-          WHERE substring(md5(text), 1, 1) <> '0'
+          SELECT d.doc_id, d.text FROM documents d
+          JOIN (VALUES {_MIX_VALUES}) m(source, rate) ON m.source = d.source
+          WHERE substring(md5(d.text), 1, 1) <> '0'
+            AND substring(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)),
+                          1, 4) < m.rate
         ), bmark AS (
           SELECT text FROM documents WHERE substring(md5(text), 1, 1) = '0'
-        ), surv AS (
+        ), surv0 AS (
           SELECT doc_id, text FROM corpus WHERE doc_id IN (
             SELECT min(doc_id) FROM corpus GROUP BY md5(text))
+        ), surv AS (
+          SELECT doc_id, text FROM
+            (SELECT doc_id, text, {_TOKS_LOWER} AS a FROM surv0)
+          WHERE {_DUP_BG_FRAC} <= 0.1
         ), stats AS ({_doc_stats_sql('surv')}
         ), good AS (
           SELECT s.doc_id, s.text FROM surv s
@@ -560,7 +586,6 @@ def _dq_rec(body: str) -> str:
 
 
 # shared lowered empty-filtered tokenizer (mirror of textqa._toks_lower)
-_TOKS_LOWER = "list_filter(str_split(lower(coalesce(text, '')), ' '), t -> t <> '')"
 
 # Gopher-style within-doc repetition signals; the mode count mirrors the
 # Spark longest-run-in-sorted-array formulation (linear, not per-token)
@@ -741,13 +766,10 @@ DOC_ORACLES["incremental_near_dup_verified"] = f"""
 
 
 def _mix_sql() -> str:
-    from ml4logs_spark.operators.textqa import MIX_WEIGHTS
-
-    values = ", ".join(f"('{s}', '{r}')" for s, r in MIX_WEIGHTS.items())
     return f"""
         SELECT d.doc_id, d.source
         FROM documents d
-        JOIN (VALUES {values}) m(source, rate) ON m.source = d.source
+        JOIN (VALUES {_MIX_VALUES}) m(source, rate) ON m.source = d.source
         WHERE substring(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 4)
               < m.rate
     """

@@ -188,6 +188,8 @@ def _a_curate(spark, env, step, cfg):
         min_score=step.get("min_score", 0.5),
         near_threshold=step.get("near_threshold"),
         span_tokens=step.get("span_tokens"),
+        mix_weights=step.get("mix_weights"),
+        max_dup_bigram_frac=step.get("max_dup_bigram_frac"),
         min_tokens=step.get("min_tokens", 3),
         max_tokens=step.get("max_tokens", 10_000),
         chunk_tokens=step.get("chunk_tokens", 64),

@@ -283,3 +283,61 @@ def test_repetition_stats_degenerate_docs(spark):
     assert got[1].dup_bigram_frac == 0.75  # 4 bigrams, 1 distinct
     assert got[2].distinct_ratio == 1.0 and got[2].dup_bigram_frac == 0.0
     assert got[3].dup_bigram_frac == 0.0 and got[4].dup_bigram_frac == 0.0
+
+
+def test_curate_corpus_mix_and_repetition_stages(spark):
+    """mix_weights drops unlisted sources at the scan and the
+    Gopher-style repetition gate drops loop/boilerplate docs before the
+    quality gate; both stay inside the one lazy plan (no extra jobs)."""
+    from ml4logs_spark.operators import curate, textqa
+
+    normal = "the cat and the dog sat on the mat with a hat"
+    loopy = " ".join(["buy now click here"] * 12)  # dup_bigram_frac ~ 1
+    docs = _docs(spark, [
+        (0, normal, "keep"),
+        (1, loopy, "keep"),
+        (2, normal + " extra words", "drop"),  # source not in weights
+    ])
+    bench = _docs(spark, [(99, "zz1 zz2 zz3 zz4", "b")]).drop("source")
+
+    out = curate.curate_corpus(
+        docs, bench, min_score=0.0, min_tokens=3,
+        mix_weights={"keep": "ffff"},  # 100% of 'keep', others dropped
+        max_dup_bigram_frac=0.5,
+    ).toPandas()
+    assert set(out.doc_id) == {0}
+
+    # ceiling high enough readmits the loopy doc; weights on both
+    # sources readmit source 'drop'
+    out2 = curate.curate_corpus(
+        docs, bench, min_score=0.0, min_tokens=3,
+        mix_weights={"keep": "ffff", "drop": "ffff"},
+        max_dup_bigram_frac=1.0,
+    ).toPandas()
+    assert set(out2.doc_id) == {0, 1, 2}
+
+    # the gate threshold agrees with the reported statistic: doc 1 sits
+    # strictly above 0.5 per repetition_stats, doc 0 below
+    rep = {r.doc_id: r.dup_bigram_frac
+           for r in textqa.repetition_stats(docs).collect()}
+    assert rep[1] > 0.5 > rep[0]
+
+
+def test_dup_bigram_frac_expr_matches_repetition_stats(spark):
+    """The shared expression and the report column can never drift:
+    same values on the same docs (including degenerate 0/1-token)."""
+    from pyspark.sql import functions as F
+    from ml4logs_spark.operators import textqa
+
+    docs = _docs(spark, [
+        (0, "a b a b a b", "s"),
+        (1, "one two three four", "s"),
+        (2, "", "s"),
+        (3, "solo", "s"),
+        (4, None, "s"),
+    ])
+    via_expr = {r.doc_id: r.v for r in docs.select(
+        "doc_id", textqa.dup_bigram_frac_expr("text").alias("v")).collect()}
+    via_stats = {r.doc_id: r.dup_bigram_frac
+                 for r in textqa.repetition_stats(docs).collect()}
+    assert via_expr == via_stats
