@@ -466,6 +466,14 @@ def _q_near_dup_survivors(spark, sf_dir):
     )
 
 
+def _q_near_dup_survivors_quality(spark, sf_dir):
+    # survivor-selection POLICY: keep the best-quality doc per cluster
+    # (ties -> lowest doc_id) instead of the cluster minimum
+    return dedup_op.near_dup_survivors(
+        _docs(spark, sf_dir), 0.8, keep="max_quality"
+    ).select("doc_id")
+
+
 def _q_simhash64(spark, sf_dir):
     # 64-bit signature as four sign-safe 16-bit chunk columns
     return dedup_op.simhash64(_docs(spark, sf_dir))
@@ -685,7 +693,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_oracle_gate.py. The three rows-only queries come last;
     # their justification is pinned in tests/test_contract.py.
     return {
-        # round-4 additions / rotations — no driver evidence yet
+        # round-5 addition — no driver evidence yet (rotated in; the
+        # multi-round-green embedding_near_dups demotes past the
+        # cutoff, its chain covered in-window by
+        # embedding_near_dup_clusters which runs the same banding +
+        # cosine verification plus the clustering fixpoint)
+        "near_dup_survivors_quality": _q_near_dup_survivors_quality,
+        # round-4 additions / rotations
         "repetition_stats": _q_repetition_stats,
         "bigram_counts": _q_bigram_counts,
         "incremental_near_dup_verified": _q_incremental_near_dup_verified,
@@ -735,8 +749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "lsh_cosine_topk": _q_lsh_cosine_topk,
         "ivf_cosine_topk": _q_ivf_cosine_topk,
-        "embedding_near_dups": _q_embedding_near_dups,
         # ---- end of the 50-entry grading window ----
+        "embedding_near_dups": _q_embedding_near_dups,
         "lang_guess": _q_lang_guess,
         "doc_fingerprint": _q_doc_fingerprint,
         "media_meta": _q_media_meta,

@@ -547,16 +547,51 @@ def connected_components(
 
 
 def near_dup_survivors(
-    docs: DataFrame, threshold: float = 0.8
+    docs: DataFrame, threshold: float = 0.8, keep: str = "min_id"
 ) -> DataFrame:
-    """Corpus rows surviving near-duplicate removal: keep the minimum
-    doc_id of each connected near-dup cluster plus every doc in no
-    pair (anti-join of the non-survivor set — the big side shuffles
-    once on doc_id)."""
+    """Corpus rows surviving near-duplicate removal: one kept doc per
+    connected near-dup cluster plus every doc in no pair (anti-join of
+    the non-survivor set — the big side shuffles once on doc_id).
+
+    ``keep`` picks the survivor per cluster:
+
+    - ``"min_id"`` (default): the cluster-minimum doc_id — zero extra
+      work (the cluster label IS the winner).
+    - ``"max_quality"``: the highest ``textqa.doc_stats`` quality_score,
+      ties broken by LOWEST doc_id — what real pipelines keep (the
+      best-written copy, not the first-crawled one). Quality is
+      computed only for clustered docs (a semi-join first, so at 100 TB
+      the score never materializes for the overwhelmingly-unpaired
+      corpus); the per-cluster argmax is one ``max_by`` hash aggregate
+      over the (tiny) clustered set with a deterministic struct
+      tie-break — no window over the corpus.
+    """
     clusters = near_dup_clusters(docs, threshold)
-    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
-        "doc_id"
-    )
+    if keep == "min_id":
+        losers = clusters.filter(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select("doc_id")
+    elif keep == "max_quality":
+        from ml4logs_spark.operators import textqa
+
+        member_docs = docs.join(
+            clusters.select("doc_id"), "doc_id", "left_semi"
+        )
+        scored = clusters.join(
+            textqa.doc_stats(member_docs).select("doc_id", "quality_score"),
+            "doc_id",
+        )
+        winners = scored.groupBy("cluster_id").agg(
+            F.max_by(
+                "doc_id",
+                F.struct(F.col("quality_score"), -F.col("doc_id")),
+            ).alias("doc_id")
+        )
+        losers = clusters.join(
+            winners.select("doc_id"), "doc_id", "left_anti"
+        ).select("doc_id")
+    else:
+        raise ValueError(f"keep must be 'min_id' or 'max_quality', got {keep!r}")
     return docs.join(losers, "doc_id", "left_anti")
 
 

@@ -813,3 +813,18 @@ DOC_ORACLES["near_dup_survivors"] = _dq_rec(
     "SELECT doc_id FROM documents WHERE doc_id NOT IN "
     "(SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)"
 )
+
+# max_quality survivor policy: per cluster keep the highest
+# doc_stats.quality_score (rounded 6dp on BOTH engines, so the rank is
+# fold-order stable), ties -> lowest doc_id — mirrors
+# dedup.near_dup_survivors(keep="max_quality")'s max_by struct
+DOC_ORACLES["near_dup_survivors_quality"] = _dq_rec(f"""
+    SELECT doc_id FROM documents WHERE doc_id NOT IN (
+      SELECT doc_id FROM clusters WHERE doc_id NOT IN (
+        SELECT doc_id FROM (
+          SELECT c.doc_id,
+                 row_number() OVER (PARTITION BY c.cluster_id
+                   ORDER BY q.quality_score DESC, c.doc_id) AS rn
+          FROM clusters c JOIN ({_doc_stats_sql()}) q ON q.doc_id = c.doc_id
+        ) w WHERE rn = 1))
+""")

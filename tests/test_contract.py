@@ -35,7 +35,12 @@ def test_grading_window_holds_only_full_oracle_queries():
     window = q[:50]
     assert all(name in o for name in window), [n for n in window if n not in o]
     for name in ("embedding_norms", "ann_cosine_topk", "lsh_cosine_topk",
-                 "ivf_cosine_topk", "embedding_near_dups", "simhash_near_dups",
+                 "ivf_cosine_topk", "simhash_near_dups",
+                 # round-5 rotation: survivor policy is new; its slot
+                 # came from demoting the multi-round-green
+                 # embedding_near_dups (chain covered in-window by
+                 # embedding_near_dup_clusters)
+                 "near_dup_survivors_quality",
                  # round-3 curation family — first driver check is round 3
                  "ivf_codebook", "pii_masked", "doc_chunks", "quality_filtered",
                  "docs_hash_sample", "vocab_dim", "decontaminated",

@@ -580,3 +580,40 @@ def test_incremental_exact_dedup_null_text_cross_batch(spark):
         r.doc_id for r in dedup.incremental_exact_dedup(b2, seen).collect()
     )
     assert out == [11]
+
+
+def test_near_dup_survivors_max_quality_policy(spark):
+    """keep="max_quality" keeps the best-scoring doc per cluster (here
+    the LONGEST — doc_stats's length prior — i.e. NOT the min id), with
+    ties broken deterministically by lowest doc_id; unpaired docs and
+    the unrelated cluster are untouched."""
+    from ml4logs_spark.operators import dedup
+
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"
+    other = "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11"
+    docs = spark.createDataFrame(
+        [
+            (1, base),             # cluster A: quality rises with length
+            (2, base + " x"),
+            (3, base + " x y"),    # longest -> highest quality_score
+            (5, other),            # cluster B: identical text -> quality tie
+            (6, other),
+            (10, "entirely different words here that never collide at all"),
+        ],
+        "doc_id long, text string",
+    )
+    by_quality = sorted(
+        r.doc_id
+        for r in dedup.near_dup_survivors(docs, 0.75, keep="max_quality")
+        .select("doc_id").collect()
+    )
+    assert by_quality == [3, 5, 10]  # A keeps 3 (best), B tie keeps 5 (min id)
+    by_min = sorted(
+        r.doc_id for r in dedup.near_dup_survivors(docs, 0.75).collect()
+    )
+    assert by_min == [1, 5, 10]      # default policy differs on cluster A
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup.near_dup_survivors(docs, 0.75, keep="best")
