@@ -479,6 +479,17 @@ def _q_simhash64(spark, sf_dir):
     return dedup_op.simhash64(_docs(spark, sf_dir))
 
 
+def _q_incremental_simhash_near_dups(spark, sf_dir):
+    # day-2 simhash loop: even doc_ids are the historical corpus,
+    # present ONLY as the (doc_id, c0..c3) signature state; odd ids
+    # arrive as the new batch — hamming<=3 pairs across the boundary
+    # and within the batch, history never rescanned
+    docs = _docs(spark, sf_dir)
+    hist_sigs = dedup_op.simhash64(docs.filter(F.col("doc_id") % 2 == 0))
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup_op.incremental_simhash_near_dups(new, hist_sigs)
+
+
 def _q_simhash_near_dups(spark, sf_dir):
     # exact banded hamming search over the simhash signatures
     out = dedup_op.simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
@@ -699,6 +710,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embedding_near_dup_clusters which runs the same banding +
         # cosine verification plus the clustering fixpoint)
         "near_dup_survivors_quality": _q_near_dup_survivors_quality,
+        # round-5 addition: the simhash day-2 state path (slot from
+        # demoting lsh_candidate_pairs — the banding+candidate chain
+        # stays evidenced in-window by incremental_near_dup_verified
+        # and the near_dup cluster/survivor queries that run
+        # candidates -> Jaccard -> clustering end-to-end)
+        "incremental_simhash_near_dups": _q_incremental_simhash_near_dups,
         # round-4 additions / rotations
         "repetition_stats": _q_repetition_stats,
         "bigram_counts": _q_bigram_counts,
@@ -741,7 +758,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_survivors": _q_near_dup_survivors,
         "source_mix_sample": _q_source_mix_sample,
         "embedding_near_dup_clusters": _q_embedding_near_dup_clusters,
-        "lsh_candidate_pairs": _q_lsh_candidate_pairs,
         "simhash64": _q_simhash64,
         "simhash_near_dups": _q_simhash_near_dups,
         "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
@@ -751,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cosine_topk": _q_ivf_cosine_topk,
         # ---- end of the 50-entry grading window ----
         "embedding_near_dups": _q_embedding_near_dups,
+        "lsh_candidate_pairs": _q_lsh_candidate_pairs,
         "lang_guess": _q_lang_guess,
         "doc_fingerprint": _q_doc_fingerprint,
         "media_meta": _q_media_meta,

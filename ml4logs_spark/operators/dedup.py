@@ -364,6 +364,66 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     return simhash_candidate_pairs(docs).filter(F.col("hamming") <= max_hamming)
 
 
+def incremental_simhash_near_dups(
+    new_docs: DataFrame, seen_sigs: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Cross-batch simhash near-dup pairs: hamming<=``max_hamming``
+    pairs of the new batch against the HISTORICAL signature table
+    (doc_id, c0..c3 — the third incremental state table next to the
+    LSH band table and the shingle store), plus new-vs-new pairs
+    within the batch. Returns (doc_a, doc_b, hamming), doc_a < doc_b.
+
+    Unlike the MinHash path, simhash needs only ONE state table: the
+    signature both generates candidates (its chunks ARE the pigeonhole
+    bands) and verifies them (the popcount distance is a function of
+    the signatures alone) — 8 bytes/doc of state, no text retained,
+    and the day-2 ingest never rescans history. To advance the
+    frontier append ``simhash64(new_docs)`` for the accepted rows.
+
+    Exactness carries over: any pair within radius 3 of the 64-bit
+    signature agrees on a whole 16-bit chunk, so new-vs-historical
+    banding misses nothing (simhash_candidate_pairs' pigeonhole
+    argument, applied across the batch boundary).
+
+    Replay-safe: signatures are a deterministic function of text, so a
+    batch whose signatures were already appended collides with its own
+    identical state rows — self-pairs are filtered, cross pairs
+    canonicalize and distinct away, and the output is unchanged."""
+    nb = _simhash_bands(simhash64(new_docs))
+    hb = _simhash_bands(
+        seen_sigs.select("doc_id", *[f"c{b}" for b in range(SIMHASH_CHUNKS)])
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a.c{i}").bitwiseXOR(F.col(f"b.c{i}")))
+        for i in range(SIMHASH_CHUNKS)
+    ).cast("int")
+    hist_hits = (
+        nb.alias("a")
+        .join(hb.alias("b"), ["band", "chunk"])
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+    )
+    new_new = (
+        nb.alias("a")
+        .join(nb.alias("b"), ["band", "chunk"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+    )
+    return (
+        hist_hits.unionByName(new_new)
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def contaminated_ids(docs: DataFrame, benchmark: DataFrame) -> DataFrame:
     """Doc ids sharing at least one k-word shingle with the benchmark
     set — the test-set-contamination detector run before training.

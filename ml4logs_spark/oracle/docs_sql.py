@@ -311,6 +311,46 @@ DOC_ORACLES: dict[str, str] = {
         GROUP BY ALL
         HAVING hamming <= 3
     """,
+    # incremental simhash: even ids = historical signature state, odd
+    # ids = new batch; hist-vs-new + new-vs-new banded pairs, UNION
+    # dedup, hamming <= 3 — mirrors dedup.incremental_simhash_near_dups
+    "incremental_simhash_near_dups": "WITH sh_h AS (SELECT doc_id, " + ", ".join(
+        f"CAST({_SIMHASH_CHUNKS[b]} AS INT) AS c{b}" for b in range(4)
+    ) + " FROM documents WHERE doc_id % 2 = 0),\n sh_n AS (SELECT doc_id, "
+    + ", ".join(
+        f"CAST({_SIMHASH_CHUNKS[b]} AS INT) AS c{b}" for b in range(4)
+    ) + """ FROM documents WHERE doc_id % 2 = 1),
+        g AS (SELECT range AS b FROM range(0, 4)),
+        bands_h AS (
+          SELECT doc_id, c0, c1, c2, c3, g.b AS band,
+                 CASE g.b WHEN 0 THEN c0 WHEN 1 THEN c1
+                          WHEN 2 THEN c2 ELSE c3 END AS chunk
+          FROM sh_h CROSS JOIN g
+        ),
+        bands_n AS (
+          SELECT doc_id, c0, c1, c2, c3, g.b AS band,
+                 CASE g.b WHEN 0 THEN c0 WHEN 1 THEN c1
+                          WHEN 2 THEN c2 ELSE c3 END AS chunk
+          FROM sh_n CROSS JOIN g
+        ),
+        pairs AS (
+          SELECT least(a.doc_id, b.doc_id) AS doc_a,
+                 greatest(a.doc_id, b.doc_id) AS doc_b,
+                 CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+                    + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))
+                   AS INT) AS hamming
+          FROM bands_n a JOIN bands_h b USING (band, chunk)
+          WHERE a.doc_id <> b.doc_id
+          UNION
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+                    + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))
+                   AS INT) AS hamming
+          FROM bands_n a JOIN bands_n b USING (band, chunk)
+          WHERE a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+    """,
     "doc_stats": _DOC_STATS_SQL,
     "lang_guess": f"SELECT doc_id, lang, {_LANG_CASE} AS lang_guess FROM documents",
     "doc_fingerprint": (

@@ -617,3 +617,58 @@ def test_near_dup_survivors_max_quality_policy(spark):
 
     with pytest.raises(ValueError):
         dedup.near_dup_survivors(docs, 0.75, keep="best")
+
+
+def _simhash_batch_fixture(spark):
+    base = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13 t14 t15"
+    return spark.createDataFrame(
+        [
+            (0, base),                    # historical (even)
+            (2, base + " z"),             # historical near-dup of 0
+            (1, base + " y"),             # new: near-dup of 0/2
+            (3, base + " y"),             # new: identical to 1 (hamming 0)
+            (6, base + " y"),             # historical, identical to 1/3:
+                                          # guarantees a cross-parity hit
+            (5, "totally unrelated words that share no tokens at all ok"),
+            (4, "another disjoint historical document with its own tokens"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_incremental_simhash_matches_batch_minus_history(spark):
+    """The day-2 path over (state=even sigs, new=odd docs) returns
+    exactly the full-corpus pairs minus historical-vs-historical —
+    nothing lost at the batch boundary (pigeonhole exactness carries
+    over), nothing invented."""
+    from ml4logs_spark.operators import dedup
+
+    docs = _simhash_batch_fixture(spark)
+    hist_sigs = dedup.simhash64(docs.filter("doc_id % 2 = 0"))
+    new = docs.filter("doc_id % 2 = 1")
+    inc = {(r.doc_a, r.doc_b, r.hamming)
+           for r in dedup.incremental_simhash_near_dups(new, hist_sigs).collect()}
+    full = {(r.doc_a, r.doc_b, r.hamming)
+            for r in dedup.simhash_near_dups(docs).collect()}
+    expected = {p for p in full if p[0] % 2 == 1 or p[1] % 2 == 1}
+    assert inc == expected and len(inc) > 0
+    # the near-dup family actually crosses the boundary in this fixture
+    assert any(a % 2 == 1 and b % 2 == 0 or a % 2 == 0 and b % 2 == 1
+               for a, b, _ in inc)
+
+
+def test_incremental_simhash_replay_safe(spark):
+    """Replaying a batch whose signatures were already appended to the
+    state yields the identical pair set: self-collisions filter out,
+    duplicated cross pairs distinct away."""
+    from ml4logs_spark.operators import dedup
+
+    docs = _simhash_batch_fixture(spark)
+    new = docs.filter("doc_id % 2 = 1")
+    before = dedup.simhash64(docs.filter("doc_id % 2 = 0"))
+    after = before.unionByName(dedup.simhash64(new))  # state already advanced
+    first = {(r.doc_a, r.doc_b, r.hamming)
+             for r in dedup.incremental_simhash_near_dups(new, before).collect()}
+    replay = {(r.doc_a, r.doc_b, r.hamming)
+              for r in dedup.incremental_simhash_near_dups(new, after).collect()}
+    assert replay == first
