@@ -199,3 +199,108 @@ def test_match_templates_rejects_trailing_newline(spark):
            for r in drain.match_templates(turns, ["ERROR disk <*>"]).collect()}
     assert got[0] == "ERROR disk <*>"
     assert got[1] is None
+
+
+# ---------------------------------------------------------------------
+# Reference-shaped fidelity golden (VERDICT r4 #7): HDFS-like content
+# lines in the shape the reference's drain3 wrapper consumes after its
+# header-strip regex (ibm_drain.py:40-45: `[^:]*: (?P<content>.*)` ->
+# TemplateMiner.add_log_message per line). The golden below is the
+# RECORDED template set our miner produced on this fixture, verified
+# once by hand to be exact grammar recovery (one template per planted
+# shape, every parameter position wildcarded, every constant kept) —
+# any silent miner drift now fails this file.
+
+def _hdfs_param(i: int, mod: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{i}".encode()).hexdigest()[:6], 16) % mod
+
+
+def _hdfs_lines(n: int = 400) -> list[str]:
+    out = []
+    for i in range(n):
+        ip = f"10.0.{_hdfs_param(i, 4)}.{_hdfs_param(i + 7, 200)}:50010"
+        blk = f"blk_{-1 if i % 3 else 1}{_hdfs_param(i, 10**6)}"
+        k = i % 7
+        if k == 0:
+            out.append(f"Receiving block {blk} src: /{ip} dest: /{ip}")
+        elif k == 1:
+            out.append(f"PacketResponder {_hdfs_param(i, 3)} for block {blk} terminating")
+        elif k == 2:
+            out.append(
+                "BLOCK* NameSystem.addStoredBlock: blockMap updated: "
+                f"{ip} is added to {blk} size {_hdfs_param(i, 10**7)}"
+            )
+        elif k == 3:
+            out.append(f"Verification succeeded for {blk}")
+        elif k == 4:
+            out.append(f"Deleting block {blk} file /data/current/{blk}")
+        elif k == 5:
+            out.append(
+                "BLOCK* NameSystem.allocateBlock: "
+                f"/user/job{_hdfs_param(i, 100)}/part-{_hdfs_param(i, 10)}. {blk}"
+            )
+        else:
+            out.append(
+                f"Received block {blk} of size {_hdfs_param(i, 10**7)} from /{ip}"
+            )
+    return out
+
+
+HDFS_GOLDEN = [
+    ("BLOCK* NameSystem.addStoredBlock: blockMap updated: <*> is added to <*> size <*>", 57),
+    ("BLOCK* NameSystem.allocateBlock: <*> <*>", 57),
+    ("Deleting block <*> file <*>", 57),
+    ("PacketResponder <*> for block <*> terminating", 57),
+    ("Received block <*> of size <*> from <*>", 57),
+    ("Receiving block <*> src: <*> dest: <*>", 58),
+    ("Verification succeeded for <*>", 57),
+]
+
+
+def test_hdfs_golden_template_set():
+    """Exact grammar recovery on the reference-shaped fixture: the
+    mined (template, occurrences) set equals the recorded golden."""
+    from ml4logs_spark.operators.drain import DrainMiner
+
+    m = DrainMiner()
+    for ln in _hdfs_lines():
+        m.add(ln)
+    assert m.templates() == HDFS_GOLDEN
+
+
+def test_hdfs_golden_order_insensitive():
+    """templates() is pinned deterministic regardless of mining order:
+    reversed and interleaved feeds recover the identical set (the
+    reference's first-seen cluster ids are a single-thread artifact;
+    the template TEXT set is the portable contract)."""
+    from ml4logs_spark.operators.drain import DrainMiner
+
+    lines = _hdfs_lines()
+    for order in (list(reversed(lines)), lines[1::2] + lines[0::2]):
+        m = DrainMiner()
+        for ln in order:
+            m.add(ln)
+        assert [t for t, _ in m.templates()] == [t for t, _ in HDFS_GOLDEN]
+
+
+def test_hdfs_golden_end_to_end_assignment(spark):
+    """fit_templates + match_templates on the fixture as a transcripts
+    frame: every line matches a golden template and per-template
+    assignment counts equal the golden occurrences."""
+    import pandas as pd
+
+    from ml4logs_spark.operators import drain
+
+    lines = _hdfs_lines()
+    df = spark.createDataFrame(
+        [("hdfs", i, s) for i, s in enumerate(lines)],
+        "conv_id string, turn_idx int, text string",
+    )
+    tpls = drain.fit_templates(df, sample_size=len(lines))
+    assert tpls == [t for t, _ in HDFS_GOLDEN]
+    got = drain.match_templates(df, tpls).toPandas()
+    assert not got.drain_template.isna().any()
+    counts = got.drain_template.value_counts().to_dict()
+    assert counts == {t: n for t, n in HDFS_GOLDEN}
