@@ -103,7 +103,15 @@ def _clustered_fixture(spark, n=500, dim=16, n_clusters=8, seed=23):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
 
-def ensure_input(spark, sf_dir: str, replicate: int, buckets: int = 64) -> str:
+# md5-prefix threshold for the skew fixture: convs below it merge into
+# the giant conversation. "a6"/256 ~ 65% of rows -> at sf0.1 the whale
+# is ~65k turns vs a ~66-turn median = the x1000 Zipf tail under test.
+SKEW_PREFIX = "a6"
+
+
+def ensure_input(
+    spark, sf_dir: str, replicate: int, buckets: int = 64, skew: bool = False
+) -> str:
     """Materialize (once) the bench input as a bucketed+sorted table.
 
     bucketBy(conv_id) + sortBy(conv_id, turn_idx) is the local analog of
@@ -113,15 +121,40 @@ def ensure_input(spark, sf_dir: str, replicate: int, buckets: int = 64) -> str:
     shuffle was the worst-scaling component. Returns the table name.
     ``buckets`` (env SPARK_GRAFT_BUCKETS) sets task granularity: more
     buckets = finer tasks = smaller stage tails at high parallelism.
+
+    ``skew=True`` builds the Zipf-tail variant: conversations whose
+    md5 prefix sorts below SKEW_PREFIX (~65% of rows) merge into ONE
+    giant conversation ~1000x the median size, turn indices renumbered
+    disjointly (48-bit conv-hash block + original index, map-side).
+    The giant conv lands in a single bucket — exactly the straggler
+    shape a power-law corpus hands a conv-partitioned table.
     """
+    from pyspark.sql import functions as F
+
     from ml4logs_spark.datagen import transcripts as tx
 
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1] + (f"_x{replicate}" if replicate > 1 else "")
     if buckets != 64:
         tag += f"_b{buckets}"
+    if skew:
+        tag += f"_skew{SKEW_PREFIX}"
     tbl = f"bench_{tag}".replace(".", "_")
     if not spark.catalog.tableExists(tbl):
         t = tx.replicate(tx.transcripts(spark, sf_dir), replicate)
+        if skew:
+            giant = F.substring(F.md5("conv_id"), 1, 2) < SKEW_PREFIX
+            block = F.conv(F.substring(F.md5("conv_id"), 1, 12), 16, 10).cast(
+                "long"
+            )
+            t = t.select(
+                F.when(giant, F.lit("conv-zipf-giant"))
+                .otherwise(F.col("conv_id"))
+                .alias("conv_id"),
+                F.when(giant, block * F.lit(4096) + F.col("turn_idx"))
+                .otherwise(F.col("turn_idx").cast("long"))
+                .alias("turn_idx"),
+                *[c for c in t.columns if c not in ("conv_id", "turn_idx")],
+            )
         (
             t.repartition(buckets, "conv_id")  # one file per bucket
             .write.bucketBy(buckets, "conv_id")
@@ -192,9 +225,10 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    def e2e():
-        dim = parse.template_dim(turns)
-        p = parse.parsed_turns(turns, dim)
+    def e2e(t=None):
+        t = turns if t is None else t
+        dim = parse.template_dim(t)
+        p = parse.parsed_turns(t, dim)
         e = enrich_op.enrich(p, role_d, tool_d)
         # Shared pre-aggregation: ONE pass over the fact table produces
         # the finest-grained count cube (conv, role, tool, template);
@@ -223,7 +257,7 @@ def main() -> None:
             force(feat.apply_tfidf(counts, feat.fit_idf(counts)))
 
         def branch_td():
-            force(windows.with_timedeltas(turns).select("conv_id", "turn_idx", "td"))
+            force(windows.with_timedeltas(t).select("conv_id", "turn_idx", "td"))
 
         # independent output branches submit concurrently (Spark's FIFO
         # scheduler interleaves their stages) so driver-side job
@@ -274,6 +308,42 @@ def main() -> None:
         spark.stop()
         print(json.dumps(out))
         return
+
+    # -------- skew evidence: Zipf-tail giant conversation -----------
+    # Same pipeline, same row count, but ~20% of turns merged into ONE
+    # conversation (~1000x the median) occupying a single bucket — the
+    # straggler shape route.py's salting and the O(1)-state windows are
+    # designed for. The claim under measurement (VERDICT r3 #7/r4 #4):
+    # the skewed wall stays within ~1.3x of the uniform wall.
+    skew_out: dict = {}
+    sk = spark.table(ensure_input(spark, sf_dir, replicate, buckets, skew=True))
+    sizes = (
+        sk.groupBy("conv_id").count()
+        .agg(
+            F.max("count").alias("mx"),
+            F.expr("percentile_approx(count, 0.5)").alias("md"),
+        )
+        .first()
+    )
+    e2e(sk)  # warm: JIT + broadcast for the skewed shapes
+    skew_runs = []
+    for _ in range(max(reps, 1)):
+        t0 = time.perf_counter()
+        e2e(sk)
+        skew_runs.append(time.perf_counter() - t0)
+    import statistics as _st
+
+    timings["skew_e2e"] = round(_st.median(skew_runs), 3)
+    skew_out = {
+        "skew_e2e_sec": timings["skew_e2e"],
+        "uniform_e2e_sec": timings["e2e_pipeline"],
+        "skew_over_uniform": round(
+            timings["skew_e2e"] / timings["e2e_pipeline"], 3
+        ),
+        "giant_conv_turns": int(sizes.mx),
+        "median_conv_turns": int(sizes.md),
+        "skew_factor": round(sizes.mx / max(sizes.md, 1), 1),
+    }
 
     # -------- documents/embeddings path: simhash cost + ANN recall ----
     # (outside the headline turns/sec metric; recorded so the ANN scale
@@ -455,6 +525,7 @@ def main() -> None:
         "turns": n_turns,
         "turns_per_sec": round(n_turns / timings["e2e_pipeline"], 1),
         "cores": cores,
+        "skew": skew_out,
         "docs": docs_out,
         "streaming": stream_out,
     }
