@@ -14,6 +14,8 @@ pipelines can ignore it and let the session's end clean up.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark import StorageLevel
 
@@ -40,3 +42,24 @@ def release_all() -> int:
             # a stopped session invalidates the handle; nothing to free
             pass
     return n
+
+
+@contextmanager
+def scope():
+    """Release tracked persists created inside the block on exit —
+    the looping-caller ergonomics ADVICE r4 asked for: a caller that
+    invokes build_vocab/conv_offsets/curate per iteration wraps each
+    iteration in ``with cache.scope():`` instead of having to know
+    about ``release_all()``. Frames tracked BEFORE the scope opened are
+    left alone (only the scope's own additions release), so scopes
+    nest and long-lived outer caches survive inner loops."""
+    mark = len(_TRACKED)
+    try:
+        yield
+    finally:
+        while len(_TRACKED) > mark:
+            df = _TRACKED.pop()
+            try:
+                df.unpersist()
+            except Exception:
+                pass

@@ -113,3 +113,28 @@ def test_repo_run_report_is_fresh():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     msg = report_md.check_fresh(repo, os.path.join(repo, "RUN_REPORT.md"))
     assert msg is None, msg
+
+
+def test_untracked_scratch_artifact_does_not_stale_report(tmp_path):
+    """ADVICE r4: a scratch CORRECTNESS/BENCH json dropped in the repo
+    root (untracked) must not flip the freshness check — only
+    git-tracked artifacts define the staleness contract."""
+    import os
+    import subprocess
+
+    from report_md import check_fresh
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    assert check_fresh(repo, os.path.join(repo, "RUN_REPORT.md")) is None
+    scratch = os.path.join(repo, "CORRECTNESS_r98.json")
+    try:
+        with open(scratch, "w") as f:
+            f.write("{}")
+        # still fresh: the scratch file is not git-tracked
+        assert check_fresh(repo, os.path.join(repo, "RUN_REPORT.md")) is None
+    finally:
+        os.remove(scratch)
+    # sanity: the file really was untracked during the check
+    out = subprocess.run(["git", "-C", repo, "ls-files", "CORRECTNESS_r98.json"],
+                         capture_output=True, text=True)
+    assert out.stdout.strip() == ""

@@ -134,15 +134,37 @@ def scaling_section(bench_dir: str) -> str:
     return "\n".join(parts)
 
 
-def _sources(repo: str) -> list[str]:
+def _sources(repo: str, tracked_only: bool = False) -> list[str]:
     """The newest per-kind artifacts a fresh report would collate —
     the staleness contract: a RUN_REPORT.md citing anything else is
-    stale and `--check` (and tests/test_report_md.py) fails it."""
+    stale and `--check` (and tests/test_report_md.py) fails it.
+
+    ``tracked_only`` (the check path) restricts candidates to
+    git-tracked files so scratch/untracked artifacts from a local
+    experiment cannot flip the test suite red (ADVICE r4); generation
+    still reads the newest files on disk, and committing a new
+    artifact without regenerating the report fails the check — the
+    nag fires exactly when the repo's record actually moved."""
+    tracked: set[str] | None = None
+    if tracked_only:
+        import subprocess
+
+        try:
+            res = subprocess.run(
+                ["git", "-C", repo, "ls-files"],
+                capture_output=True, text=True, timeout=30,
+            )
+            if res.returncode == 0:
+                tracked = set(res.stdout.split())
+        except Exception:
+            tracked = None  # no git -> fall back to on-disk newest
     out = []
     for pat in ("CORRECTNESS_r*.json", "BENCH_r*.json"):
-        p = _latest(repo, pat)
-        if p:
-            out.append(os.path.basename(p))
+        hits = sorted(glob.glob(os.path.join(repo, pat)))
+        if tracked is not None:
+            hits = [h for h in hits if os.path.basename(h) in tracked]
+        if hits:
+            out.append(os.path.basename(hits[-1]))
     return out
 
 
@@ -153,7 +175,7 @@ def check_fresh(repo: str, report_path: str) -> str | None:
         return f"{report_path} does not exist — run tools/report_md.py"
     with open(report_path) as f:
         head = f.read(2000)
-    want = _sources(repo)
+    want = _sources(repo, tracked_only=True)
     marker = f"<!-- sources: {' '.join(want)} -->"
     if marker not in head:
         return (
