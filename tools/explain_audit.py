@@ -222,6 +222,65 @@ def main() -> int:
     p = plan_of(dedup.near_dups(docs))
     check("near_dups: no cartesian product",
           "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
+    # 8g4. incremental simhash (r5): new-vs-state and new-vs-new are
+    # both (band, chunk) equi-joins over the banded signatures — never
+    # a cross product — and the signature aggregate keeps its map-side
+    # partial combine across the batch boundary.
+    hist_sigs = dedup.simhash64(docs.filter("doc_id % 2 = 0"))
+    p = plan_of(dedup.incremental_simhash_near_dups(
+        docs.filter("doc_id % 2 = 1"), hist_sigs))
+    check("incremental_simhash: no cartesian product",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
+    check("incremental_simhash: partial+final HashAggregate",
+          p.count("HashAggregate") >= 2)
+    check("incremental_simhash: no single-partition stage",
+          "Exchange SinglePartition" not in p)
+    # 8g5. max_quality survivor policy (r5): the per-cluster argmax is a
+    # max_by hash aggregate over the clustered set — no window function
+    # over the corpus, no single-partition stage, quality scored only
+    # after a semi-join prunes to cluster members.
+    p = plan_of(dedup.near_dup_survivors(docs, 0.8, keep="max_quality"))
+    check("survivors(max_quality): no corpus window",
+          "windowspecdefinition" not in p)
+    check("survivors(max_quality): argmax via max_by aggregate",
+          "max_by" in p)
+    check("survivors(max_quality): no single-partition stage",
+          "Exchange SinglePartition" not in p)
+    check("survivors(max_quality): cluster members semi-joined",
+          "LeftSemi" in p)
+    # 8g6. curate chain with the r5 in-plan stages ON. Distinct-plan_id
+    # exchange counting (cached subtrees REPRINT operators — raw
+    # occurrence counts are vacuous). The repetition gate is a pure
+    # map-side filter: it must add ZERO exchanges. The mix must ride as
+    # a broadcast dim and never hash-partition the corpus on source
+    # (its raw exchange count legitimately differs from base: the
+    # changed size estimates flip the dedup semi-join from a toy-scale
+    # broadcast to the SortMergeJoin it would be at 100 TB anyway, so
+    # an equality comparison against base would assert the wrong thing).
+    import re as _re
+
+    def _xids(plan: str) -> set[str]:
+        return set(_re.findall(
+            r"Exchange hashpartitioning\([^\[]*\[plan_id=(\d+)\]", plan))
+
+    from ml4logs_spark.operators import curate, textqa as tq
+    from ml4logs_spark import cache as _c
+
+    bmark = docs.limit(5)
+    base_p = plan_of(curate.curate_corpus(docs, bmark))
+    _c.release_all()
+    rep_p = plan_of(curate.curate_corpus(docs, bmark, max_dup_bigram_frac=0.5))
+    _c.release_all()
+    mix_p = plan_of(curate.curate_corpus(docs, bmark, mix_weights=tq.MIX_WEIGHTS))
+    _c.release_all()
+    check("curate(+repetition): gate adds zero exchanges",
+          len(_xids(rep_p)) == len(_xids(base_p)),
+          f"base={len(_xids(base_p))} rep={len(_xids(rep_p))}")
+    check("curate(+mix): weight dim broadcast", "BroadcastHashJoin" in mix_p)
+    check("curate(+mix): corpus never partitions on source",
+          "hashpartitioning(source" not in mix_p)
+    check("curate(+mix): no cartesian product",
+          "CartesianProduct" not in mix_p)
 
     # 9. predicate pushdown on filtered scan
     m = t.filter("role = 'user'").select("conv_id")
