@@ -653,6 +653,14 @@ def _q_source_rollup(spark, sf_dir):
     )
 
 
+def _q_doc_unigram_logprob(spark, sf_dir):
+    # KenLM-proxy quality score: mean add-one-smoothed unigram logprob
+    # under the corpus's own model; broadcast (token, logp) dim
+    from ml4logs_spark.operators import textqa
+
+    return textqa.unigram_logprob(_docs(spark, sf_dir))
+
+
 def _q_curated_chunks(spark, sf_dir):
     # the WHOLE curation pipeline as one Catalyst plan, with the r5
     # in-plan stages ON: source mixing (MIX_WEIGHTS broadcast dim at the
@@ -716,6 +724,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the near_dup cluster/survivor queries that run
         # candidates -> Jaccard -> clustering end-to-end)
         "incremental_simhash_near_dups": _q_incremental_simhash_near_dups,
+        # round-5 addition: KenLM-proxy unigram-LM quality score (slot
+        # from demoting simhash64, whose aggregate is exercised
+        # in-window by BOTH simhash search queries above)
+        "doc_unigram_logprob": _q_doc_unigram_logprob,
         # round-4 additions / rotations
         "repetition_stats": _q_repetition_stats,
         "bigram_counts": _q_bigram_counts,
@@ -758,7 +770,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_survivors": _q_near_dup_survivors,
         "source_mix_sample": _q_source_mix_sample,
         "embedding_near_dup_clusters": _q_embedding_near_dup_clusters,
-        "simhash64": _q_simhash64,
         "simhash_near_dups": _q_simhash_near_dups,
         "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
         "embedding_norms": _q_embedding_norms,
@@ -768,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- end of the 50-entry grading window ----
         "embedding_near_dups": _q_embedding_near_dups,
         "lsh_candidate_pairs": _q_lsh_candidate_pairs,
+        "simhash64": _q_simhash64,
         "lang_guess": _q_lang_guess,
         "doc_fingerprint": _q_doc_fingerprint,
         "media_meta": _q_media_meta,

@@ -428,6 +428,59 @@ def _bigram_pair_counts(
     )
 
 
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-model-proxy quality score: per-doc mean unigram log
+    probability under the corpus's own add-one-smoothed unigram model
+    — the cheap stand-in for the KenLM-perplexity filter real
+    pretraining pipelines run (CCNet/LLaMA-style: docs whose tokens
+    are collectively improbable under a reference LM are boilerplate,
+    menus, or garbled text). Returns (doc_id, avg_logprob, n_tokens);
+    higher avg_logprob = more typical text. Empty/NULL-text docs keep
+    a row with NULL score and 0 tokens (NULL-text contract).
+
+    logp(t) = ln((count(t) + 1) / (N + V)) with N = corpus token count,
+    V = vocabulary size. Same ``_toks_lower`` tokens as every docs
+    operator.
+
+    Shape at scale: ONE explode feeds both the model fit (partial+
+    final hash aggregate on token) and the scoring join; the (token,
+    logp) dim rides back as a broadcast hash join onto the exploded
+    corpus (guaranteed hit when scoring the fitting corpus itself), the
+    N+V normalizer as a broadcast 1-row aggregate — fully lazy, no
+    driver count. One doc_id aggregate, then a broadcast-able left
+    join reattaches token-less docs. At vocabularies past broadcast
+    size (~10^8 entries) drop the broadcast hint and the scoring join
+    becomes a token-keyed shuffle — the only structural change."""
+    toks = docs.select(
+        "doc_id", F.explode(_toks_lower(text_col)).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_cnt"))
+    # NB: Spark resolution is case-insensitive — the normalizer columns
+    # must not collide with _cnt under lowercasing
+    norm = toks.agg(F.count(F.lit(1)).alias("_tot")).crossJoin(
+        vocab.agg(F.count(F.lit(1)).alias("_vsz"))
+    )
+    logp = vocab.crossJoin(F.broadcast(norm)).select(
+        "token",
+        F.log(
+            (F.col("_cnt") + F.lit(1.0)) / (F.col("_tot") + F.col("_vsz"))
+        ).alias("_lp"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(logp), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "avg_logprob",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+    )
+
+
 def doc_length_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus length distribution in power-of-2 token buckets:
     (bucket_lo, n_docs, n_tokens_total) where ``bucket_lo`` = 2^floor(

@@ -725,6 +725,29 @@ DOC_ORACLES["span_dedup"] = """
     FROM ranked WHERE rn = 1 GROUP BY doc_id
 """
 
+# add-one-smoothed corpus unigram LM, per-doc mean log-probability —
+# mirrors textqa.unigram_logprob (ln on both engines; DuckDB log() is
+# log10, so spell ln() explicitly)
+DOC_ORACLES["doc_unigram_logprob"] = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_LOWER}) AS token FROM documents
+    ), vocab AS (
+      SELECT token, count(*) AS cnt FROM tok GROUP BY token
+    ), norm AS (
+      SELECT (SELECT count(*) FROM tok) AS tot,
+             (SELECT count(*) FROM vocab) AS vsz
+    ), logp AS (
+      SELECT token, ln((cnt + 1.0) / (tot + vsz)) AS lp FROM vocab, norm
+    ), per AS (
+      SELECT doc_id, round(avg(lp), 6) AS avg_logprob,
+             count(*) AS n_tokens
+      FROM tok JOIN logp USING (token) GROUP BY doc_id
+    )
+    SELECT d.doc_id, p.avg_logprob,
+           CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens
+    FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
 # power-of-2 token-length histogram (doc_stats' whitespace tokens)
 DOC_ORACLES["doc_length_histogram"] = """
     SELECT CAST(CASE WHEN n <= 0 THEN 0

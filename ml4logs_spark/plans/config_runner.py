@@ -138,6 +138,12 @@ def _a_repetition_stats(spark, env, step, cfg):
     return textqa.repetition_stats(env[step.get("from", "documents")])
 
 
+def _a_unigram_logprob(spark, env, step, cfg):
+    from ml4logs_spark.operators import textqa
+
+    return textqa.unigram_logprob(env[step.get("from", "documents")])
+
+
 def _a_bigram_counts(spark, env, step, cfg):
     from ml4logs_spark.operators import textqa
 
@@ -243,6 +249,7 @@ ACTIONS: dict[str, Callable] = {
     "source_mix": _a_source_mix,
     "doc_stats": _a_doc_stats,
     "repetition_stats": _a_repetition_stats,
+    "unigram_logprob": _a_unigram_logprob,
     "bigram_counts": _a_bigram_counts,
     "span_dedup": _a_span_dedup,
     "length_histogram": _a_length_histogram,

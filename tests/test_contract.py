@@ -41,6 +41,7 @@ def test_grading_window_holds_only_full_oracle_queries():
                  # embedding_near_dups (chain covered in-window by
                  # embedding_near_dup_clusters)
                  "near_dup_survivors_quality", "incremental_simhash_near_dups",
+                 "doc_unigram_logprob",
                  # round-3 curation family — first driver check is round 3
                  "ivf_codebook", "pii_masked", "doc_chunks", "quality_filtered",
                  "docs_hash_sample", "vocab_dim", "decontaminated",

@@ -341,3 +341,28 @@ def test_dup_bigram_frac_expr_matches_repetition_stats(spark):
     via_stats = {r.doc_id: r.dup_bigram_frac
                  for r in textqa.repetition_stats(docs).collect()}
     assert via_expr == via_stats
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Add-one-smoothed corpus unigram LM against hand-computed values,
+    common-token docs score above rare-token docs, and NULL/empty docs
+    keep a NULL-score row (NULL-text contract)."""
+    import math
+
+    from ml4logs_spark.operators import textqa
+
+    # corpus tokens: a a a b  -> N=4, V=2
+    # logp(a)=ln(4/6), logp(b)=ln(2/6)
+    docs = _docs(spark, [
+        (0, "a a", "s"),     # avg = ln(4/6)
+        (1, "a b", "s"),     # avg = (ln(4/6)+ln(2/6))/2
+        (2, "", "s"),
+        (3, None, "s"),
+    ])
+    got = {r.doc_id: (r.avg_logprob, r.n_tokens)
+           for r in textqa.unigram_logprob(docs).collect()}
+    lp_a, lp_b = math.log(4 / 6), math.log(2 / 6)
+    assert got[0] == (round(lp_a, 6), 2)
+    assert got[1] == (round((lp_a + lp_b) / 2, 6), 2)
+    assert got[2] == (None, 0) and got[3] == (None, 0)
+    assert got[0][0] > got[1][0]  # common tokens -> higher score
