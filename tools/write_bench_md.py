@@ -107,6 +107,27 @@ cost the 100 TB projection depends on is far below the headline bench
 number. Protocol: {sus['protocol']}.
 """
 
+    head_p = BENCH / "headline.json"
+    headline = json.loads(head_p.read_text()) if head_p.exists() else []
+    if headline:
+        md += """
+## Headline reruns (quiet-host protocol)
+
+sf0.1 / local[32] e2e reruns under the documented protocol (1-min load
+checked before launch; median-of-reps). The per-round driver number
+(BENCH_r{N}.json) is the record; these pin the same-code quiet-host
+value so a loaded-host driver run is attributable to noise, not a plan
+change.
+
+| when | load at launch | e2e wall (s) | turns/sec |
+|---|---|---|---|
+"""
+        for h in headline:
+            md += (
+                f"| {h.get('when', '?')} | {h.get('load1', '?')} "
+                f"| {h['e2e_sec']} | {h['turns_per_sec']:,.1f} |\n"
+            )
+
     if datapoints:
         md += """
 ## All recorded strong-scaling datapoints
