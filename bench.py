@@ -383,12 +383,49 @@ def main() -> None:
         t0 = time.perf_counter()
         force(dedup_op.span_dedup(sh_corpus))
         _sp = time.perf_counter() - t0
+        # day-2 incremental ingest: half the corpus plays history,
+        # present ONLY as persisted state (LSH bands + shingle store +
+        # simhash signatures — built outside timing: that is day-1's
+        # work); the other half arrives as the new batch. Timed: the
+        # verified near-dup pass and the simhash hamming<=3 pass, both
+        # of which never rescan historical text.
+        hist = sh_corpus.filter(F.col("doc_id") % 2 == 0)
+        new_batch = sh_corpus.filter(F.col("doc_id") % 2 == 1)
+        seen_bands = dedup_op.lsh_bands(
+            dedup_op.minhash_signatures(hist)).persist()
+        seen_store = dedup_op.shingle_store(hist).persist()
+        hist_sigs = dedup_op.simhash64(hist).persist()
+        n_new = new_batch.count()
+        seen_bands.count(); seen_store.count(); hist_sigs.count()
+        t0 = time.perf_counter()
+        inc_pairs = dedup_op.incremental_near_dup_verified(
+            new_batch, seen_bands, seen_store).count()
+        _inc = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        incsh_pairs = dedup_op.incremental_simhash_near_dups(
+            new_batch, hist_sigs).count()
+        _incsh = time.perf_counter() - t0
+        for _df in (seen_bands, seen_store, hist_sigs):
+            _df.unpersist()
         sh_corpus.unpersist()
         docs_out["simhash_docs"] = n_docs
         docs_out["simhash_sec"] = round(_sh, 3)
         docs_out["simhash_docs_per_sec"] = round(n_docs / _sh, 1)
         docs_out["span_dedup_sec"] = round(_sp, 3)
         docs_out["span_dedup_docs_per_sec"] = round(n_docs / _sp, 1)
+        docs_out["incremental_batch_docs"] = n_new
+        docs_out["incremental_neardup_sec"] = round(_inc, 3)
+        docs_out["incremental_neardup_docs_per_sec"] = round(n_new / _inc, 1)
+        # the replicated fixture makes EVERY doc a true near-dup of its
+        # rep-siblings, so pair volume (not per-doc cost) dominates the
+        # wall — pairs/sec is the load-invariant number
+        docs_out["incremental_neardup_pairs"] = inc_pairs
+        docs_out["incremental_neardup_pairs_per_sec"] = round(inc_pairs / _inc, 1)
+        docs_out["incremental_simhash_sec"] = round(_incsh, 3)
+        docs_out["incremental_simhash_docs_per_sec"] = round(n_new / _incsh, 1)
+        docs_out["incremental_simhash_pairs"] = incsh_pairs
+        docs_out["incremental_simhash_pairs_per_sec"] = round(
+            incsh_pairs / _incsh, 1)
         emb = spark.read.parquet(emb_path)
         qids = list(range(5))
         t0 = time.perf_counter()
