@@ -679,6 +679,36 @@ def _q_curated_chunks(spark, sf_dir):
     )
 
 
+def _q_packed_sequences(spark, sf_dir):
+    # stream packing: chunks -> fixed 512-token training sequences via
+    # the conv_offsets-style distributed prefix sum (slim projection;
+    # text never enters a window sort)
+    from ml4logs_spark.operators import textqa
+
+    ch = textqa.chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, overlap=8)
+    return textqa.pack_sequences(ch, seq_tokens=512).select(
+        "doc_id", "chunk_idx", "n_tokens", "token_offset", "seq_id", "seq_pos"
+    )
+
+
+def _q_boilerplate_filtered(spark, sf_dir):
+    # C4/CCNet-style boilerplate removal: drop every occurrence of any
+    # 16-token block seen in >2 distinct docs, reassemble the rest
+    from ml4logs_spark.operators import dedup as dedup_op
+
+    return dedup_op.boilerplate_span_filter(_docs(spark, sf_dir), max_doc_freq=2)
+
+
+def _q_dataset_split(spark, sf_dir):
+    # deterministic train/val/test assignment (1/32 test, 1/32 val),
+    # same md5-prefix draw as hash_sample — map-only, replay-stable
+    from ml4logs_spark.operators import textqa
+
+    return textqa.dataset_split(_docs(spark, sf_dir)).select(
+        "doc_id", "source", "split"
+    )
+
+
 def _q_drain_templates(spark, sf_dir):
     # rows-only: mined-template assignment via vectorized pandas UDF
     from ml4logs_spark.operators import drain
@@ -718,6 +748,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embedding_near_dup_clusters which runs the same banding +
         # cosine verification plus the clustering fixpoint)
         "near_dup_survivors_quality": _q_near_dup_survivors_quality,
+        # round-5 addition: stream packing (slot from demoting the
+        # 2x-green doc_chunks — packed_sequences runs the IDENTICAL
+        # chunk expansion as its first stage, and curated_chunks
+        # in-window ends with the same chunker)
+        "packed_sequences": _q_packed_sequences,
+        # round-5 addition: boilerplate-span removal (slot from
+        # demoting the 2x-green pii_masked, whose regexp chain runs
+        # in-window as curated_chunks' final text transform)
+        "boilerplate_filtered": _q_boilerplate_filtered,
+        # round-5 addition: train/val/test split (slot from demoting
+        # the 2x-green docs_hash_sample — the same md5-prefix draw is
+        # exercised in-window by BOTH this and source_mix_sample)
+        "dataset_split": _q_dataset_split,
         # round-5 addition: the simhash day-2 state path (slot from
         # demoting lsh_candidate_pairs — the banding+candidate chain
         # stays evidenced in-window by incremental_near_dup_verified
@@ -756,10 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_turnvec_maxpool": _q_conv_turnvec_maxpool,
         "conv_sessions": _q_conv_sessions,
         "ivf_codebook": _q_ivf_codebook,
-        "pii_masked": _q_pii_masked,
-        "doc_chunks": _q_doc_chunks,
         "quality_filtered": _q_quality_filtered,
-        "docs_hash_sample": _q_docs_hash_sample,
         "vocab_dim": _q_vocab_dim,
         "decontaminated": _q_decontaminated,
         "curated_chunks": _q_curated_chunks,
@@ -777,6 +817,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk": _q_lsh_cosine_topk,
         "ivf_cosine_topk": _q_ivf_cosine_topk,
         # ---- end of the 50-entry grading window ----
+        # round-5 demotions (2x driver-green r3+r4; mechanisms stay
+        # evidenced in-window — see rotation comments above)
+        "pii_masked": _q_pii_masked,
+        "doc_chunks": _q_doc_chunks,
+        "docs_hash_sample": _q_docs_hash_sample,
         "embedding_near_dups": _q_embedding_near_dups,
         "lsh_candidate_pairs": _q_lsh_candidate_pairs,
         "simhash64": _q_simhash64,

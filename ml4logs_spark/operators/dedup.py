@@ -208,7 +208,15 @@ def span_dedup(
     kept = b.join(winners, "block_hash").filter(
         (F.col("doc_id") == F.col("_wdoc")) & (F.col("block_idx") == F.col("_widx"))
     )
-    assembled = kept.groupBy("doc_id").agg(
+    return _reassemble_blocks(kept, text_col)
+
+
+def _reassemble_blocks(kept: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rebuild (doc_id, text) from surviving span blocks in block_idx
+    order — the closing shuffle shared by span_dedup and
+    boilerplate_span_filter. The collect_list is bounded by blocks per
+    doc (doc length / span_tokens), never by corpus size."""
+    return kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("block_idx", "block_text"))),
@@ -217,7 +225,40 @@ def span_dedup(
             " ",
         ).alias(text_col)
     )
-    return assembled
+
+
+def boilerplate_span_filter(
+    docs: DataFrame,
+    max_doc_freq: int = 2,
+    span_tokens: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal: drop EVERY occurrence of
+    any ``span_tokens``-token block that appears in more than
+    ``max_doc_freq`` distinct documents, then reassemble the surviving
+    blocks per doc — the C4/CCNet-style line-frequency filter
+    re-expressed over the same non-overlapping block units as
+    ``span_dedup``. The two are complements: span_dedup KEEPS one
+    canonical copy of every duplicated span (dedup), this removes ALL
+    copies of spans frequent enough to be boilerplate (headers,
+    license blocks, navigation chrome) while leaving rare duplicates
+    alone. Docs that are pure boilerplate drop out entirely.
+
+    Shape at scale: map-side block explode -> one partial+final
+    distinct-count aggregate shuffled on the uniform block_hash -> an
+    anti-join against the frequent-block set (bounded by the number of
+    distinct blocks over the threshold — boilerplate vocabulary, not
+    corpus volume, so AQE broadcasts it) -> the shared per-doc
+    reassembly shuffle. No all-pairs anything."""
+    b = span_blocks(docs, span_tokens, text_col)
+    boiler = (
+        b.groupBy("block_hash")
+        .agg(F.countDistinct("doc_id").alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select("block_hash")
+    )
+    kept = b.join(boiler, "block_hash", "left_anti")
+    return _reassemble_blocks(kept, text_col)
 
 
 SIMHASH_CHUNKS = 4  # 4 x 16-bit chunks = 64-bit signature

@@ -605,3 +605,107 @@ def build_vocab(
         "df",
         "tf",
     )
+
+
+def pack_sequences(
+    chunks: DataFrame, seq_tokens: int = 512, n_parts: int | None = None
+) -> DataFrame:
+    """Stream-pack chunks into fixed token-budget training sequences:
+    the GPT-style prep step that concatenates the whole corpus (in
+    canonical (doc_id, chunk_idx) order) into one token stream and cuts
+    it every ``seq_tokens`` tokens. Adds (token_offset, seq_id,
+    seq_pos): ``token_offset`` is the chunk's exclusive global prefix
+    sum of ``n_tokens``, ``seq_id = token_offset // seq_tokens``, and
+    ``seq_pos`` its offset within that sequence. A chunk that straddles
+    a boundary belongs to the sequence where its first token lands
+    (stream packing, not bin packing — deterministic and order-exact).
+
+    Shape at scale: the global ordered prefix sum is the
+    ``conv_offsets`` two-phase shape (range-partition by (doc_id,
+    chunk_idx), per-partition window, broadcast base offsets) computed
+    over a SLIM (doc_id, chunk_idx, n_tokens) projection — three narrow
+    columns, so neither the tracked persist nor the window sort ever
+    carries chunk text; the text joins back on the unique chunk key at
+    the end. No single-partition window touches the corpus."""
+    if seq_tokens <= 0:
+        raise ValueError(f"seq_tokens must be positive, got {seq_tokens}")
+    from pyspark.sql.window import Window
+
+    from ml4logs_spark import cache
+
+    slim = chunks.select("doc_id", "chunk_idx", "n_tokens")
+    parts = n_parts or chunks.sparkSession.sparkContext.defaultParallelism
+    # persisted for the same reason as conv_offsets' ranged frame:
+    # repartitionByRange boundaries come from sampling, so the two
+    # consumers (local sums, per-partition totals) must see ONE
+    # materialized _pid assignment
+    ranged = cache.track(
+        slim.repartitionByRange(parts, "doc_id", "chunk_idx")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "_local", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    totals = ranged.groupBy("_pid").agg(F.sum("n_tokens").alias("_tot"))
+    # bounded by #partitions rows — deliberate single-partition window
+    # over the tiny totals frame (see windows.conv_offsets)
+    w_base = (
+        Window.partitionBy(F.substring(F.col("_pid").cast("string"), 1, 0))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = totals.withColumn(
+        "_base", F.coalesce(F.sum("_tot").over(w_base), F.lit(0))
+    ).select("_pid", "_base")
+    off = local.join(F.broadcast(bases), "_pid").select(
+        "doc_id",
+        "chunk_idx",
+        (F.col("_local") + F.col("_base")).cast("long").alias("token_offset"),
+    )
+    out = chunks.join(off, ["doc_id", "chunk_idx"])
+    return (
+        out.withColumn(
+            "seq_id",
+            F.floor(F.col("token_offset") / F.lit(seq_tokens)).cast("long"),
+        )
+        .withColumn(
+            "seq_pos",
+            (F.col("token_offset") - F.col("seq_id") * seq_tokens).cast("long"),
+        )
+    )
+
+
+def dataset_split(
+    docs: DataFrame,
+    val_hex: str = "0800",
+    test_hex: str = "0800",
+    key_cols: tuple[str, ...] = ("source", "doc_id"),
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds a ``split`` column
+    from the same md5-prefix draw as ``hash_sample`` — the hex prefix
+    of md5(key) lands in [0, test) -> 'test', [test, test+val) -> 'val',
+    else 'train'. Disjoint and exhaustive by construction, reproducible
+    across runs/retries/partitionings (holdout membership must never
+    depend on execution order at 100 TB), and salting the key with
+    ``source`` keeps each stratum's split independent. Rates use the
+    ``hash_sample`` hex grammar ("0800" = 1/32; 2-char legacy rates
+    normalize bit-identically). Map-only, no shuffle."""
+    t = _norm_rate_hex(test_hex, "test_hex")
+    v = _norm_rate_hex(val_hex, "val_hex")
+    hi = int(t, 16) + int(v, 16)
+    # 'g' sorts above every hex char, so a degenerate total split
+    # (test+val = 1.0) routes everything out of 'train' correctly
+    val_bound = format(hi, "04x") if hi <= 0xFFFF else "g"
+    key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])
+    h = F.substring(F.md5(key), 1, 4)
+    return docs.withColumn(
+        "split",
+        F.when(h < F.lit(t), F.lit("test"))
+        .when(h < F.lit(val_bound), F.lit("val"))
+        .otherwise(F.lit("train")),
+    )

@@ -700,22 +700,31 @@ DOC_ORACLES["contamination_report"] = f"""
 # Span-level dedup mirror (block-hash ExactSubstr approximation):
 # non-overlapping 16-token blocks, canonical first occurrence per
 # block hash (min doc_id, block_idx), ordered reassembly.
-DOC_ORACLES["span_dedup"] = """
-    WITH b AS (
+def _span_blocks_sql(src: str = "documents", span: int = 16) -> str:
+    """Non-overlapping ``span``-token block expansion — the SQL mirror
+    of dedup.span_blocks, shared by the span_dedup and
+    boilerplate_filtered oracles (NULL text coalesces to '', repo
+    NULL-text contract)."""
+    return f"""
       SELECT doc_id, CAST(i - 1 AS INT) AS block_idx,
              array_to_string(
-               list_slice(toks, (i - 1) * 16 + 1, (i - 1) * 16 + 16), ' ')
-               AS block_text
+               list_slice(toks, (i - 1) * {span} + 1, (i - 1) * {span} + {span}),
+               ' ') AS block_text
       FROM (
         SELECT doc_id, toks,
-               unnest(generate_series(1, greatest((n + 15) // 16, 1))) AS i
+               unnest(generate_series(1, greatest((n + {span - 1}) // {span}, 1)))
+                 AS i
         FROM (
           SELECT doc_id, str_split(coalesce(text, ''), ' ') AS toks,
                  len(str_split(coalesce(text, ''), ' ')) AS n
-          FROM documents
+          FROM {src}
         )
       )
-    ), ranked AS (
+    """
+
+
+DOC_ORACLES["span_dedup"] = f"""
+    WITH b AS ({_span_blocks_sql()}), ranked AS (
       SELECT doc_id, block_idx, block_text,
              row_number() OVER (PARTITION BY md5(block_text)
                                 ORDER BY doc_id, block_idx) AS rn
@@ -891,3 +900,48 @@ DOC_ORACLES["near_dup_survivors_quality"] = _dq_rec(f"""
           FROM clusters c JOIN ({_doc_stats_sql()}) q ON q.doc_id = c.doc_id
         ) w WHERE rn = 1))
 """)
+
+# Stream packing mirror: global exclusive prefix sum over the chunk
+# stream in (doc_id, chunk_idx) order, cut every 512 tokens —
+# textqa.pack_sequences over the doc_chunks expansion. The oracle's
+# single ORDER BY window is fine at oracle scale; the engine side uses
+# the conv_offsets-style two-phase distributed prefix sum.
+DOC_ORACLES["packed_sequences"] = f"""
+    WITH ch AS ({_chunk_sql("documents")}),
+    off AS (
+      SELECT doc_id, chunk_idx, n_tokens,
+             CAST(coalesce(SUM(n_tokens) OVER (
+               ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS token_offset
+      FROM ch)
+    SELECT doc_id, chunk_idx, n_tokens, token_offset,
+           CAST(token_offset // 512 AS BIGINT) AS seq_id,
+           CAST(token_offset % 512 AS BIGINT) AS seq_pos
+    FROM off
+"""
+
+# Boilerplate-span removal mirror: drop all occurrences of any 16-token
+# block seen in more than 2 distinct docs, reassemble the rest —
+# dedup.boilerplate_span_filter(max_doc_freq=2).
+DOC_ORACLES["boilerplate_filtered"] = f"""
+    WITH b AS ({_span_blocks_sql()}), boiler AS (
+      SELECT md5(block_text) AS bh
+      FROM b GROUP BY 1 HAVING count(DISTINCT doc_id) > 2
+    )
+    SELECT doc_id, string_agg(block_text, ' ' ORDER BY block_idx) AS text
+    FROM b WHERE md5(block_text) NOT IN (SELECT bh FROM boiler)
+    GROUP BY doc_id
+"""
+
+# Deterministic train/val/test split mirror: same md5-prefix draw as
+# docs_hash_sample; [0,'0800') test, ['0800','1000') val, else train.
+DOC_ORACLES["dataset_split"] = """
+    SELECT doc_id, source,
+           CASE WHEN substring(md5(concat_ws(':', source,
+                       CAST(doc_id AS VARCHAR))), 1, 4) < '0800' THEN 'test'
+                WHEN substring(md5(concat_ws(':', source,
+                       CAST(doc_id AS VARCHAR))), 1, 4) < '1000' THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents
+"""

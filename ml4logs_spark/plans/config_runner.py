@@ -227,6 +227,41 @@ def _a_drain(spark, env, step, cfg):
     return drain.match_templates(src, tpls)
 
 
+def _a_pack_sequences(spark, env, step, cfg):
+    from ml4logs_spark.operators import textqa
+
+    src = env[step.get("from", "documents")]
+    # accepts either a chunk frame (doc_id, chunk_idx, n_tokens) or raw
+    # documents (chunked first with the step's chunking params)
+    if "chunk_idx" not in src.columns:
+        src = textqa.chunk_documents(
+            src,
+            chunk_tokens=step.get("chunk_tokens", 64),
+            overlap=step.get("overlap", 8),
+        )
+    return textqa.pack_sequences(src, seq_tokens=step.get("seq_tokens", 512))
+
+
+def _a_boilerplate_filter(spark, env, step, cfg):
+    from ml4logs_spark.operators import dedup
+
+    return dedup.boilerplate_span_filter(
+        env[step.get("from", "documents")],
+        max_doc_freq=step.get("max_doc_freq", 2),
+        span_tokens=step.get("span_tokens", 16),
+    )
+
+
+def _a_dataset_split(spark, env, step, cfg):
+    from ml4logs_spark.operators import textqa
+
+    return textqa.dataset_split(
+        env[step.get("from", "documents")],
+        val_hex=step.get("val_hex", "0800"),
+        test_hex=step.get("test_hex", "0800"),
+    )
+
+
 ACTIONS: dict[str, Callable] = {
     "transcripts": _a_transcripts,
     "template_dim": _a_template_dim,
@@ -255,6 +290,9 @@ ACTIONS: dict[str, Callable] = {
     "length_histogram": _a_length_histogram,
     "top_ngrams": _a_top_ngrams,
     "curate": _a_curate,
+    "pack_sequences": _a_pack_sequences,
+    "boilerplate_filter": _a_boilerplate_filter,
+    "dataset_split": _a_dataset_split,
 }
 
 

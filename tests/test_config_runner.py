@@ -154,6 +154,26 @@ def test_config_span_dedup_and_corpus_stats(spark, tmp_path):
     assert result["top_ngrams"] > 0
 
 
+def test_config_packing_split_boilerplate(spark, tmp_path):
+    cfg = {
+        "input": SF_DIR,
+        "warehouse": str(tmp_path / "whs"),
+        "pipeline": [
+            {"action": "documents"},
+            {"action": "pack_sequences", "from": "documents",
+             "chunk_tokens": 32, "overlap": 4, "seq_tokens": 128,
+             "save": True},
+            {"action": "boilerplate_filter", "from": "documents",
+             "max_doc_freq": 2, "save": True},
+            {"action": "dataset_split", "from": "documents", "save": True},
+        ],
+    }
+    result = run_config(spark, cfg)
+    assert result["pack_sequences"] > 0
+    assert 0 < result["boilerplate_filter"] <= 500
+    assert result["dataset_split"] == 500
+
+
 def test_run_pipeline_cli_smoke(tmp_path):
     """The spark-submit entry point (jobs/run_pipeline.py) runs end to
     end as its own process and prints the metrics JSON contract."""

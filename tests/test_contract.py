@@ -42,9 +42,15 @@ def test_grading_window_holds_only_full_oracle_queries():
                  # embedding_near_dup_clusters)
                  "near_dup_survivors_quality", "incremental_simhash_near_dups",
                  "doc_unigram_logprob",
+                 # round-5 late additions: packing, boilerplate removal,
+                 # split — slots from demoting the 2x-green pii_masked /
+                 # doc_chunks / docs_hash_sample (mechanisms evidenced
+                 # in-window by curated_chunks, packed_sequences'
+                 # identical chunk stage, and source_mix_sample)
+                 "packed_sequences", "boilerplate_filtered", "dataset_split",
                  # round-3 curation family — first driver check is round 3
-                 "ivf_codebook", "pii_masked", "doc_chunks", "quality_filtered",
-                 "docs_hash_sample", "vocab_dim", "decontaminated",
+                 "ivf_codebook", "quality_filtered",
+                 "vocab_dim", "decontaminated",
                  "curated_chunks", "lang_confusion", "source_rollup",
                  # late round-3: clustering + mixing, never driver-checked
                  "near_dup_clusters", "near_dup_survivors",

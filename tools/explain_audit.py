@@ -217,6 +217,40 @@ def main() -> int:
           "windowspecdefinition(source" in p)
     check("top_ngrams: no single-partition stage",
           "Exchange SinglePartition" not in p)
+    # 8g5. stream packing (r5): the global prefix sum must be the
+    # two-phase distributed form — range repartition on the chunk key,
+    # offset window partitioned by _pid, the only SinglePartition
+    # exchange the #partitions-row totals side (distinct plan_ids,
+    # cached subtrees reprint), bases broadcast back.
+    ch = textqa.chunk_documents(docs, chunk_tokens=16, overlap=4)
+    p = plan_of(textqa.pack_sequences(ch))
+    check("pack_sequences: range repartition on (doc_id, chunk_idx)",
+          "rangepartitioning(doc_id" in p)
+    check("pack_sequences: offset window partitioned by _pid",
+          "windowspecdefinition(_pid" in p)
+    single_ids = set(_re.findall(
+        r"Exchange SinglePartition[^\[\n]*\[plan_id=(\d+)\]", p))
+    check("pack_sequences: no single-partition stage over the chunks",
+          len(single_ids) <= 1, f"SinglePartition plan_ids={sorted(single_ids)}")
+    check("pack_sequences: base offsets broadcast",
+          "BroadcastHashJoin" in p)
+    check("pack_sequences: no cartesian product",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
+    # 8g6. boilerplate removal (r5): block explode map-side, ONE
+    # distinct-count aggregate on the uniform block hash, anti-join
+    # against the small frequent set, per-doc reassembly — no cartesian,
+    # no single-partition stage.
+    p = plan_of(dedup.boilerplate_span_filter(docs))
+    check("boilerplate_span_filter: no cartesian product",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
+    check("boilerplate_span_filter: partial+final HashAggregate",
+          p.count("HashAggregate") >= 2)
+    check("boilerplate_span_filter: no single-partition stage",
+          "Exchange SinglePartition" not in p)
+    # 8g7. dataset split: pure projection, fuses into the scan
+    p = plan_of(textqa.dataset_split(docs))
+    check("dataset_split: map-only (no exchange)", "Exchange" not in p)
+
     # 8g. near-dup clustering: pair generation + every propagation round
     # stays equi-join shaped (the fixpoint loop reuses this same plan)
     p = plan_of(dedup.near_dups(docs))
