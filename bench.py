@@ -352,8 +352,10 @@ def main() -> None:
     emb_path = f"{sf_dir}/embeddings.parquet"
     docs_path = f"{sf_dir}/documents.parquet"
     if os.path.exists(emb_path) and os.path.exists(docs_path):
+        from ml4logs_spark import cache
         from ml4logs_spark.operators import dedup as dedup_op
         from ml4logs_spark.operators import similarity
+        from ml4logs_spark.operators import textqa as textqa_op
 
         docs = spark.read.parquet(docs_path)
         # measure signature throughput on a >=100k-doc replicated corpus
@@ -383,6 +385,23 @@ def main() -> None:
         t0 = time.perf_counter()
         force(dedup_op.span_dedup(sh_corpus))
         _sp = time.perf_counter() - t0
+        # boilerplate-span removal on the same corpus (every block of
+        # the replicated base text is corpus-frequent here, so the
+        # filter is under maximal load: nearly all blocks drop)
+        t0 = time.perf_counter()
+        force(dedup_op.boilerplate_span_filter(sh_corpus))
+        _bp = time.perf_counter() - t0
+        # stream packing: chunk the corpus and cut the global chunk
+        # stream into 512-token sequences via the two-phase distributed
+        # prefix sum (chunk explode included in the timed wall)
+        t0 = time.perf_counter()
+        packed = textqa_op.pack_sequences(
+            textqa_op.chunk_documents(sh_corpus, chunk_tokens=64, overlap=8),
+            seq_tokens=512,
+        )
+        n_chunks = packed.count()
+        _pk = time.perf_counter() - t0
+        cache.release_all()
         # day-2 incremental ingest: half the corpus plays history,
         # present ONLY as persisted state (LSH bands + shingle store +
         # simhash signatures — built outside timing: that is day-1's
@@ -413,6 +432,11 @@ def main() -> None:
         docs_out["simhash_docs_per_sec"] = round(n_docs / _sh, 1)
         docs_out["span_dedup_sec"] = round(_sp, 3)
         docs_out["span_dedup_docs_per_sec"] = round(n_docs / _sp, 1)
+        docs_out["boilerplate_filter_sec"] = round(_bp, 3)
+        docs_out["boilerplate_filter_docs_per_sec"] = round(n_docs / _bp, 1)
+        docs_out["pack_sequences_sec"] = round(_pk, 3)
+        docs_out["pack_sequences_chunks"] = n_chunks
+        docs_out["pack_sequences_chunks_per_sec"] = round(n_chunks / _pk, 1)
         docs_out["incremental_batch_docs"] = n_new
         docs_out["incremental_neardup_sec"] = round(_inc, 3)
         docs_out["incremental_neardup_docs_per_sec"] = round(n_new / _inc, 1)
