@@ -709,6 +709,30 @@ def _q_dataset_split(spark, sf_dir):
     )
 
 
+def _q_embedding_quantized(spark, sf_dir):
+    # int8 scalar quantization (4x smaller ANN state): per-dim affine
+    # codes, exploded for value-hashing
+    return similarity.quantize_embeddings(_emb(spark, sf_dir)).select(
+        "vec_id", F.posexplode("codes").alias("dim_idx", "code")
+    )
+
+
+def _q_quantized_cosine_topk(spark, sf_dir):
+    # brute-force top-k over the dequantized int8 corpus — the
+    # accuracy probe for the quantized scale path
+    return similarity.quantized_topk(_emb(spark, sf_dir), query_ids=list(range(5)), k=10)
+
+
+def _q_vocab_coverage(spark, sf_dir):
+    # per-doc OOV rate vs the df-thresholded vocabulary (vocab_dim's
+    # exact thresholds) — tokenizer-coverage check before featurization
+    from ml4logs_spark.operators import textqa
+
+    docs = _docs(spark, sf_dir)
+    vocab = textqa.build_vocab(docs, min_df=2, max_df_ratio=0.8)
+    return textqa.vocab_coverage(docs, vocab)
+
+
 def _q_drain_templates(spark, sf_dir):
     # rows-only: mined-template assignment via vectorized pandas UDF
     from ml4logs_spark.operators import drain
@@ -761,6 +785,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the 2x-green docs_hash_sample — the same md5-prefix draw is
         # exercised in-window by BOTH this and source_mix_sample)
         "dataset_split": _q_dataset_split,
+        # round-5 late additions, batch 2: int8 quantization (slots
+        # from demoting the 3x-green embedding_norms — the same _dot
+        # norm runs inside every in-window topk query — and the
+        # 2x-green quality_filtered / source_mix_sample, whose gate and
+        # mixing stages run in-plan inside the in-window curated_chunks,
+        # with source_rollup sharing _stats_exprs and dataset_split
+        # sharing the md5-prefix draw)
+        "embedding_quantized": _q_embedding_quantized,
+        "quantized_cosine_topk": _q_quantized_cosine_topk,
+        "vocab_coverage": _q_vocab_coverage,
         # round-5 addition: the simhash day-2 state path (slot from
         # demoting lsh_candidate_pairs — the banding+candidate chain
         # stays evidenced in-window by incremental_near_dup_verified
@@ -799,7 +833,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_turnvec_maxpool": _q_conv_turnvec_maxpool,
         "conv_sessions": _q_conv_sessions,
         "ivf_codebook": _q_ivf_codebook,
-        "quality_filtered": _q_quality_filtered,
         "vocab_dim": _q_vocab_dim,
         "decontaminated": _q_decontaminated,
         "curated_chunks": _q_curated_chunks,
@@ -808,11 +841,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_survivors": _q_dedup_exact_survivors,
         "near_dup_clusters": _q_near_dup_clusters,
         "near_dup_survivors": _q_near_dup_survivors,
-        "source_mix_sample": _q_source_mix_sample,
         "embedding_near_dup_clusters": _q_embedding_near_dup_clusters,
         "simhash_near_dups": _q_simhash_near_dups,
         "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
-        "embedding_norms": _q_embedding_norms,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "lsh_cosine_topk": _q_lsh_cosine_topk,
         "ivf_cosine_topk": _q_ivf_cosine_topk,
@@ -822,6 +853,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_masked": _q_pii_masked,
         "doc_chunks": _q_doc_chunks,
         "docs_hash_sample": _q_docs_hash_sample,
+        "quality_filtered": _q_quality_filtered,
+        "source_mix_sample": _q_source_mix_sample,
+        "embedding_norms": _q_embedding_norms,
         "embedding_near_dups": _q_embedding_near_dups,
         "lsh_candidate_pairs": _q_lsh_candidate_pairs,
         "simhash64": _q_simhash64,

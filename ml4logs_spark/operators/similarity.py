@@ -490,3 +490,101 @@ def lsh_candidate_fraction(
     n_total = emb.count()
     denom = len(query_ids) * max(n_total - 1, 1)
     return round(n_cand / denom, 4)
+
+
+# ------------------------------------------------------ int8 quantization
+
+def fit_quantizer(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension affine int8 quantizer parameters: (dim_idx, lo,
+    hi) from the corpus-wide min/max of each embedding dimension — the
+    memory-footprint scale path for similarity search (float32 -> int8
+    is 4x smaller state; at 10^10 x 64-dim vectors that is the
+    difference between codes fitting in executor memory or not).
+
+    Shape at scale: map-side posexplode -> partial+final min/max hash
+    aggregate keyed by dim_idx; the result is DIM rows — broadcastable
+    by construction. min/max are fold-order-independent, so the fit is
+    deterministic under any partitioning (unlike mean/variance-based
+    scaling, there is no float-summation nondeterminism to pin)."""
+    d = emb.select(F.posexplode(vec_col).alias("dim_idx", "v"))
+    return d.groupBy("dim_idx").agg(
+        F.min(F.col("v").cast("double")).alias("lo"),
+        F.max(F.col("v").cast("double")).alias("hi"),
+    )
+
+
+def _params_row(quant: DataFrame) -> DataFrame:
+    """Collapse the dim-sized quantizer frame into ONE row of aligned
+    (los, his) arrays for crossJoin(broadcast(...)) application."""
+    p = F.array_sort(F.collect_list(F.struct("dim_idx", "lo", "hi")))
+    return quant.agg(
+        F.transform(p, lambda s: s["lo"]).alias("_los"),
+        F.transform(p, lambda s: s["hi"]).alias("_his"),
+    )
+
+
+def quantize_embeddings(
+    emb: DataFrame, quant: DataFrame | None = None, vec_col: str = "embedding"
+) -> DataFrame:
+    """Affine int8 codes per vector: code_i = floor((v_i - lo_i) /
+    (hi_i - lo_i) * 255 + 0.5) - 128, clamped to a constant 0 when the
+    dimension is degenerate (hi == lo). floor(x + 0.5) rather than
+    round() because half-up double rounding is engine-defined; the
+    floor form is the same IEEE expression tree on both engines.
+
+    The parameter frame rides as a broadcast single-row (los, his)
+    array pair, so the corpus side stays map-only: explode-free
+    transform-with-index inside whole-stage codegen, no shuffle."""
+    q = quant if quant is not None else fit_quantizer(emb, vec_col)
+    out = emb.crossJoin(F.broadcast(_params_row(q)))
+    codes = F.transform(
+        F.col(vec_col),
+        lambda v, i: F.when(
+            F.element_at("_his", i + 1) == F.element_at("_los", i + 1),
+            F.lit(0),
+        ).otherwise(
+            F.floor(
+                (v.cast("double") - F.element_at("_los", i + 1))
+                / (F.element_at("_his", i + 1) - F.element_at("_los", i + 1))
+                * 255
+                + 0.5
+            ).cast("int")
+            - 128
+        ),
+    )
+    return out.select("vec_id", codes.alias("codes"))
+
+
+def dequantize(
+    codes: DataFrame, quant: DataFrame, out_col: str = "qvec"
+) -> DataFrame:
+    """Reconstruct approximate vectors from int8 codes:
+    v'_i = lo_i + (code_i + 128) / 255 * (hi_i - lo_i). Same broadcast
+    single-row parameter shape as quantize_embeddings; map-only."""
+    out = codes.crossJoin(F.broadcast(_params_row(quant)))
+    deq = F.transform(
+        F.col("codes"),
+        lambda c, i: F.element_at("_los", i + 1)
+        + (c.cast("double") + 128)
+        / 255
+        * (F.element_at("_his", i + 1) - F.element_at("_los", i + 1)),
+    )
+    return out.select("vec_id", deq.alias(out_col))
+
+
+def quantized_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 10, vec_col: str = "embedding"
+) -> DataFrame:
+    """Brute-force cosine top-k over the int8-dequantized corpus — the
+    accuracy probe for the quantized scale path (bench.py reports its
+    recall vs the float32 exact baseline). Fit -> quantize ->
+    dequantize -> the same rounded-cosine ranking as cosine_topk, so
+    the ONLY difference from the exact path is the representation."""
+    q = fit_quantizer(emb, vec_col)
+    deq = dequantize(quantize_embeddings(emb, q, vec_col), q)
+    return cosine_topk(deq, query_ids, k, vec_col="qvec")
+
+
+def quantized_recall(emb: DataFrame, query_ids: list[int], k: int = 10) -> float:
+    """Recall@k of the int8 path vs the float32 exact baseline."""
+    return _recall_vs_exact(emb, quantized_topk(emb, query_ids, k), query_ids, k)

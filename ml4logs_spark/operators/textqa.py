@@ -709,3 +709,44 @@ def dataset_split(
         .when(h < F.lit(val_bound), F.lit("val"))
         .otherwise(F.lit("train")),
     )
+
+
+def vocab_coverage(docs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a vocabulary dim
+    (build_vocab output or any frame with a ``token`` column):
+    (doc_id, n_tokens, n_oov, oov_frac) — the tokenizer-coverage check
+    a pipeline runs before committing to a vocab (how much of the
+    corpus would map to <unk> at this min_df/max_df setting).
+
+    Shape at scale: map-side token explode, the vocab broadcast as a
+    left-join dim (a df-thresholded vocabulary is Heaps'-law bounded,
+    and min_df pruning keeps it far below broadcast limits — at
+    extreme vocab sizes the same plan degrades gracefully to a shuffle
+    join), one doc_id hash aggregate. Tokenless docs (empty/NULL text)
+    zero-fill via the docs-side left join, same convention as
+    unigram_logprob."""
+    tok = docs.select("doc_id", F.explode(_toks_lower()).alias("token"))
+    vdim = vocab.select("token").distinct().withColumn("_in", F.lit(1))
+    per = (
+        tok.join(F.broadcast(vdim), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            F.round(
+                F.coalesce(
+                    F.col("n_oov") / F.col("n_tokens"), F.lit(0.0)
+                ),
+                6,
+            ).alias("oov_frac"),
+        )
+    )

@@ -945,3 +945,77 @@ DOC_ORACLES["dataset_split"] = """
                 ELSE 'train' END AS split
     FROM documents
 """
+
+# int8 scalar quantization mirrors. The per-dim (lo, hi) fit is
+# min/max — fold-order independent, so exact on both engines; the code
+# expression is the SAME IEEE double tree as the Spark side
+# (floor(x + 0.5), never round(): half-up double rounding is
+# engine-defined). Dims are 1-based here, emitted 0-based to match
+# posexplode.
+_QUANT_DIMS = f"""
+    d AS (
+      SELECT vec_id, i AS dim_idx, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, (SELECT unnest(generate_series(1, {_ANN_DIM})) AS i)
+    ), params AS (
+      SELECT dim_idx, min(v) AS lo, max(v) AS hi FROM d GROUP BY dim_idx
+    ), qcodes AS (
+      SELECT d.vec_id, d.dim_idx, p.lo, p.hi,
+             CAST(CASE WHEN p.hi = p.lo THEN 0
+                  ELSE floor((d.v - p.lo) / (p.hi - p.lo) * 255 + 0.5) - 128
+                  END AS INT) AS code
+      FROM d JOIN params p USING (dim_idx)
+    )
+"""
+
+DOC_ORACLES["embedding_quantized"] = f"""
+    WITH {_QUANT_DIMS}
+    SELECT vec_id, CAST(dim_idx - 1 AS INT) AS dim_idx, code
+    FROM qcodes
+"""
+
+_DEQ_COS = (
+    "list_dot_product(q.qvec, c.qvec)"
+    " / (sqrt(list_dot_product(q.qvec, q.qvec))"
+    " * sqrt(list_dot_product(c.qvec, c.qvec)))"
+)
+
+DOC_ORACLES["quantized_cosine_topk"] = f"""
+    WITH {_QUANT_DIMS},
+    deq AS (
+      SELECT vec_id,
+             list(lo + (CAST(code AS DOUBLE) + 128) / 255 * (hi - lo)
+                  ORDER BY dim_idx) AS qvec
+      FROM qcodes GROUP BY vec_id
+    )
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round({_DEQ_COS}, 6) DESC, c.vec_id) AS INT) AS rank,
+           round({_DEQ_COS}, 6) AS cosine
+    FROM deq q JOIN deq c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 5
+    QUALIFY rank <= 10
+"""
+
+# per-doc OOV rate vs the df-thresholded vocabulary (same thresholds
+# as vocab_dim, same _TOKS_LOWER tokenizer); tokenless docs zero-fill
+# through the docs-side left join, mirroring textqa.vocab_coverage
+DOC_ORACLES["vocab_coverage"] = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_LOWER}) AS token FROM documents
+    ), agg AS (
+      SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    voc AS (SELECT token FROM agg, n WHERE df >= 2 AND df <= 0.8 * n_docs),
+    per AS (
+      SELECT t.doc_id, count(*) AS n_tokens,
+             sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM tok t LEFT JOIN voc v ON v.token = t.token
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
+           round(coalesce(p.n_oov * 1.0 / p.n_tokens, 0.0), 6) AS oov_frac
+    FROM documents d LEFT JOIN per p USING (doc_id)
+"""

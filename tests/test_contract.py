@@ -34,7 +34,7 @@ def test_grading_window_holds_only_full_oracle_queries():
     q, o = list(entry.queries()), entry.oracle_sql()
     window = q[:50]
     assert all(name in o for name in window), [n for n in window if n not in o]
-    for name in ("embedding_norms", "ann_cosine_topk", "lsh_cosine_topk",
+    for name in ("ann_cosine_topk", "lsh_cosine_topk",
                  "ivf_cosine_topk", "simhash_near_dups",
                  # round-5 rotation: survivor policy is new; its slot
                  # came from demoting the multi-round-green
@@ -48,13 +48,20 @@ def test_grading_window_holds_only_full_oracle_queries():
                  # in-window by curated_chunks, packed_sequences'
                  # identical chunk stage, and source_mix_sample)
                  "packed_sequences", "boilerplate_filtered", "dataset_split",
+                 # round-5 batch 2: quantization + vocab coverage (slots
+                 # from demoting embedding_norms (3x-green; _dot norm
+                 # runs inside every in-window topk), quality_filtered
+                 # and source_mix_sample (2x-green; gate + mixing run
+                 # in-plan inside in-window curated_chunks))
+                 "embedding_quantized", "quantized_cosine_topk",
+                 "vocab_coverage",
                  # round-3 curation family — first driver check is round 3
-                 "ivf_codebook", "quality_filtered",
+                 "ivf_codebook",
                  "vocab_dim", "decontaminated",
                  "curated_chunks", "lang_confusion", "source_rollup",
-                 # late round-3: clustering + mixing, never driver-checked
+                 # late round-3: clustering, never driver-checked pre-r3
                  "near_dup_clusters", "near_dup_survivors",
-                 "source_mix_sample", "embedding_near_dup_clusters",
+                 "embedding_near_dup_clusters",
                  # round-4 rotation: landed after r3's window was graded
                  # (repetition/bigram) or new this round
                  "repetition_stats", "bigram_counts",

@@ -250,6 +250,31 @@ def main() -> int:
     # 8g7. dataset split: pure projection, fuses into the scan
     p = plan_of(textqa.dataset_split(docs))
     check("dataset_split: map-only (no exchange)", "Exchange" not in p)
+    # 8g8. int8 quantization (r5): the only corpus shuffle is the
+    # dim-sized fit aggregate (partial+final, map-side combine); the
+    # (los, his) parameter row rides as a broadcast 1-row nested-loop
+    # dim (the features.py stat-dim pattern), and code emission is a
+    # codegen'd transform — no hashpartition exchange of the vectors.
+    from ml4logs_spark.operators import similarity as sim
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = plan_of(sim.quantize_embeddings(emb))
+    check("quantize: partial+final fit aggregate",
+          p.count("HashAggregate") >= 2)
+    check("quantize: params broadcast (1-row stat dim)",
+          "BroadcastNestedLoopJoin" in p and "CartesianProduct" not in p)
+    check("quantize: corpus vectors never hash-shuffled",
+          "Exchange hashpartitioning(vec_id" not in p)
+    # 8g9. vocab coverage: vocab rides as a broadcast join dim; one
+    # doc_id aggregate; tokenless docs restored by a second broadcast
+    # (doc-keyed) join — no single-partition stage. Audited over a
+    # literal vocab frame so only THIS operator's plan is asserted
+    # (build_vocab's own 1-row threshold BNLJ is audited separately
+    # at 8f and would otherwise show through the composed plan).
+    voc = spark.createDataFrame([("the",), ("a",)], "token string")
+    p = plan_of(textqa.vocab_coverage(docs, voc))
+    check("vocab_coverage: vocab broadcast", "BroadcastHashJoin" in p)
+    check("vocab_coverage: no cartesian product",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
 
     # 8g. near-dup clustering: pair generation + every propagation round
     # stays equi-join shaped (the fixpoint loop reuses this same plan)
