@@ -480,6 +480,18 @@ def main() -> None:
             "ivf_note": "isotropic floor: recall tracks candidate fraction",
             "ivf_sec": round(time.perf_counter() - t0, 3),
         })
+        # int8 scalar quantization: the representation-accuracy probe
+        # for the 4x-smaller ANN state path — brute-force top-k over
+        # the dequantized corpus vs the float32 exact baseline
+        t0 = time.perf_counter()
+        q_recall = similarity.quantized_recall(emb, qids, k=10)
+        docs_out.update({
+            "quantized_recall_at_10": q_recall,
+            "quantized_recall_floor": 0.9,
+            "quantized_recall_pass": q_recall >= 0.9,
+            "quantized_config": "int8 affine per-dim (min/max fit), 4x smaller state",
+            "quantized_sec": round(time.perf_counter() - t0, 3),
+        })
         # clustered fixture (realistic embedding geometry): the bands
         # must show genuine pruning at high recall — isotropic gaussians
         # above are the no-structure floor where pruning is theory-
