@@ -492,6 +492,27 @@ def main() -> None:
             "quantized_config": "int8 affine per-dim (min/max fit), 4x smaller state",
             "quantized_sec": round(time.perf_counter() - t0, 3),
         })
+        # kNN label-vote classifier (embedding-space quality/domain
+        # tagging): accuracy of the broadcast-seed majority vote
+        # against the corpus's true labels — the held-out fraction is
+        # everything outside the md5 seed draw
+        t0 = time.perf_counter()
+        clustered_lab = _clustered_fixture(spark).withColumn(
+            "label", (F.col("vec_id") % 8).cast("int")
+        )
+        docs_out.update({
+            # the parquet labels are uniform-random over isotropic
+            # vectors — 10 classes, so ~0.10 is the chance floor (the
+            # operator has nothing to learn from); the clustered row
+            # below is the classifier's intended operating regime
+            "knn_label_acc_isotropic": similarity.knn_label_accuracy(emb, k=5),
+            "knn_label_acc_clustered": similarity.knn_label_accuracy(
+                clustered_lab, k=5
+            ),
+            "knn_config": "k=5, seed draw 2000/0x10000 (12.5%)",
+            "knn_note": "isotropic = 10-class chance floor ~0.10",
+            "knn_sec": round(time.perf_counter() - t0, 3),
+        })
         # clustered fixture (realistic embedding geometry): the bands
         # must show genuine pruning at high recall — isotropic gaussians
         # above are the no-structure floor where pruning is theory-

@@ -588,3 +588,101 @@ def quantized_topk(
 def quantized_recall(emb: DataFrame, query_ids: list[int], k: int = 10) -> float:
     """Recall@k of the int8 path vs the float32 exact baseline."""
     return _recall_vs_exact(emb, quantized_topk(emb, query_ids, k), query_ids, k)
+
+
+# ------------------------------------------------------ kNN label vote
+
+def knn_label_vote(
+    emb: DataFrame,
+    k: int = 5,
+    seed_rate_hex: str = "2000",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Classify every unlabeled-treated vector by majority label of its
+    k nearest labeled seed vectors (cosine) — the embedding-space
+    analog of the fastText quality/domain classifier a curation
+    pipeline runs to tag crawl documents (reference analog: the
+    feature->classifier handoff its count/TF-IDF matrices feed,
+    src/features ml4logs scripts; here the engine keeps the scoring
+    in-plan instead of exporting matrices).
+
+    The seed set is the deterministic md5-prefix draw of ``vec_id``
+    (``seed_rate_hex``/0x10000 of the corpus — same draw family as
+    textqa.hash_sample, so the split is reproducible under any
+    partitioning); seeds keep their ``label``, every other vector gets
+    ``pred_label`` = the label with the most votes among its k nearest
+    seeds, ranked by round(cosine, 6) DESC then seed vec_id ASC, vote
+    ties broken toward the smallest label.
+
+    Shape at scale: the seed set collapses to ONE broadcast row of
+    (sid, label, vec) structs (labeled sets are small by construction
+    — they are the expensive human/LM-annotated fraction), so the
+    corpus side is map-only whole-stage codegen: per row, one
+    higher-order transform scores all seeds, an array_sort picks the
+    top k, and the vote is an O(k^2) array fold — no shuffle of the
+    corpus, no per-query window. Output: (vec_id, label, pred_label,
+    n_votes). Edge: an EMPTY seed set (nothing under the draw) yields
+    NULL pred_label for every row — callers gate on seed availability
+    rather than this function guessing a label."""
+    is_seed = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4) < F.lit(
+        seed_rate_hex
+    )
+    seeds = emb.filter(is_seed)
+    rest = emb.filter(~is_seed)
+    srow = seeds.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("vec_id").alias("sid"),
+                    F.col("label").alias("lab"),
+                    F.col(vec_col).alias("v"),
+                )
+            )
+        ).alias("_seeds")
+    )
+    qn = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+    scored = F.transform(
+        F.col("_seeds"),
+        lambda s: F.struct(
+            (
+                -F.round(
+                    _dot(F.col(vec_col), s["v"])
+                    / (qn * F.sqrt(_dot(s["v"], s["v"]))),
+                    6,
+                )
+            ).alias("negc"),
+            s["sid"].alias("sid"),
+            s["lab"].alias("lab"),
+        ),
+    )
+    # struct order == (cosine DESC, sid ASC); vote tie -> smallest label
+    topk = F.slice(F.array_sort(scored), 1, k)
+    labs = F.transform(topk, lambda x: x["lab"])
+    best = F.array_min(
+        F.transform(
+            F.array_distinct(labs),
+            lambda l: F.struct(
+                (-F.size(F.filter(labs, lambda y: y == l))).alias("negn"),
+                l.alias("lab"),
+            ),
+        )
+    )
+    return (
+        rest.crossJoin(F.broadcast(srow))
+        .select(
+            "vec_id",
+            "label",
+            best["lab"].alias("pred_label"),
+            (-best["negn"]).cast("int").alias("n_votes"),
+        )
+    )
+
+
+def knn_label_accuracy(emb: DataFrame, k: int = 5) -> float:
+    """Fraction of non-seed vectors whose kNN-voted label matches their
+    true label — the bench probe for the classifier path."""
+    preds = knn_label_vote(emb, k)
+    row = preds.agg(
+        F.avg((F.col("pred_label") == F.col("label")).cast("double")).alias("acc")
+    ).collect()[0]
+    return round(row["acc"] or 0.0, 4)

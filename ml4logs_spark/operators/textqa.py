@@ -750,3 +750,96 @@ def vocab_coverage(docs: DataFrame, vocab: DataFrame) -> DataFrame:
             ).alias("oov_frac"),
         )
     )
+
+
+def _downsample_rate(ratio, alpha: float):
+    """(n_min / n_s) ** (1 - alpha) with a cross-engine-exact fast
+    path: for alpha in {1.0, 0.75, 0.5} the exponent {0, 1/4, 1/2} is
+    a sqrt chain, and IEEE sqrt/divide are correctly rounded — the
+    SAME bits on Spark and DuckDB, so the floor to 1/65,536 steps can
+    never straddle an ulp. Other alphas fall back to pow() (1-ulp
+    engine divergence possible at the floor boundary — documented)."""
+    if alpha == 1.0:
+        return F.lit(1.0)
+    if alpha == 0.75:
+        return F.sqrt(F.sqrt(ratio))
+    if alpha == 0.5:
+        return F.sqrt(ratio)
+    return F.pow(ratio, F.lit(1.0 - alpha))
+
+
+def temperature_mix_rates(
+    docs: DataFrame, alpha: float = 0.75, source_col: str = "source"
+) -> DataFrame:
+    """Temperature-scaled mixture rates per source: sampling weight
+    q_s proportional to p_s**alpha (the multilingual/multi-source
+    rebalancing rule of mT5/CC-mix recipes — alpha < 1 upsamples the
+    tail sources RELATIVE to the head so the mixture is less dominated
+    by the biggest crawl). Implemented as per-source keep-rates for a
+    single-pass downsample: rate_s = (n_min / n_s) ** (1 - alpha),
+    normalized so the SMALLEST source keeps everything (rate 1.0) and
+    every larger source is thinned toward the temperature target.
+    Rates are floored to 1/65,536 steps (rate_int = floor(rate *
+    65536); 65536 means keep-all) to land on the same md5-prefix draw
+    grid as hash_sample.
+
+    Shape at scale: ONE partial+final count aggregate keyed by source
+    (source cardinality is tiny), then the global min via a window
+    over the already-aggregated source-sized frame — a SinglePartition
+    stage over ~#sources rows, NOT the corpus, and it keeps the fit to
+    a single corpus scan (a min-dim crossJoin would duplicate the
+    count subtree on both sides of the broadcast boundary and scan the
+    corpus twice). Output: (source, n_docs, rate_int), broadcastable
+    by construction."""
+    from pyspark.sql.window import Window
+
+    counts = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    mn = F.min("n_docs").over(Window.partitionBy())
+    ratio = mn.cast("double") / F.col("n_docs").cast("double")
+    return (
+        counts
+        .select(
+            "source",
+            "n_docs",
+            # * 65536 is a power-of-2 scale: exact in IEEE, so the
+            # floor is deterministic wherever the rate itself is
+            F.floor(_downsample_rate(ratio, alpha) * 65536)
+            .cast("int")
+            .alias("rate_int"),
+        )
+    )
+
+
+def temperature_mix_sample(
+    docs: DataFrame,
+    alpha: float = 0.75,
+    source_col: str = "source",
+    key_cols: tuple[str, ...] = ("source", "doc_id"),
+) -> DataFrame:
+    """Apply temperature_mix_rates as a deterministic downsample: the
+    rate table rides as a broadcast dim joined on source, then the
+    same md5-prefix draw as hash_sample filters map-side (keep rows
+    whose 4-hex-char md5 prefix sorts below the source's rate;
+    rate_int = 65536 keeps all rows, so alpha = 1.0 is the identity
+    mixture). Reproducible across runs/retries/partitionings; the
+    corpus side never shuffles. Output: (doc_id, source)."""
+    dim = temperature_mix_rates(docs, alpha, source_col).select(
+        "source",
+        F.col("rate_int").alias("_ri"),
+        F.lower(
+            F.lpad(F.hex(F.least(F.col("rate_int"), F.lit(0xFFFF))), 4, "0")
+        ).alias("_rate_hex"),
+    )
+    # key columns resolved against the docs side explicitly: after the
+    # join both frames expose `source`, so F.col would be ambiguous
+    key = F.concat_ws(":", *[docs[c].cast("string") for c in key_cols])
+    return (
+        docs.join(F.broadcast(dim), docs[source_col] == dim["source"])
+        .filter(
+            (F.col("_ri") >= F.lit(0x10000))
+            | (F.substring(F.md5(key), 1, 4) < F.col("_rate_hex"))
+        )
+        .select("doc_id", docs[source_col].alias("source"))
+    )

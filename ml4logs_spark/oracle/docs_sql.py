@@ -1019,3 +1019,70 @@ DOC_ORACLES["vocab_coverage"] = f"""
            round(coalesce(p.n_oov * 1.0 / p.n_tokens, 0.0), 6) AS oov_frac
     FROM documents d LEFT JOIN per p USING (doc_id)
 """
+
+# kNN label vote: seeds are the md5-prefix draw of vec_id (same draw
+# family as docs_hash_sample); ranking on round(cos, 6) DESC, seed id
+# ASC; vote ties toward the smallest label — mirrors the map-side
+# array fold in similarity.knn_label_vote exactly (window/group form
+# here, array form there: same semantics, engine-preferred plans).
+DOC_ORACLES["knn_label_vote"] = """
+    WITH seeds AS (
+      SELECT vec_id AS sid, label AS slab, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+      WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '2000'
+    ), rest AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+      WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 4) >= '2000'
+    ), scored AS (
+      SELECT r.vec_id, r.label, s.sid, s.slab,
+             round(list_dot_product(r.v, s.v)
+                   / (sqrt(list_dot_product(r.v, r.v))
+                      * sqrt(list_dot_product(s.v, s.v))), 6) AS c
+      FROM rest r CROSS JOIN seeds s
+    ), topk AS (
+      SELECT vec_id, label, slab,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY c DESC, sid) AS rk
+      FROM scored QUALIFY rk <= 5
+    ), votes AS (
+      SELECT vec_id, any_value(label) AS label, slab, count(*) AS n
+      FROM topk GROUP BY vec_id, slab
+    )
+    SELECT vec_id, label, slab AS pred_label, CAST(n AS INT) AS n_votes
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY n DESC, slab) AS vr
+      FROM votes
+    ) z
+    WHERE vr = 1
+"""
+
+# temperature-scaled mixing mirrors. alpha = 0.75 => exponent 1/4 as
+# sqrt(sqrt(...)): correctly-rounded IEEE ops, bit-identical to the
+# Spark side, and * 65536 is an exact power-of-2 scale — the floor to
+# the 1/65,536 draw grid can never straddle an engine ulp.
+_TEMP_RATES = """
+    counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    mn AS (SELECT min(n_docs) AS n_min FROM counts),
+    rates AS (
+      SELECT source, n_docs,
+             CAST(floor(sqrt(sqrt(CAST(n_min AS DOUBLE) / n_docs)) * 65536)
+                  AS INT) AS rate_int
+      FROM counts, mn
+    )
+"""
+
+DOC_ORACLES["temperature_mix_rates"] = f"""
+    WITH {_TEMP_RATES}
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs, rate_int FROM rates
+"""
+
+DOC_ORACLES["temperature_mix_sample"] = f"""
+    WITH {_TEMP_RATES}
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r ON r.source = d.source
+    WHERE r.rate_int >= 65536
+       OR substring(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+          < printf('%04x', least(r.rate_int, 65535))
+"""

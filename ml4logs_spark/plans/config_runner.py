@@ -112,6 +112,12 @@ def _a_documents(spark, env, step, cfg):
     return spark.read.parquet(f"{step.get('input', cfg['input'])}/documents.parquet")
 
 
+def _a_embeddings(spark, env, step, cfg):
+    return spark.read.parquet(
+        f"{step.get('input', cfg['input'])}/embeddings.parquet"
+    )
+
+
 def _a_dedup_exact(spark, env, step, cfg):
     from ml4logs_spark.operators import dedup
 
@@ -252,6 +258,24 @@ def _a_boilerplate_filter(spark, env, step, cfg):
     )
 
 
+def _a_temperature_mix(spark, env, step, cfg):
+    from ml4logs_spark.operators import textqa
+
+    return textqa.temperature_mix_sample(
+        env[step.get("from", "documents")], alpha=step.get("alpha", 0.75)
+    )
+
+
+def _a_knn_label_vote(spark, env, step, cfg):
+    from ml4logs_spark.operators import similarity
+
+    return similarity.knn_label_vote(
+        env[step.get("from", "embeddings")],
+        k=step.get("k", 5),
+        seed_rate_hex=step.get("seed_rate_hex", "2000"),
+    )
+
+
 def _a_dataset_split(spark, env, step, cfg):
     from ml4logs_spark.operators import textqa
 
@@ -278,6 +302,7 @@ ACTIONS: dict[str, Callable] = {
     "merge_features": _a_merge_features,
     "drain": _a_drain,
     "documents": _a_documents,
+    "embeddings": _a_embeddings,
     "dedup_exact": _a_dedup_exact,
     "near_dups": _a_near_dups,
     "near_dup_survivors": _a_near_dup_survivors,
@@ -293,6 +318,8 @@ ACTIONS: dict[str, Callable] = {
     "pack_sequences": _a_pack_sequences,
     "boilerplate_filter": _a_boilerplate_filter,
     "dataset_split": _a_dataset_split,
+    "temperature_mix": _a_temperature_mix,
+    "knn_label_vote": _a_knn_label_vote,
 }
 
 

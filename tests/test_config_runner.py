@@ -221,3 +221,25 @@ def test_run_config_cli_smoke(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     out = json.loads(proc.stdout.strip().splitlines()[-1])
     assert out["doc_stats"] > 0
+
+
+def test_config_temperature_mix_and_knn_actions(spark, tmp_path):
+    cfg = {
+        "input": SF_DIR,
+        "warehouse": str(tmp_path / "wh3"),
+        "pipeline": [
+            {"action": "documents"},
+            {"action": "temperature_mix", "alpha": 0.75, "save": True},
+            {"action": "embeddings"},
+            {"action": "knn_label_vote", "k": 5, "save": True},
+        ],
+    }
+    result = run_config(spark, cfg)
+    from ml4logs_spark.operators import similarity, textqa
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assert result["temperature_mix"] == textqa.temperature_mix_sample(
+        docs, alpha=0.75
+    ).count()
+    assert result["knn_label_vote"] == similarity.knn_label_vote(emb, k=5).count()

@@ -55,13 +55,18 @@ def test_grading_window_holds_only_full_oracle_queries():
                  # in-plan inside in-window curated_chunks))
                  "embedding_quantized", "quantized_cosine_topk",
                  "vocab_coverage",
+                 # round-5 batch 3: kNN label classifier + temperature
+                 # mixing (slots from demoting embedding_near_dup_clusters
+                 # — 2x-green, connected-components core stays in-window
+                 # via near_dup_clusters — and doc_rolling_fingerprint —
+                 # 2x-green map-only winnowing)
+                 "knn_label_vote", "temperature_mix_sample",
                  # round-3 curation family — first driver check is round 3
                  "ivf_codebook",
                  "vocab_dim", "decontaminated",
                  "curated_chunks", "lang_confusion", "source_rollup",
                  # late round-3: clustering, never driver-checked pre-r3
                  "near_dup_clusters", "near_dup_survivors",
-                 "embedding_near_dup_clusters",
                  # round-4 rotation: landed after r3's window was graded
                  # (repetition/bigram) or new this round
                  "repetition_stats", "bigram_counts",

@@ -1,0 +1,201 @@
+"""kNN label vote + temperature-scaled source mixing.
+
+Both operators are pinned against independent pure-Python references
+(hashlib md5 / math, no Spark) so a plan change can never silently
+shift semantics, plus partition-invariance and edge-case checks.
+"""
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml4logs_spark.operators import similarity, textqa
+
+
+def _md5_prefix(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()[:4]
+
+
+# ------------------------------------------------------------ kNN vote
+
+def _py_knn(rows, k, rate="8000"):
+    """Reference: rank seeds by (round(cos,6) DESC, sid ASC); majority
+    vote over the top k, ties toward the smallest label."""
+    seeds = [r for r in rows if _md5_prefix(str(r[0])) < rate]
+    rest = [r for r in rows if _md5_prefix(str(r[0])) >= rate]
+    out = {}
+    for vid, lab, v in rest:
+        scored = []
+        for sid, slab, sv in seeds:
+            dot = sum(a * b for a, b in zip(v, sv))
+            c = round(
+                dot
+                / (
+                    math.sqrt(sum(a * a for a in v))
+                    * math.sqrt(sum(a * a for a in sv))
+                ),
+                6,
+            )
+            scored.append((-c, sid, slab))
+        scored.sort()
+        labs = [s[2] for s in scored[:k]]
+        votes = sorted(
+            ((-labs.count(l), l) for l in set(labs))
+        )
+        out[vid] = (lab, votes[0][1], -votes[0][0])
+    return out
+
+
+@pytest.fixture(scope="module")
+def knn_rows():
+    # 30 vectors in 3 label-direction clusters + noise dims; values are
+    # small integers so double cosines are exact enough to round stably
+    rows = []
+    for i in range(30):
+        lab = i % 3
+        base = {0: [9, 1, 0, 1], 1: [1, 9, 1, 0], 2: [0, 1, 9, 1]}[lab]
+        v = [float(b + ((i * 7 + j) % 3)) for j, b in enumerate(base)]
+        rows.append((i, lab, v))
+    return rows
+
+
+def test_knn_label_vote_matches_python_reference(spark, knn_rows):
+    emb = spark.createDataFrame(
+        knn_rows, "vec_id long, label int, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: (r["label"], r["pred_label"], r["n_votes"])
+        for r in similarity.knn_label_vote(emb, k=3, seed_rate_hex="8000").collect()
+    }
+    assert got == _py_knn(knn_rows, k=3)
+    # sanity: at k=3 the clustered geometry classifies perfectly (the
+    # md5 seed draw leaves label 1 only 2 seeds, so k=5 would let the
+    # bigger labels outvote it — the classic imbalanced-k effect)
+    assert all(pred == lab for lab, pred, _ in got.values())
+    assert len(got) > 0 and len(got) < len(knn_rows)  # both sides non-empty
+
+
+def test_knn_label_vote_partition_invariant(spark, knn_rows):
+    emb = spark.createDataFrame(
+        knn_rows, "vec_id long, label int, embedding array<double>"
+    )
+    a = sorted(map(tuple, similarity.knn_label_vote(emb, k=3).collect()))
+    b = sorted(
+        map(tuple, similarity.knn_label_vote(emb.repartition(7), k=3).collect())
+    )
+    assert a == b
+
+
+def test_knn_vote_tie_breaks_to_smallest_label(spark):
+    # find one non-seed id and two seed ids under the default 2000 draw
+    seeds = [i for i in range(200) if _md5_prefix(str(i)) < "2000"][:2]
+    rest = [i for i in range(200) if _md5_prefix(str(i)) >= "2000"][0]
+    rows = [
+        (seeds[0], 7, [1.0, 0.0]),
+        (seeds[1], 3, [0.0, 1.0]),
+        (rest, 0, [1.0, 1.0]),  # equal cosine to both seeds
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = similarity.knn_label_vote(emb, k=2).collect()
+    assert len(out) == 1
+    assert out[0]["pred_label"] == 3  # 1-1 vote -> smallest label
+    assert out[0]["n_votes"] == 1
+
+
+def test_knn_k_larger_than_seed_set(spark, knn_rows):
+    # rows 0..9 contain seeds {6, 9} under the 8000 draw; k=50 must
+    # degrade gracefully to "vote over all seeds"
+    emb = spark.createDataFrame(
+        knn_rows[:10], "vec_id long, label int, embedding array<double>"
+    )
+    out = similarity.knn_label_vote(emb, k=50, seed_rate_hex="8000")
+    assert out.count() == 8
+    assert out.filter(F.col("pred_label").isNull()).count() == 0
+
+
+def test_knn_empty_seed_set_yields_null_preds(spark, knn_rows):
+    # ids 0..5 have no member below the 8000 md5 draw: with zero
+    # labeled seeds there is nothing to vote — pred_label is NULL for
+    # every row (documented edge; callers gate on seed availability)
+    emb = spark.createDataFrame(
+        knn_rows[:6], "vec_id long, label int, embedding array<double>"
+    )
+    out = similarity.knn_label_vote(emb, k=5, seed_rate_hex="8000")
+    assert out.count() == 6
+    assert out.filter(F.col("pred_label").isNull()).count() == 6
+
+
+# ------------------------------------------- temperature-scaled mixing
+
+def _py_rates(counts: dict, alpha=0.75):
+    n_min = min(counts.values())
+    out = {}
+    for s, n in counts.items():
+        rate = (n_min / n) ** (1 - alpha)
+        out[s] = math.floor(rate * 65536)
+    return out
+
+
+@pytest.fixture(scope="module")
+def mix_docs(spark):
+    # skewed sources: a 60, b 30, c 10 docs
+    rows = [(i, f"s{i}", "a" if i < 60 else ("b" if i < 90 else "c"))
+            for i in range(100)]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_temperature_rates_match_python(mix_docs):
+    got = {
+        r["source"]: (r["n_docs"], r["rate_int"])
+        for r in textqa.temperature_mix_rates(mix_docs, alpha=0.75).collect()
+    }
+    exp = _py_rates({"a": 60, "b": 30, "c": 10})
+    assert {s: n for s, (n, _) in got.items()} == {"a": 60, "b": 30, "c": 10}
+    assert {s: ri for s, (_, ri) in got.items()} == exp
+    # smallest source keeps everything
+    assert got["c"][1] == 65536
+
+
+def test_temperature_alpha_one_is_identity(mix_docs):
+    sampled = textqa.temperature_mix_sample(mix_docs, alpha=1.0)
+    assert sampled.count() == mix_docs.count()
+
+
+def test_temperature_sample_matches_python_draw(mix_docs):
+    rates = _py_rates({"a": 60, "b": 30, "c": 10})
+    exp = set()
+    for r in mix_docs.select("doc_id", "source").collect():
+        ri = rates[r["source"]]
+        if ri >= 65536 or _md5_prefix(f"{r['source']}:{r['doc_id']}") < format(
+            min(ri, 65535), "04x"
+        ):
+            exp.add((r["doc_id"], r["source"]))
+    got = {
+        (r["doc_id"], r["source"])
+        for r in textqa.temperature_mix_sample(mix_docs, alpha=0.75).collect()
+    }
+    assert got == exp
+    # the head source actually thinned, the tail source did not
+    by_src = {}
+    for _, s in got:
+        by_src[s] = by_src.get(s, 0) + 1
+    assert by_src["c"] == 10
+    assert by_src.get("a", 0) < 60
+
+
+def test_temperature_sample_partition_invariant(mix_docs):
+    a = sorted(
+        map(tuple, textqa.temperature_mix_sample(mix_docs, alpha=0.5).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            textqa.temperature_mix_sample(
+                mix_docs.repartition(7), alpha=0.5
+            ).collect(),
+        )
+    )
+    assert a == b

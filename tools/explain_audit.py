@@ -18,6 +18,7 @@ Usage: python tools/explain_audit.py [sf_dir]
 from __future__ import annotations
 
 import os
+import re
 import sys
 from pathlib import Path
 
@@ -275,6 +276,28 @@ def main() -> int:
     check("vocab_coverage: vocab broadcast", "BroadcastHashJoin" in p)
     check("vocab_coverage: no cartesian product",
           "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
+    # 8g10. kNN label vote (r5): the seed set collapses to a single
+    # broadcast row of structs (the quantizer-params pattern), so the
+    # corpus side is map-only — the only corpus-frame exchange is the
+    # seed-side collect into the 1-row dim; the classified vectors are
+    # never hash-shuffled and never windowed.
+    p = plan_of(sim.knn_label_vote(emb, k=5))
+    check("knn_label_vote: seeds broadcast (1-row dim)",
+          "BroadcastNestedLoopJoin" in p and "CartesianProduct" not in p)
+    check("knn_label_vote: corpus never hash-shuffled",
+          "Exchange hashpartitioning(vec_id" not in p)
+    check("knn_label_vote: no per-query window sort", "Window" not in p)
+    # 8g11. temperature mixing (r5): one partial+final count aggregate
+    # keyed by source builds the rate dim (plus its 1-row min dim);
+    # the apply side joins the rate dim broadcast — the corpus is
+    # never repartitioned for the sample itself.
+    p = plan_of(textqa.temperature_mix_sample(docs, alpha=0.75))
+    check("temperature_mix: rate dim via partial+final agg",
+          p.count("HashAggregate") >= 2)
+    check("temperature_mix: rates broadcast to the corpus",
+          "BroadcastHashJoin" in p)
+    check("temperature_mix: single fit-side source exchange (one corpus scan)",
+          len(re.findall(r"Exchange hashpartitioning\(source", p)) == 1)
 
     # 8g. near-dup clustering: pair generation + every propagation round
     # stays equi-join shaped (the fixpoint loop reuses this same plan)
