@@ -754,6 +754,19 @@ def _q_temperature_mix_rates(spark, sf_dir):
     return textqa.temperature_mix_rates(_docs(spark, sf_dir), alpha=0.75)
 
 
+def _q_embedding_decontaminated(spark, sf_dir):
+    # semantic decontamination: md5-nibble split of vec_id into
+    # benchmark vs corpus, banded-LSH candidates across the split,
+    # cosine>=0.4 verify, anti-join of the dirty set
+    emb = _emb(spark, sf_dir)
+    nib = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+    bench = emb.filter(nib == "0")
+    corpus = emb.filter(nib != "0")
+    return similarity.embedding_decontaminate(corpus, bench, threshold=0.4).select(
+        "vec_id"
+    )
+
+
 def _q_drain_templates(spark, sf_dir):
     # rows-only: mined-template assignment via vectorized pandas UDF
     from ml4logs_spark.operators import drain
@@ -881,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_clusters": _q_embedding_near_dup_clusters,
         "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
         "temperature_mix_rates": _q_temperature_mix_rates,
+        "embedding_decontaminated": _q_embedding_decontaminated,
         "pii_masked": _q_pii_masked,
         "doc_chunks": _q_doc_chunks,
         "docs_hash_sample": _q_docs_hash_sample,

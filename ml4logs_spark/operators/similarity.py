@@ -686,3 +686,71 @@ def knn_label_accuracy(emb: DataFrame, k: int = 5) -> float:
         F.avg((F.col("pred_label") == F.col("label")).cast("double")).alias("acc")
     ).collect()[0]
     return round(row["acc"] or 0.0, 4)
+
+
+# --------------------------------------- embedding-space decontamination
+
+def embedding_contaminated_ids(
+    emb: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 8,
+    n_bands: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus vectors semantically too close to ANY benchmark vector:
+    cosine >= threshold against the eval set — the embedding-space
+    analog of dedup.contaminated_ids (shingle overlap catches verbatim
+    leakage; this catches paraphrased/near-verbatim leakage the
+    n-grams miss, the semantic-decontamination step of modern
+    training-data pipelines).
+
+    Shape at scale: both sides get banded hyperplane signatures; the
+    benchmark side (eval sets are small by construction) is BROADCAST
+    for both the candidate equi-join on (band, sig) and the verify
+    join, so the corpus never shuffles — candidates are generated
+    bucket-wise (O(corpus x bands), never all-pairs), verified by
+    exact cosine, and reduced to distinct corpus ids bounded by
+    contamination volume."""
+    cb = band_signatures(emb, n_planes=n_planes, n_bands=n_bands,
+                         dim=dim, vec_col=vec_col)
+    bb = band_signatures(bench, n_planes=n_planes, n_bands=n_bands,
+                         dim=dim, vec_col=vec_col).select(
+        "band", "sig", F.col("vec_id").alias("bench_id")
+    )
+    cand = (
+        cb.join(F.broadcast(bb), ["band", "sig"])
+        .select("vec_id", "bench_id")
+        .distinct()
+    )
+    bv = bench.select(
+        F.col("vec_id").alias("bench_id"), F.col(vec_col).alias("bvec")
+    )
+    scored = cand.join(
+        emb.select("vec_id", F.col(vec_col).alias("cvec")), "vec_id"
+    ).join(F.broadcast(bv), "bench_id")
+    dirty = scored.filter(
+        F.round(
+            _dot(F.col("cvec"), F.col("bvec"))
+            / (F.sqrt(_dot(F.col("cvec"), F.col("cvec")))
+               * F.sqrt(_dot(F.col("bvec"), F.col("bvec")))),
+            6,
+        )
+        >= threshold
+    )
+    return dirty.select("vec_id").distinct()
+
+
+def embedding_decontaminate(
+    emb: DataFrame, bench: DataFrame, threshold: float = 0.4, **lsh_kw
+) -> DataFrame:
+    """Corpus rows surviving embedding-space decontamination (anti-join
+    of embedding_contaminated_ids — same shape as dedup.decontaminate:
+    the corpus shuffles once on vec_id for the anti-join, the dirty
+    set is bounded by contamination volume)."""
+    return emb.join(
+        embedding_contaminated_ids(emb, bench, threshold, **lsh_kw),
+        "vec_id",
+        "left_anti",
+    )

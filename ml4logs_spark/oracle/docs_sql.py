@@ -1086,3 +1086,41 @@ DOC_ORACLES["temperature_mix_sample"] = f"""
        OR substring(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 4)
           < printf('%04x', least(r.rate_int, 65535))
 """
+
+
+def _ann_bsig_where(pred: str) -> str:
+    """_ANN_BSIG with a WHERE predicate on each banded arm — the
+    corpus/benchmark split variant for cross-set decontamination."""
+    return "\nUNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {_ann_sig_expr(b)} AS sig "
+        f"FROM embeddings WHERE {pred}"
+        for b in range(_ANN_BANDS)
+    )
+
+
+# embedding-space decontamination: md5-nibble split of vec_id into
+# benchmark (~1/16) vs corpus, banded-LSH candidates across the split,
+# exact-cosine verify at 0.4, anti-join of the dirty set. Mirrors
+# similarity.embedding_decontaminate including the banding, so the
+# approximation is IDENTICAL on both engines (same construction as
+# embedding_near_dups).
+_EMB_IS_BENCH = "substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'"
+
+DOC_ORACLES["embedding_decontaminated"] = f"""
+    WITH cb AS ({_ann_bsig_where("NOT (" + _EMB_IS_BENCH + ")")}),
+    bb AS ({_ann_bsig_where(_EMB_IS_BENCH)}),
+    cand AS (
+      SELECT DISTINCT a.vec_id, b.vec_id AS bench_id
+      FROM cb a JOIN bb b USING (band, sig)
+    ),
+    dirty AS (
+      SELECT DISTINCT p.vec_id
+      FROM cand p
+      JOIN embeddings q ON q.vec_id = p.vec_id
+      JOIN embeddings c ON c.vec_id = p.bench_id
+      WHERE round({_COS}, 6) >= 0.4
+    )
+    SELECT e.vec_id FROM embeddings e
+    WHERE NOT ({_EMB_IS_BENCH.replace("vec_id", "e.vec_id")})
+      AND NOT EXISTS (SELECT 1 FROM dirty d WHERE d.vec_id = e.vec_id)
+"""

@@ -199,3 +199,83 @@ def test_temperature_sample_partition_invariant(mix_docs):
         )
     )
     assert a == b
+
+
+# -------------------------------------- embedding-space decontamination
+
+def test_embedding_decontaminate_properties(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # benchmark = 5 vectors; corpus = 40 vectors, 10 of which are noisy
+    # copies of benchmark vectors (semantic leaks), the rest random
+    bench_rows = [(1000 + i, [float(x) for x in rng.normal(size=8)])
+                  for i in range(5)]
+    corpus_rows = []
+    for i in range(40):
+        if i < 10:
+            base = np.array(bench_rows[i % 5][1])
+            v = base + 0.05 * rng.normal(size=8)
+        else:
+            v = rng.normal(size=8)
+        corpus_rows.append((i, [float(x) for x in v]))
+    mk = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    corpus, bench = mk(corpus_rows), mk(bench_rows)
+    kw = dict(threshold=0.9, n_planes=8, n_bands=4, dim=8)
+    dirty = {
+        r["vec_id"]
+        for r in similarity.embedding_contaminated_ids(
+            corpus, bench, **kw
+        ).collect()
+    }
+    kept = {
+        r["vec_id"]
+        for r in similarity.embedding_decontaminate(corpus, bench, **kw)
+        .select("vec_id")
+        .collect()
+    }
+    # partition: survivors + dirty = corpus, disjoint
+    assert kept | dirty == set(range(40))
+    assert kept & dirty == set()
+    # no false positives: every dirty id truly has cosine >= threshold
+    # to some benchmark vector (verify step is exact)
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    cvec = dict(corpus_rows)
+    for vid in dirty:
+        assert any(
+            round(cos(cvec[vid], bv), 6) >= 0.9 for _, bv in bench_rows
+        ), vid
+    # the planted leaks collide in some band with their source with
+    # overwhelming probability; at least most of them must be caught
+    assert len(dirty & set(range(10))) >= 8
+
+
+def test_embedding_decontaminate_partition_invariant(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bench = emb.filter("vec_id < 5")
+    corpus = emb.filter("vec_id >= 5")
+    kw = dict(threshold=0.3, n_planes=8, n_bands=4, dim=8)
+    a = sorted(
+        r["vec_id"]
+        for r in similarity.embedding_decontaminate(corpus, bench, **kw).collect()
+    )
+    b = sorted(
+        r["vec_id"]
+        for r in similarity.embedding_decontaminate(
+            corpus.repartition(7), bench.repartition(3), **kw
+        ).collect()
+    )
+    assert a == b

@@ -298,6 +298,19 @@ def main() -> int:
           "BroadcastHashJoin" in p)
     check("temperature_mix: single fit-side source exchange (one corpus scan)",
           len(re.findall(r"Exchange hashpartitioning\(source", p)) == 1)
+    # 8g12. embedding decontamination (r5): candidates are a (band,
+    # sig) equi-join with the BENCHMARK side broadcast (eval sets are
+    # small), verify joins the benchmark vectors broadcast too — the
+    # corpus never enters a cross product and never shuffles into the
+    # candidate join.
+    from pyspark.sql import functions as Fx
+    nib = Fx.substring(Fx.md5(Fx.col("vec_id").cast("string")), 1, 1)
+    p = plan_of(sim.embedding_decontaminate(
+        emb.filter(nib != "0"), emb.filter(nib == "0")))
+    check("embedding_decon: no cartesian product",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
+    check("embedding_decon: benchmark side broadcast",
+          p.count("BroadcastExchange") >= 2)
 
     # 8g. near-dup clustering: pair generation + every propagation round
     # stays equi-join shaped (the fixpoint loop reuses this same plan)
