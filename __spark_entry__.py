@@ -767,6 +767,12 @@ def _q_embedding_decontaminated(spark, sf_dir):
     )
 
 
+def _q_ivf_cell_summary(spark, sf_dir):
+    # per-cell size / label purity / tightness over the trained Lloyd
+    # codebook — the domain-discovery diagnostics view
+    return similarity.ivf_cell_summary(_emb(spark, sf_dir))
+
+
 def _q_drain_templates(spark, sf_dir):
     # rows-only: mined-template assignment via vectorized pandas UDF
     from ml4logs_spark.operators import drain
@@ -895,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
         "temperature_mix_rates": _q_temperature_mix_rates,
         "embedding_decontaminated": _q_embedding_decontaminated,
+        "ivf_cell_summary": _q_ivf_cell_summary,
         "pii_masked": _q_pii_masked,
         "doc_chunks": _q_doc_chunks,
         "docs_hash_sample": _q_docs_hash_sample,

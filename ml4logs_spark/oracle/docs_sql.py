@@ -1124,3 +1124,44 @@ DOC_ORACLES["embedding_decontaminated"] = f"""
     WHERE NOT ({_EMB_IS_BENCH.replace("vec_id", "e.vec_id")})
       AND NOT EXISTS (SELECT 1 FROM dirty d WHERE d.vec_id = e.vec_id)
 """
+
+
+# IVF cell summary: replay the Lloyd fit CTEs, assign every vector
+# (round(cos,6) DESC, cent_id tie-break — identical to Spark's max_by
+# struct key), then per-cell size / top-label purity / mean member
+# cosine. purity uses * 1.0 to force fractional division (DuckDB
+# bigint / bigint is integer division; Spark's / is always fractional).
+DOC_ORACLES["ivf_cell_summary"] = f"""
+    WITH {_ivf_fit_ctes()},
+    allv AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    csim AS (
+      SELECT s.vec_id, s.label, c.cent_id, {_CV_COS} AS sim
+      FROM allv s CROSS JOIN cb{_IVF_ITERS} c
+    ),
+    asg AS (
+      SELECT vec_id, label, cent_id AS cell, sim AS rcos FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+        FROM csim) r WHERE rn = 1
+    ),
+    lab AS (SELECT cell, label, count(*) AS n FROM asg GROUP BY 1, 2),
+    top AS (
+      SELECT cell, label AS top_label, n AS n_top FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY cell ORDER BY n DESC, label) AS rn
+        FROM lab) r WHERE rn = 1
+    ),
+    tot AS (
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+             -- exact micro-unit sum (rcos is 6dp): fold-order
+             -- independent, unlike avg() of doubles at a boundary
+             sum(CAST(round(rcos * 1000000) AS BIGINT)) AS sc
+      FROM asg GROUP BY cell
+    )
+    SELECT t.cell, t.n_vecs, p.top_label, CAST(p.n_top AS BIGINT) AS n_top,
+           round(p.n_top * 1.0 / t.n_vecs, 6) AS purity,
+           round(sc / (1000000.0 * t.n_vecs), 6) AS mean_cos
+    FROM tot t JOIN top p USING (cell)
+"""

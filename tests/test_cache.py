@@ -5,6 +5,10 @@ from ml4logs_spark import cache
 
 
 def test_scope_releases_only_its_own(spark):
+    # clean baseline: earlier tests may legitimately leave tracked
+    # persists (oracle-gate queries cache fit state); this test counts
+    # exactly, so it must not depend on collection order
+    cache.release_all()
     outer = cache.track(spark.range(10))
     outer.count()
     assert outer.storageLevel.useMemory

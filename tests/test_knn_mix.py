@@ -279,3 +279,34 @@ def test_embedding_decontaminate_partition_invariant(spark):
         ).collect()
     )
     assert a == b
+
+
+# ------------------------------------------------- IVF cell diagnostics
+
+def test_ivf_cell_summary_properties(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(4, 8))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(80):
+        v = centers[i % 4] + 0.05 * rng.normal(size=8)
+        rows.append((i, i % 4, [float(x) for x in v]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = similarity.ivf_cell_summary(emb, n_centroids=4).collect()
+    # partition of the corpus: cell sizes sum to N
+    assert sum(r["n_vecs"] for r in out) == 80
+    for r in out:
+        assert r["n_top"] <= r["n_vecs"]
+        assert abs(r["purity"] - round(r["n_top"] / r["n_vecs"], 6)) < 1e-12
+        assert -1.0 <= r["mean_cos"] <= 1.0
+    # tight angular clusters + matching labels => every cell pure and
+    # tight (the fit seeds from the sample, one center per true cluster)
+    assert all(r["purity"] == 1.0 for r in out)
+    assert all(r["mean_cos"] > 0.9 for r in out)
+    # exact micro-unit mean: identical under any partitioning
+    out2 = similarity.ivf_cell_summary(emb.repartition(7), n_centroids=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

@@ -311,6 +311,28 @@ def main() -> int:
           "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
     check("embedding_decon: benchmark side broadcast",
           p.count("BroadcastExchange") >= 2)
+    # 8g13. IVF cell summary (r5): assignment + member stats fuse into
+    # ONE N x k aggregate against the broadcast codebook (no corpus
+    # self-join); the cell-keyed rollups run on codebook-sized frames.
+    # Audited with a LITERAL codebook (the vocab_coverage isolation
+    # trick) so only this operator's stages are asserted — the Lloyd
+    # fit has its own vec_id exchanges, audited at 8d. Distinct
+    # plan_id counting per the cached-subtree reprint gotcha: asg is a
+    # tracked diamond, so its exchange prints once per consumer with
+    # the SAME plan_id.
+    cbk = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * 63), (1, [0.0, 1.0] + [0.0] * 62)],
+        "cent_id long, centvec array<double>",
+    )
+    p = plan_of(sim.ivf_cell_summary(emb, codebook=cbk))
+    check("ivf_cell_summary: no cartesian product",
+          "CartesianProduct" not in p)
+    n_vexch = len(set(re.findall(
+        r"Exchange hashpartitioning\(vec_id[^\n]*\[plan_id=(\d+)\]", p)))
+    check("ivf_cell_summary: one fused assignment aggregate",
+          n_vexch == 1, f"distinct vec_id exchanges={n_vexch}")
+    check("ivf_cell_summary: partial+final aggregates",
+          p.count("HashAggregate") >= 2)
 
     # 8g. near-dup clustering: pair generation + every propagation round
     # stays equi-join shaped (the fixpoint loop reuses this same plan)
