@@ -773,6 +773,22 @@ def _q_ivf_cell_summary(spark, sf_dir):
     return similarity.ivf_cell_summary(_emb(spark, sf_dir))
 
 
+def _q_incremental_embedding_near_dups(spark, sf_dir):
+    # day-2 embedding loop: even vec_ids are history, present ONLY as
+    # band table + int8 codes under the frozen history-fit quantizer;
+    # odd ids are the new batch
+    emb = _emb(spark, sf_dir)
+    hist = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    quant = similarity.fit_quantizer(hist)
+    return similarity.incremental_embedding_near_dups(
+        new,
+        band_state=similarity.band_signatures(hist, n_planes=8, n_bands=4, dim=64),
+        code_state=similarity.quantize_embeddings(hist, quant),
+        quant=quant,
+    )
+
+
 def _q_drain_templates(spark, sf_dir):
     # rows-only: mined-template assignment via vectorized pandas UDF
     from ml4logs_spark.operators import drain
@@ -902,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix_rates": _q_temperature_mix_rates,
         "embedding_decontaminated": _q_embedding_decontaminated,
         "ivf_cell_summary": _q_ivf_cell_summary,
+        "incremental_embedding_near_dups": _q_incremental_embedding_near_dups,
         "pii_masked": _q_pii_masked,
         "doc_chunks": _q_doc_chunks,
         "docs_hash_sample": _q_docs_hash_sample,

@@ -823,3 +823,75 @@ def ivf_cell_summary(
             "mean_cos"
         ),
     )
+
+
+def incremental_embedding_near_dups(
+    new_emb: DataFrame,
+    band_state: DataFrame,
+    code_state: DataFrame,
+    quant: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 8,
+    n_bands: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Day-2 embedding near-dup search over persisted state — closes
+    the incremental-ingest loop for the embedding family the same way
+    incremental_near_dup_verified (minhash) and
+    incremental_simhash_near_dups do for text: the historical corpus
+    is present ONLY as state, never rescanned.
+
+    The state is three compact tables written at day-1 ingest:
+    ``band_state`` (vec_id, band, sig) LSH buckets, ``code_state``
+    (vec_id, codes) int8 quantized vectors, and the FROZEN ``quant``
+    (dim_idx, lo, hi) parameters the codes were written with — 4 bytes
+    + dim bytes per historical vector instead of 4*dim float32, the
+    representation that keeps a 10^10-vector history in executor
+    reach. New batches must be coded with the SAME frozen params
+    (re-fitting would silently re-interpret every historical code).
+
+    Candidates: new-batch band signatures equi-join the band state
+    (new side BROADCAST — a day's batch is small against history) plus
+    new-vs-new collisions within the batch; verify is exact cosine of
+    the new vector against the DEQUANTIZED historical vector (the
+    threshold applies to the dequantized value — a deterministic
+    contract; bench.py's quantized_recall measures how faithful that
+    representation is), new-new pairs verify exact-exact. Output
+    (vec_a, vec_b, cosine) with vec_a < vec_b; replay-safe (same
+    inputs -> bit-same output under any partitioning)."""
+    nb = band_signatures(new_emb, n_planes=n_planes, n_bands=n_bands,
+                         dim=dim, vec_col=vec_col)
+    hist_cand = (
+        band_state.select(
+            "band", "sig", F.col("vec_id").alias("hist_id")
+        )
+        .join(
+            F.broadcast(
+                nb.select("band", "sig", F.col("vec_id").alias("new_id"))
+            ),
+            ["band", "sig"],
+        )
+        .select("new_id", "hist_id")
+        .distinct()
+    )
+    nv = new_emb.select(
+        F.col("vec_id").alias("new_id"), F.col(vec_col).alias("nvec")
+    )
+    hv = dequantize(code_state, quant, out_col="hvec").select(
+        F.col("vec_id").alias("hist_id"), "hvec"
+    )
+    cross = (
+        hv.join(F.broadcast(hist_cand.join(nv, "new_id")), "hist_id")
+        .withColumn("cosine", _cosine(F.col("nvec"), F.col("hvec")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.least("new_id", "hist_id").alias("vec_a"),
+            F.greatest("new_id", "hist_id").alias("vec_b"),
+            "cosine",
+        )
+    )
+    within = embedding_near_dups(
+        new_emb, threshold, n_planes, n_bands, dim, vec_col
+    )
+    return cross.unionByName(within)

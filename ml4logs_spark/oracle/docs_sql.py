@@ -1165,3 +1165,66 @@ DOC_ORACLES["ivf_cell_summary"] = f"""
            round(sc / (1000000.0 * t.n_vecs), 6) AS mean_cos
     FROM tot t JOIN top p USING (cell)
 """
+
+
+# Day-2 embedding near-dups over persisted state: even vec_ids are the
+# historical corpus, present ONLY as the band table + int8 codes under
+# the FROZEN history-fit quantizer; odd ids arrive as the new batch.
+# Cross-boundary verify is new-exact vs history-DEQUANTIZED (the
+# deterministic contract of the compact state); within-batch pairs
+# verify exact-exact. Mirrors similarity.incremental_embedding_near_dups.
+_EMB_HIST, _EMB_NEW = "vec_id % 2 = 0", "vec_id % 2 = 1"
+
+DOC_ORACLES["incremental_embedding_near_dups"] = f"""
+    WITH nb AS ({_ann_bsig_where(_EMB_NEW)}),
+    hb AS ({_ann_bsig_where(_EMB_HIST)}),
+    d AS (
+      SELECT vec_id, i AS dim_idx, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, (SELECT unnest(generate_series(1, {_ANN_DIM})) AS i)
+      WHERE {_EMB_HIST}
+    ), params AS (
+      SELECT dim_idx, min(v) AS lo, max(v) AS hi FROM d GROUP BY dim_idx
+    ), qcodes AS (
+      SELECT d.vec_id, d.dim_idx, p.lo, p.hi,
+             CAST(CASE WHEN p.hi = p.lo THEN 0
+                  ELSE floor((d.v - p.lo) / (p.hi - p.lo) * 255 + 0.5) - 128
+                  END AS INT) AS code
+      FROM d JOIN params p USING (dim_idx)
+    ), deq AS (
+      SELECT vec_id,
+             list(lo + (CAST(code AS DOUBLE) + 128) / 255 * (hi - lo)
+                  ORDER BY dim_idx) AS hvec
+      FROM qcodes GROUP BY vec_id
+    ),
+    cand AS (
+      SELECT DISTINCT n.vec_id AS new_id, h.vec_id AS hist_id
+      FROM nb n JOIN hb h USING (band, sig)
+    ),
+    cross_pairs AS (
+      SELECT least(c.new_id, c.hist_id) AS vec_a,
+             greatest(c.new_id, c.hist_id) AS vec_b,
+             round(
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), d2.hvec)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(d2.hvec, d2.hvec))), 6) AS cosine
+      FROM cand c
+      JOIN embeddings e ON e.vec_id = c.new_id
+      JOIN deq d2 ON d2.vec_id = c.hist_id
+    ),
+    nn_cand AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM nb a JOIN nb b USING (band, sig)
+      WHERE a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    nn AS (
+      SELECT p.vec_a, p.vec_b, round({_COS}, 6) AS cosine
+      FROM nn_cand p
+      JOIN embeddings q ON q.vec_id = p.vec_a
+      JOIN embeddings c ON c.vec_id = p.vec_b
+    )
+    SELECT vec_a, vec_b, cosine FROM cross_pairs WHERE cosine >= 0.4
+    UNION ALL
+    SELECT vec_a, vec_b, cosine FROM nn WHERE cosine >= 0.4
+"""

@@ -310,3 +310,78 @@ def test_ivf_cell_summary_properties(spark):
     # exact micro-unit mean: identical under any partitioning
     out2 = similarity.ivf_cell_summary(emb.repartition(7), n_centroids=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+# --------------------------- day-2 embedding near-dups over int8 state
+
+def _day2_fixture(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(40):
+        rows.append((i, [float(x) for x in rng.normal(size=8)]))
+    # plant: new vec 21 duplicates historical vec 20 (cross-boundary),
+    # new vec 23 duplicates new vec 25 (within-batch)
+    rows[21] = (21, rows[20][1])
+    rows[25] = (25, rows[23][1])
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _day2_run(spark, emb):
+    hist = emb.filter("vec_id % 2 = 0")
+    new = emb.filter("vec_id % 2 = 1")
+    quant = similarity.fit_quantizer(hist)
+    return similarity.incremental_embedding_near_dups(
+        new,
+        band_state=similarity.band_signatures(hist, n_planes=8, n_bands=4, dim=8),
+        code_state=similarity.quantize_embeddings(hist, quant),
+        quant=quant,
+        threshold=0.98,
+        dim=8,
+    )
+
+
+def test_incremental_embedding_near_dups_finds_planted(spark):
+    emb = _day2_fixture(spark)
+    pairs = {(r["vec_a"], r["vec_b"]) for r in _day2_run(spark, emb).collect()}
+    # cross-boundary duplicate: the int8 round-trip keeps an exact
+    # duplicate's cosine near 1, far above 0.98
+    assert (20, 21) in pairs
+    # within-batch duplicate verifies exact-exact
+    assert (23, 25) in pairs
+    # at 0.98 on 8-dim gaussians nothing unrelated should pair
+    assert pairs == {(20, 21), (23, 25)}
+
+
+def test_incremental_embedding_near_dups_replay_safe(spark):
+    emb = _day2_fixture(spark)
+    a = sorted(map(tuple, _day2_run(spark, emb).collect()))
+    b = sorted(map(tuple, _day2_run(spark, emb.repartition(7)).collect()))
+    assert a == b and len(a) == 2
+
+
+def test_incremental_embedding_history_never_needs_vectors(spark):
+    # the op must run with ONLY the three state tables for history —
+    # simulate by materializing state then dropping the history frame
+    emb = _day2_fixture(spark)
+    hist = emb.filter("vec_id % 2 = 0")
+    new = emb.filter("vec_id % 2 = 1")
+    quant = spark.createDataFrame(
+        similarity.fit_quantizer(hist).collect(), "dim_idx int, lo double, hi double"
+    )
+    bands = spark.createDataFrame(
+        similarity.band_signatures(
+            hist, n_planes=8, n_bands=4, dim=8
+        ).collect(),
+        "vec_id long, band int, sig int",
+    )
+    codes = spark.createDataFrame(
+        similarity.quantize_embeddings(hist, quant).collect(),
+        "vec_id long, codes array<int>",
+    )
+    out = similarity.incremental_embedding_near_dups(
+        new, bands, codes, quant, threshold=0.98, dim=8
+    )
+    pairs = {(r["vec_a"], r["vec_b"]) for r in out.collect()}
+    assert (20, 21) in pairs and (23, 25) in pairs

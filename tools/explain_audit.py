@@ -333,6 +333,23 @@ def main() -> int:
           n_vexch == 1, f"distinct vec_id exchanges={n_vexch}")
     check("ivf_cell_summary: partial+final aggregates",
           p.count("HashAggregate") >= 2)
+    # 8g14. day-2 embedding near-dups (r5): the new batch BROADCASTS
+    # into the band-state probe and into the dequantized-history
+    # verify (a day's batch is small against history — history itself
+    # never re-shuffles as a build side), and candidate generation
+    # stays equi-join shaped.
+    hist_e = emb.filter("vec_id % 2 = 0")
+    new_e = emb.filter("vec_id % 2 = 1")
+    qf = sim.fit_quantizer(hist_e)
+    p = plan_of(sim.incremental_embedding_near_dups(
+        new_e,
+        band_state=sim.band_signatures(hist_e, n_planes=8, n_bands=4, dim=64),
+        code_state=sim.quantize_embeddings(hist_e, qf),
+        quant=qf,
+    ))
+    check("incr_embedding: no cartesian product", "CartesianProduct" not in p)
+    check("incr_embedding: new batch broadcast into state probes",
+          p.count("BroadcastExchange") >= 2)
 
     # 8g. near-dup clustering: pair generation + every propagation round
     # stays equi-join shaped (the fixpoint loop reuses this same plan)
