@@ -513,6 +513,31 @@ def main() -> None:
             "knn_note": "isotropic = 10-class chance floor ~0.10",
             "knn_sec": round(time.perf_counter() - t0, 3),
         })
+        # day-2 embedding ingest: even vec_ids play history, present
+        # ONLY as persisted state (band table + int8 codes + frozen
+        # quantizer — built outside timing: that is day-1's work); odd
+        # ids arrive as the new batch. Timed: the cross-boundary +
+        # within-batch near-dup pass over state alone.
+        ehist = emb.filter(F.col("vec_id") % 2 == 0)
+        enew = emb.filter(F.col("vec_id") % 2 == 1)
+        equant = similarity.fit_quantizer(ehist).persist()
+        ebands = similarity.band_signatures(
+            ehist, n_planes=8, n_bands=4, dim=64).persist()
+        ecodes = similarity.quantize_embeddings(ehist, equant).persist()
+        equant.count(); ebands.count(); ecodes.count()
+        n_enew = enew.count()
+        t0 = time.perf_counter()
+        inc_emb_pairs = similarity.incremental_embedding_near_dups(
+            enew, ebands, ecodes, equant).count()
+        _ince = time.perf_counter() - t0
+        for _df in (equant, ebands, ecodes):
+            _df.unpersist()
+        docs_out.update({
+            "incremental_embedding_batch_vecs": n_enew,
+            "incremental_embedding_sec": round(_ince, 3),
+            "incremental_embedding_vecs_per_sec": round(n_enew / _ince, 1),
+            "incremental_embedding_pairs": inc_emb_pairs,
+        })
         # clustered fixture (realistic embedding geometry): the bands
         # must show genuine pruning at high recall — isotropic gaussians
         # above are the no-structure floor where pruning is theory-
