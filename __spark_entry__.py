@@ -789,6 +789,18 @@ def _q_incremental_embedding_near_dups(spark, sf_dir):
     )
 
 
+def _q_incremental_vocab_counts(spark, sf_dir):
+    # day-2 vocabulary state: even doc_ids play history (present only
+    # as persisted token counts), odd ids merge in as the new batch;
+    # the oracle counts the full corpus batch-style — equality proves
+    # the incremental merge exact
+    from ml4logs_spark.operators import textqa
+
+    docs = _docs(spark, sf_dir)
+    state = textqa.vocab_counts(docs.filter(F.col("doc_id") % 2 == 0))
+    return textqa.merge_vocab_counts(state, docs.filter(F.col("doc_id") % 2 == 1))
+
+
 def _q_drain_templates(spark, sf_dir):
     # rows-only: mined-template assignment via vectorized pandas UDF
     from ml4logs_spark.operators import drain
@@ -919,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_decontaminated": _q_embedding_decontaminated,
         "ivf_cell_summary": _q_ivf_cell_summary,
         "incremental_embedding_near_dups": _q_incremental_embedding_near_dups,
+        "incremental_vocab_counts": _q_incremental_vocab_counts,
         "pii_masked": _q_pii_masked,
         "doc_chunks": _q_doc_chunks,
         "docs_hash_sample": _q_docs_hash_sample,

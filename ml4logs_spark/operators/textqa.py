@@ -530,6 +530,42 @@ def top_ngrams_per_source(
     ).filter(F.col("rank") <= k)
 
 
+def vocab_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token statistics (token, df, tf) — the MERGEABLE state unit
+    behind build_vocab, split out so day-2 ingest can maintain a
+    vocabulary without rescanning history (merge_vocab_counts). One
+    explode + one partial+final hash aggregate on token."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    return toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("tf"),
+    )
+
+
+def merge_vocab_counts(
+    state: DataFrame, new_docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Day-2 vocabulary state merge: the persisted (token, df, tf)
+    counts plus a new batch's counts -> updated state, WITHOUT
+    rescanning historical text. Both df and tf are additive because
+    ingest batches hold disjoint doc_ids (df = count of distinct docs
+    containing the token, and no doc spans two batches) — so the merge
+    is a union + one sum aggregate keyed by token, and the result is
+    bit-equal to recounting the full corpus (the oracle proves exactly
+    that). Thresholding into a vocabulary stays a downstream read
+    (build_vocab's filter over the counts), so min_df/max_df can be
+    retuned without re-ingesting."""
+    nc = vocab_counts(new_docs, text_col)
+    return (
+        state.unionByName(nc)
+        .groupBy("token")
+        .agg(F.sum("df").alias("df"), F.sum("tf").alias("tf"))
+    )
+
+
 def build_vocab(
     docs: DataFrame,
     min_df: int = 2,
@@ -567,14 +603,7 @@ def build_vocab(
 
     from ml4logs_spark import cache
 
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
-    ).filter(F.col("token") != "")
-    vocab = toks.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df"),
-        F.count(F.lit(1)).alias("tf"),
-    )
+    vocab = vocab_counts(docs, text_col)
     total = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
     kept = vocab.crossJoin(F.broadcast(total)).filter(
         (F.col("df") >= min_df)

@@ -1228,3 +1228,19 @@ DOC_ORACLES["incremental_embedding_near_dups"] = f"""
     UNION ALL
     SELECT vec_a, vec_b, cosine FROM nn WHERE cosine >= 0.4
 """
+
+
+# Incremental vocabulary state: the Spark side MERGES day-1 counts
+# (even doc_ids, state only) with the odd-id batch; the oracle counts
+# the FULL corpus in one pass — equality proves incremental == batch
+# (df adds across batches because doc_ids are disjoint).
+DOC_ORACLES["incremental_vocab_counts"] = """
+    WITH tok AS (
+      SELECT doc_id, unnest(str_split(lower(text), ' ')) AS token
+      FROM documents
+    )
+    SELECT token,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+           CAST(count(*) AS BIGINT) AS tf
+    FROM tok WHERE token <> '' GROUP BY token
+"""

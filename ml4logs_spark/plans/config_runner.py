@@ -266,6 +266,15 @@ def _a_temperature_mix(spark, env, step, cfg):
     )
 
 
+def _a_ivf_cell_summary(spark, env, step, cfg):
+    from ml4logs_spark.operators import similarity
+
+    return similarity.ivf_cell_summary(
+        env[step.get("from", "embeddings")],
+        n_centroids=step.get("n_centroids", 16),
+    )
+
+
 def _a_knn_label_vote(spark, env, step, cfg):
     from ml4logs_spark.operators import similarity
 
@@ -320,6 +329,7 @@ ACTIONS: dict[str, Callable] = {
     "dataset_split": _a_dataset_split,
     "temperature_mix": _a_temperature_mix,
     "knn_label_vote": _a_knn_label_vote,
+    "ivf_cell_summary": _a_ivf_cell_summary,
 }
 
 

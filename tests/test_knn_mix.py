@@ -385,3 +385,26 @@ def test_incremental_embedding_history_never_needs_vectors(spark):
     )
     pairs = {(r["vec_a"], r["vec_b"]) for r in out.collect()}
     assert (20, 21) in pairs and (23, 25) in pairs
+
+
+# ------------------------------------------- day-2 vocabulary state
+
+def test_merge_vocab_counts_chains_to_batch(spark):
+    rows = [
+        (0, "the cat sat", "s"), (1, "the dog ran", "s"),
+        (2, "a cat ran", "s"), (3, "the the the", "s"),
+        (4, "", "s"), (5, None, "s"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    state = textqa.vocab_counts(docs.filter("doc_id % 3 = 0"))
+    state = textqa.merge_vocab_counts(state, docs.filter("doc_id % 3 = 1"))
+    state = textqa.merge_vocab_counts(state, docs.filter("doc_id % 3 = 2"))
+    merged = {r["token"]: (r["df"], r["tf"]) for r in state.collect()}
+    batch = {
+        r["token"]: (r["df"], r["tf"])
+        for r in textqa.vocab_counts(docs).collect()
+    }
+    assert merged == batch
+    assert merged["the"] == (3, 5)  # df counts docs, tf counts tokens
