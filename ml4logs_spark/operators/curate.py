@@ -42,6 +42,7 @@ def curate_corpus(
     near_threshold: float | None = None,
     span_tokens: int | None = None,
     mix_weights: dict[str, str] | None = None,
+    mix_alpha: float | None = None,
     max_dup_bigram_frac: float | None = None,
 ) -> DataFrame:
     """documents -> model-ready chunks: mix, dedup, gate, decontaminate,
@@ -55,6 +56,11 @@ def curate_corpus(
     shuffling the crawl and shuffling the mixture. Weights are therefore
     defined on the RAW corpus (a doc dropped by the mix can't be a
     dedup survivor); sources absent from the map are dropped.
+    ``mix_alpha`` is the alternative policy: temperature-derived rates
+    (textqa.temperature_mix_sample, p_s^alpha rebalancing) computed
+    from the corpus's own per-source counts — same scan-time predicate
+    shape, one extra counting pass for the fit. Mutually exclusive
+    with ``mix_weights``.
 
     ``max_dup_bigram_frac`` adds the Gopher-style repetition gate:
     docs whose ``textqa.dup_bigram_frac_expr`` (1 - distinct bigrams /
@@ -76,8 +82,23 @@ def curate_corpus(
     whose every block duplicates earlier content drop out before the
     gate ever scores them. Pure Catalyst, so unlike near_threshold it
     keeps the chain one lazy plan."""
+    if mix_weights is not None and mix_alpha is not None:
+        raise ValueError(
+            "mix_weights and mix_alpha are alternative mixing policies — "
+            "pass one (explicit per-source rates) or the other "
+            "(temperature-derived rates), not both"
+        )
     if mix_weights is not None:
         docs = textqa.source_mix_sample(docs, mix_weights)
+    if mix_alpha is not None:
+        # temperature-derived rates (p_s^alpha rebalancing) instead of
+        # hand-written weights; same broadcast-dim + md5-draw predicate
+        # at the scan (full_rows keeps it map-side — no re-join), so
+        # mixed-out rows never reach the dedup shuffle. The rate FIT
+        # costs one extra corpus-count pass, unlike the literal dim.
+        docs = textqa.temperature_mix_sample(
+            docs, alpha=mix_alpha, full_rows=True
+        )
     surv = dedup.exact_dedup(docs)
     if near_threshold is not None:
         # the clustering fixpoint and the final anti-join each consume

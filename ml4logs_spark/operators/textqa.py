@@ -846,6 +846,7 @@ def temperature_mix_sample(
     alpha: float = 0.75,
     source_col: str = "source",
     key_cols: tuple[str, ...] = ("source", "doc_id"),
+    full_rows: bool = False,
 ) -> DataFrame:
     """Apply temperature_mix_rates as a deterministic downsample: the
     rate table rides as a broadcast dim joined on source, then the
@@ -853,8 +854,15 @@ def temperature_mix_sample(
     whose 4-hex-char md5 prefix sorts below the source's rate;
     rate_int = 65536 keeps all rows, so alpha = 1.0 is the identity
     mixture). Reproducible across runs/retries/partitionings; the
-    corpus side never shuffles. Output: (doc_id, source)."""
-    dim = temperature_mix_rates(docs, alpha, source_col).select(
+    corpus side never shuffles. Output: (doc_id, source), or every
+    original docs column with ``full_rows=True`` (the in-chain form —
+    curate_corpus keeps the predicate map-side instead of re-joining
+    the sample back on doc_id). The source-sized rate dim is a tracked
+    persist: downstream diamonds (exact_dedup's agg + semi-join) would
+    otherwise replay the corpus-count FIT once per consumer."""
+    from ml4logs_spark import cache
+
+    dim = cache.track(temperature_mix_rates(docs, alpha, source_col)).select(
         "source",
         F.col("rate_int").alias("_ri"),
         F.lower(
@@ -870,5 +878,9 @@ def temperature_mix_sample(
             (F.col("_ri") >= F.lit(0x10000))
             | (F.substring(F.md5(key), 1, 4) < F.col("_rate_hex"))
         )
-        .select("doc_id", docs[source_col].alias("source"))
+        .select(
+            *[docs[c] for c in docs.columns]
+            if full_rows
+            else ["doc_id", docs[source_col].alias("source")]
+        )
     )

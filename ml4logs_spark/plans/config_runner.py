@@ -201,6 +201,7 @@ def _a_curate(spark, env, step, cfg):
         near_threshold=step.get("near_threshold"),
         span_tokens=step.get("span_tokens"),
         mix_weights=step.get("mix_weights"),
+        mix_alpha=step.get("mix_alpha"),
         max_dup_bigram_frac=step.get("max_dup_bigram_frac"),
         min_tokens=step.get("min_tokens", 3),
         max_tokens=step.get("max_tokens", 10_000),

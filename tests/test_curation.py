@@ -366,3 +366,51 @@ def test_unigram_logprob_hand_computed(spark):
     assert got[1] == (round((lp_a + lp_b) / 2, 6), 2)
     assert got[2] == (None, 0) and got[3] == (None, 0)
     assert got[0][0] > got[1][0]  # common tokens -> higher score
+
+
+def test_curate_corpus_temperature_mix_stage(spark):
+    """mix_alpha applies the temperature downsample at the scan: the
+    chain output equals manually pre-mixing then curating, and
+    mix_weights + mix_alpha together is a contract error."""
+    import pytest as _pytest
+
+    from ml4logs_spark.operators import curate, textqa
+
+    base = "the cat and the dog sat on the mat with a hat number"
+    rows = [(i, f"{base} {i}", "big" if i < 40 else "small")
+            for i in range(50)]
+    docs = _docs(spark, rows)
+    bench = _docs(spark, [(99, "zz1 zz2 zz3 zz4", "b")]).drop("source")
+
+    out = curate.curate_corpus(
+        docs, bench, min_score=0.0, min_tokens=3, mix_alpha=0.75
+    ).toPandas()
+    pre = textqa.temperature_mix_sample(docs, alpha=0.75, full_rows=True)
+    manual = curate.curate_corpus(
+        pre, bench, min_score=0.0, min_tokens=3
+    ).toPandas()
+    key = ["doc_id", "chunk_idx"]
+    assert sorted(map(tuple, out[key].values.tolist())) == sorted(
+        map(tuple, manual[key].values.tolist())
+    )
+    # the head source thinned, the tail source survived whole
+    kept_ids = set(out.doc_id)
+    assert set(range(40, 50)) <= kept_ids
+    assert len([i for i in kept_ids if i < 40]) < 40
+
+    with _pytest.raises(ValueError, match="alternative mixing policies"):
+        curate.curate_corpus(
+            docs, bench, mix_weights={"big": "ffff"}, mix_alpha=0.75
+        )
+
+
+def test_temperature_full_rows_matches_default(spark):
+    from ml4logs_spark.operators import textqa
+
+    rows = [(i, f"text {i}", "a" if i < 30 else "b") for i in range(40)]
+    docs = _docs(spark, rows)
+    slim = {(r["doc_id"], r["source"])
+            for r in textqa.temperature_mix_sample(docs, alpha=0.5).collect()}
+    full = textqa.temperature_mix_sample(docs, alpha=0.5, full_rows=True)
+    assert set(full.columns) == {"doc_id", "text", "source"}
+    assert {(r["doc_id"], r["source"]) for r in full.collect()} == slim

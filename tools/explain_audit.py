@@ -415,6 +415,22 @@ def main() -> int:
           "hashpartitioning(source" not in mix_p)
     check("curate(+mix): no cartesian product",
           "CartesianProduct" not in mix_p)
+    # temperature variant: the rate FIT may hash-partition its tiny
+    # partial-aggregated counts on source, but the CURATED corpus side
+    # still joins the rate dim broadcast and never cross-products.
+    alpha_p = plan_of(curate.curate_corpus(docs, bmark, mix_alpha=0.75))
+    _c.release_all()
+    check("curate(+mix_alpha): rate dim broadcast",
+          "BroadcastHashJoin" in alpha_p)
+    check("curate(+mix_alpha): no cartesian product",
+          "CartesianProduct" not in alpha_p)
+    # distinct plan_id counting (cached-subtree reprint gotcha): the
+    # tracked rate dim prints its fit exchange once per consumer with
+    # the SAME plan_id — one real fit pass.
+    check("curate(+mix_alpha): single fit-side source exchange",
+          len(set(re.findall(
+              r"Exchange hashpartitioning\(source[^\n]*plan_id=(\d+)",
+              alpha_p))) == 1)
 
     # 9. predicate pushdown on filtered scan
     m = t.filter("role = 'user'").select("conv_id")
