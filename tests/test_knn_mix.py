@@ -408,3 +408,35 @@ def test_merge_vocab_counts_chains_to_batch(spark):
     }
     assert merged == batch
     assert merged["the"] == (3, 5)  # df counts docs, tf counts tokens
+
+
+# ------------------------------------------------ empty-input behavior
+
+def test_new_ops_handle_empty_inputs(spark):
+    e_emb = spark.createDataFrame(
+        [], "vec_id long, label int, embedding array<double>"
+    )
+    e_docs = spark.createDataFrame(
+        [], "doc_id long, text string, source string"
+    )
+    assert similarity.knn_label_vote(e_emb, k=3).count() == 0
+    assert textqa.temperature_mix_rates(e_docs).count() == 0
+    assert textqa.temperature_mix_sample(e_docs).count() == 0
+    assert textqa.vocab_counts(e_docs).count() == 0
+    assert (
+        textqa.merge_vocab_counts(textqa.vocab_counts(e_docs), e_docs).count()
+        == 0
+    )
+    assert similarity.embedding_decontaminate(e_emb, e_emb, dim=8).count() == 0
+    # empty NEW batch against non-empty state: no pairs, no error
+    rows = [(2 * i, [float(i), 1.0]) for i in range(6)]
+    hist = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    quant = similarity.fit_quantizer(hist)
+    out = similarity.incremental_embedding_near_dups(
+        e_emb.drop("label"),
+        band_state=similarity.band_signatures(hist, n_planes=8, n_bands=4, dim=2),
+        code_state=similarity.quantize_embeddings(hist, quant),
+        quant=quant,
+        dim=2,
+    )
+    assert out.count() == 0
