@@ -801,6 +801,15 @@ def _q_incremental_vocab_counts(spark, sf_dir):
     return textqa.merge_vocab_counts(state, docs.filter(F.col("doc_id") % 2 == 1))
 
 
+def _q_semantic_dedup_survivors(spark, sf_dir):
+    # SemDeDup: within-cell greedy semantic dedup over the trained
+    # codebook (keep-lowest-id; 0.4 on the isotropic fixture stands in
+    # for the ~0.95 production threshold)
+    return similarity.semantic_dedup_survivors(
+        _emb(spark, sf_dir), threshold=0.4
+    ).select("vec_id")
+
+
 def _q_drain_templates(spark, sf_dir):
     # rows-only: mined-template assignment via vectorized pandas UDF
     from ml4logs_spark.operators import drain
@@ -932,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cell_summary": _q_ivf_cell_summary,
         "incremental_embedding_near_dups": _q_incremental_embedding_near_dups,
         "incremental_vocab_counts": _q_incremental_vocab_counts,
+        "semantic_dedup_survivors": _q_semantic_dedup_survivors,
         "pii_masked": _q_pii_masked,
         "doc_chunks": _q_doc_chunks,
         "docs_hash_sample": _q_docs_hash_sample,

@@ -895,3 +895,51 @@ def incremental_embedding_near_dups(
         new_emb, threshold, n_planes, n_bands, dim, vec_col
     )
     return cross.unionByName(within)
+
+
+def semantic_dedup_survivors(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    codebook: DataFrame | None = None,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): drop semantically
+    near-identical vectors WITHIN each coarse k-means cluster — the
+    cluster-scoped complement of the LSH-banded embedding_near_dups
+    path (cells capture the corpus's own geometry; bands are
+    geometry-blind hash tables). Deterministic greedy keep rule: a
+    vector drops iff ANY lower-vec_id vector in its cell has cosine >=
+    threshold (no clustering fixpoint, replay-stable). Production runs
+    use thresholds near 0.95 on real embeddings; the synthetic
+    isotropic fixture needs lower values to exercise drops.
+
+    Shape at scale: assignment is the broadcast-codebook aggregate
+    (ivf_cells); the pair join is an equi-join on cell — candidate
+    volume is sum of cell sizes squared, bounded by the codebook
+    granularity (raise n_centroids to shrink cells), never an
+    all-pairs product; losers reduce to a distinct id set and the
+    corpus anti-joins once on vec_id."""
+    from ml4logs_spark import cache
+
+    if codebook is None:
+        codebook = cache.track(
+            fit_ivf_codebook(emb, n_centroids, vec_col=vec_col)
+        )
+    cells = ivf_cells(emb, codebook, vec_col=vec_col)
+    v = emb.select("vec_id", F.col(vec_col).alias("_v"))
+    sided = cells.join(v, "vec_id")
+    a = sided.select(
+        "cell", F.col("vec_id").alias("id_a"), F.col("_v").alias("va")
+    )
+    b = sided.select(
+        "cell", F.col("vec_id").alias("id_b"), F.col("_v").alias("vb")
+    )
+    losers = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(_cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return emb.join(losers, "vec_id", "left_anti")

@@ -1244,3 +1244,38 @@ DOC_ORACLES["incremental_vocab_counts"] = """
            CAST(count(*) AS BIGINT) AS tf
     FROM tok WHERE token <> '' GROUP BY token
 """
+
+
+# SemDeDup mirror: replay the Lloyd fit + assignment (identical
+# tie-break), then the greedy keep-lowest-id rule within each cell —
+# a vector drops iff any lower-id cellmate's cosine >= 0.4.
+DOC_ORACLES["semantic_dedup_survivors"] = f"""
+    WITH {_ivf_fit_ctes()},
+    allv AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    csim AS (
+      SELECT s.vec_id, c.cent_id, {_CV_COS} AS sim
+      FROM allv s CROSS JOIN cb{_IVF_ITERS} c
+    ),
+    cells AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id, row_number() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+        FROM csim) r WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    losers AS (
+      SELECT DISTINCT p.id_b
+      FROM pairs p
+      JOIN embeddings q ON q.vec_id = p.id_a
+      JOIN embeddings c ON c.vec_id = p.id_b
+      WHERE round({_COS}, 6) >= 0.4
+    )
+    SELECT e.vec_id FROM embeddings e
+    WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id_b = e.vec_id)
+"""

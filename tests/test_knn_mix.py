@@ -440,3 +440,63 @@ def test_new_ops_handle_empty_inputs(spark):
         dim=2,
     )
     assert out.count() == 0
+
+
+# --------------------------------------------------------- SemDeDup
+
+def test_semantic_dedup_keeps_lowest_id(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    centers = rng.normal(size=(4, 8))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(40):
+        v = centers[i % 4] + 0.1 * rng.normal(size=8)
+        rows.append((i, [float(x) for x in v]))
+    # exact duplicate pair inside one cluster: 7 and 31 (both i%4==3)
+    rows[31] = (31, rows[7][1])
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup_survivors(
+            emb, threshold=0.999, n_centroids=4
+        ).collect()
+    }
+    assert 7 in kept and 31 not in kept  # greedy keeps the lower id
+    # nothing else is a 0.999-duplicate
+    assert kept == set(range(40)) - {31}
+    # impossible threshold -> identity
+    all_kept = similarity.semantic_dedup_survivors(
+        emb, threshold=1.01, n_centroids=4
+    )
+    assert all_kept.count() == 40
+    # at a loose threshold most cellmates collapse onto the cell's
+    # early ids (within-cluster cosines run 0.76-0.998 at this noise,
+    # cross-cluster max 0.92 — so 0.7 prunes hard but not to exactly
+    # one per cell)
+    few = similarity.semantic_dedup_survivors(
+        emb, threshold=0.7, n_centroids=4
+    )
+    assert 4 <= few.count() <= 12
+
+
+def test_semantic_dedup_partition_invariant(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(
+        r["vec_id"]
+        for r in similarity.semantic_dedup_survivors(
+            emb, threshold=0.3, n_centroids=4
+        ).collect()
+    )
+    b = sorted(
+        r["vec_id"]
+        for r in similarity.semantic_dedup_survivors(
+            emb.repartition(7), threshold=0.3, n_centroids=4
+        ).collect()
+    )
+    assert a == b

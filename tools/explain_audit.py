@@ -350,6 +350,15 @@ def main() -> int:
     check("incr_embedding: no cartesian product", "CartesianProduct" not in p)
     check("incr_embedding: new batch broadcast into state probes",
           p.count("BroadcastExchange") >= 2)
+    # 8g15. SemDeDup (r5): pair generation is an equi-join on the cell
+    # id — candidate volume bounded by codebook granularity, never
+    # all-pairs. Literal codebook isolates the operator's own plan.
+    p = plan_of(sim.semantic_dedup_survivors(emb, codebook=cbk))
+    check("semantic_dedup: no cartesian product",
+          "CartesianProduct" not in p)
+    check("semantic_dedup: cell equi-join pair generation",
+          "SortMergeJoin" in p or "ShuffledHashJoin" in p
+          or "BroadcastHashJoin" in p)
 
     # 8g. near-dup clustering: pair generation + every propagation round
     # stays equi-join shaped (the fixpoint loop reuses this same plan)
