@@ -538,6 +538,19 @@ def main() -> None:
             "incremental_embedding_vecs_per_sec": round(n_enew / _ince, 1),
             "incremental_embedding_pairs": inc_emb_pairs,
         })
+        # SemDeDup: within-cell greedy semantic dedup over the trained
+        # codebook (0.4 stands in for the ~0.95 production threshold
+        # on the isotropic fixture)
+        n_vecs = emb.count()
+        t0 = time.perf_counter()
+        sem_kept = similarity.semantic_dedup_survivors(emb, threshold=0.4).count()
+        _sem = time.perf_counter() - t0
+        docs_out.update({
+            "semdedup_vecs": n_vecs,
+            "semdedup_survivors": sem_kept,
+            "semdedup_sec": round(_sem, 3),
+            "semdedup_vecs_per_sec": round(n_vecs / _sem, 1),
+        })
         # clustered fixture (realistic embedding geometry): the bands
         # must show genuine pruning at high recall — isotropic gaussians
         # above are the no-structure floor where pruning is theory-
