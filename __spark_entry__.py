@@ -810,6 +810,16 @@ def _q_semantic_dedup_survivors(spark, sf_dir):
     ).select("vec_id")
 
 
+def _q_conv_dedup_survivors(spark, sf_dir):
+    # conversation-level exact dedup: surviving conv_ids after
+    # keep-lowest-id per canonical ordered-turn-text hash
+    return (
+        dedup_op.conv_dedup_survivors(tx.transcripts(spark, sf_dir))
+        .select("conv_id")
+        .distinct()
+    )
+
+
 def _q_drain_templates(spark, sf_dir):
     # rows-only: mined-template assignment via vectorized pandas UDF
     from ml4logs_spark.operators import drain
@@ -942,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_embedding_near_dups": _q_incremental_embedding_near_dups,
         "incremental_vocab_counts": _q_incremental_vocab_counts,
         "semantic_dedup_survivors": _q_semantic_dedup_survivors,
+        "conv_dedup_survivors": _q_conv_dedup_survivors,
         "pii_masked": _q_pii_masked,
         "doc_chunks": _q_doc_chunks,
         "docs_hash_sample": _q_docs_hash_sample,

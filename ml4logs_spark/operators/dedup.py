@@ -858,3 +858,36 @@ def incremental_near_dup_verified(
     return store_jaccard_pairs(store, cands).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def conv_dedup_survivors(turns: DataFrame) -> DataFrame:
+    """Conversation-level exact dedup over the transcripts fact table —
+    the "same conversation ingested twice" case a transcript pipeline
+    hits before any turn-level processing (reference analog: the
+    whole-block dedup its per-block feature scripts assume upstream).
+
+    Canonical content hash per conversation: md5 over the turn texts
+    joined in stable turn_idx order (W2's ordering contract) with the
+    unit separator, NULL text folding to '' — so two conversations are
+    duplicates iff their ordered turn texts match exactly, regardless
+    of conv_id, timestamps, or partitioning. Keep the lowest conv_id
+    per hash; survivors are the original turn rows.
+
+    Shape at scale: ONE conv_id shuffle for the per-conv aggregate
+    (collect_list partials merge in any order — the array_sort inside
+    the hash restores turn order deterministically), a hash-keyed
+    min-aggregate over conv-count rows, and a semi-join back on
+    conv_id. The turn texts travel once."""
+    canon = turns.groupBy("conv_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                    lambda s: F.coalesce(s["text"], F.lit("")),
+                ),
+                "\x1f",
+            )
+        ).alias("conv_hash")
+    )
+    keep = canon.groupBy("conv_hash").agg(F.min("conv_id").alias("conv_id"))
+    return turns.join(keep.select("conv_id"), "conv_id", "left_semi")

@@ -381,3 +381,16 @@ ORACLES: dict[str, str] = {
         """
     ),
 }
+
+# conversation-level exact dedup: canonical ordered-turn-text hash,
+# keep the lowest conv_id per hash (transcripts have unique
+# (conv_id, turn_idx), so ORDER BY turn_idx is total)
+ORACLES["conv_dedup_survivors"] = _q("""
+SELECT conv_id FROM (
+  SELECT h, min(conv_id) AS conv_id FROM (
+    SELECT conv_id,
+           md5(string_agg(coalesce(text, ''), chr(31) ORDER BY turn_idx)) AS h
+    FROM t GROUP BY conv_id
+  ) c GROUP BY h
+) k
+""")

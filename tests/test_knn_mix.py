@@ -500,3 +500,40 @@ def test_semantic_dedup_partition_invariant(spark):
         ).collect()
     )
     assert a == b
+
+
+# --------------------------------------------- conversation-level dedup
+
+def test_conv_dedup_survivors(spark):
+    from ml4logs_spark.operators import dedup
+
+    rows = [
+        # conv a and conv c are the same conversation re-ingested with
+        # different ids and timestamps; conv b differs in one turn
+        ("a", 0, "user", "hello", "t1", "2024-01-01 00:00:00"),
+        ("a", 1, "assistant", "hi", "t1", "2024-01-01 00:00:01"),
+        ("b", 0, "user", "hello", "t1", "2024-01-01 00:00:00"),
+        ("b", 1, "assistant", "bye", "t1", "2024-01-01 00:00:01"),
+        ("c", 0, "user", "hello", "t2", "2024-02-02 09:00:00"),
+        ("c", 1, "assistant", "hi", "t2", "2024-02-02 09:00:05"),
+        # NULL text folds to '' — conv d == conv e
+        ("d", 0, "user", None, "t1", "2024-01-01 00:00:00"),
+        ("e", 0, "user", "", "t1", "2024-03-01 00:00:00"),
+    ]
+    turns = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = dedup.conv_dedup_survivors(turns)
+    kept = {r["conv_id"] for r in out.select("conv_id").distinct().collect()}
+    assert kept == {"a", "b", "d"}  # c dups a; e dups d; lowest id wins
+    # survivors keep their full turn rows
+    assert out.count() == 5
+    # partition invariance
+    kept2 = {
+        r["conv_id"]
+        for r in dedup.conv_dedup_survivors(turns.repartition(7))
+        .select("conv_id").distinct().collect()
+    }
+    assert kept2 == kept

@@ -359,6 +359,16 @@ def main() -> int:
     check("semantic_dedup: cell equi-join pair generation",
           "SortMergeJoin" in p or "ShuffledHashJoin" in p
           or "BroadcastHashJoin" in p)
+    # 8g16. conversation-level dedup (r5): one conv_id shuffle for the
+    # canonical-hash aggregate (partial+final collect merge), the
+    # keep-min aggregate runs on conv-count rows, and the survivors
+    # semi-join back on conv_id — turn texts travel once.
+    p = plan_of(dedup.conv_dedup_survivors(t))
+    check("conv_dedup: no cartesian product",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
+    check("conv_dedup: partial+final aggregates",
+          p.count("HashAggregate") >= 2 or p.count("ObjectHashAggregate") >= 2
+          or p.count("SortAggregate") >= 2)
 
     # 8g. near-dup clustering: pair generation + every propagation round
     # stays equi-join shaped (the fixpoint loop reuses this same plan)
