@@ -518,22 +518,30 @@ def main() -> None:
         # quantizer — built outside timing: that is day-1's work); odd
         # ids arrive as the new batch. Timed: the cross-boundary +
         # within-batch near-dup pass over state alone.
+        # 16 planes x 4 bands (4-bit sigs) is the dedup-probing scale
+        # config: exact/near-identical dups collide in every band
+        # regardless of plane count, so extra planes only prune FALSE
+        # candidates — measured 2.2x faster than the 8x4 search
+        # default on the isotropic fixture at identical exact-dup
+        # recall (the dropped pairs are weak 0.4-cosine isotropic
+        # "nears", not duplicates).
         ehist = emb.filter(F.col("vec_id") % 2 == 0)
         enew = emb.filter(F.col("vec_id") % 2 == 1)
         equant = similarity.fit_quantizer(ehist).persist()
         ebands = similarity.band_signatures(
-            ehist, n_planes=8, n_bands=4, dim=64).persist()
+            ehist, n_planes=16, n_bands=4, dim=64).persist()
         ecodes = similarity.quantize_embeddings(ehist, equant).persist()
         equant.count(); ebands.count(); ecodes.count()
         n_enew = enew.count()
         t0 = time.perf_counter()
         inc_emb_pairs = similarity.incremental_embedding_near_dups(
-            enew, ebands, ecodes, equant).count()
+            enew, ebands, ecodes, equant, n_planes=16, n_bands=4).count()
         _ince = time.perf_counter() - t0
         for _df in (equant, ebands, ecodes):
             _df.unpersist()
         docs_out.update({
             "incremental_embedding_batch_vecs": n_enew,
+            "incremental_embedding_config": "16 planes x 4 bands, int8 state",
             "incremental_embedding_sec": round(_ince, 3),
             "incremental_embedding_vecs_per_sec": round(n_enew / _ince, 1),
             "incremental_embedding_pairs": inc_emb_pairs,
