@@ -1,0 +1,117 @@
+"""Streaming embedding ingest with persistent near-dup state.
+
+The day-2 batch path (similarity.incremental_embedding_near_dups)
+re-expressed as a Structured Streaming ``foreachBatch`` loop: every
+micro-batch of vectors probes the accumulated state (LSH band table +
+int8 codes under a FROZEN quantizer) for near-duplicates against ALL
+previously-ingested history, emits the verified pairs, and extends the
+state with its own signatures/codes — history is never rescanned, and
+the state is the compact representation (4 + dim bytes per vector).
+
+Exactly-once: foreachBatch is at-least-once on retry, so each batch
+commits through a marker directory keyed by ``batch_id`` — a replayed
+batch sees its marker and skips, making the pair log and state
+append-only-idempotent (the same manifest-marker idiom as the batch
+pipeline's resume; at cluster scale the markers live in the manifest
+table / an Iceberg snapshot instead of the local filesystem).
+
+The quantizer is fit on the FIRST batch and frozen thereafter
+(re-fitting would silently re-interpret every historical code) — the
+standard fit-once contract of quantized ANN state.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+EMBEDDING_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("embedding", T.ArrayType(T.FloatType())),
+    T.StructField("label", T.IntegerType()),
+])
+
+
+def stream_embeddings(spark: SparkSession, in_dir: str) -> DataFrame:
+    """File-source stream of embedding rows (new parquet file = new
+    micro-batch; at scale the Kafka/Iceberg-CDC source)."""
+    return (
+        spark.readStream.schema(EMBEDDING_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+
+def run_embedding_ingest(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.4,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    dim: int = 64,
+):
+    """Start the ingest query (availableNow trigger — drains whatever
+    is in the source, the batch-job-over-a-stream shape). State layout
+    under ``state_dir``: ``quant/`` (frozen params), ``bands/`` and
+    ``codes/`` (appended per batch), ``pairs/`` (verified near-dup
+    pairs), ``_batch_<id>`` commit markers."""
+    from ml4logs_spark.operators import similarity
+
+    root = Path(state_dir)
+    root.mkdir(parents=True, exist_ok=True)
+
+    def _ingest(bdf: DataFrame, batch_id: int) -> None:
+        marker = root / f"_batch_{batch_id}"
+        if marker.exists():  # replayed batch: already committed
+            return
+        spark = bdf.sparkSession
+        batch = bdf.select("vec_id", "embedding").persist()
+        try:
+            if batch.rdd.isEmpty():
+                marker.mkdir()
+                return
+            quant_path = root / "quant"
+            if quant_path.exists():
+                quant = spark.read.parquet(str(quant_path))
+            else:
+                # first batch fits the quantizer, frozen thereafter
+                quant = similarity.fit_quantizer(batch)
+                quant.write.parquet(str(quant_path))
+                quant = spark.read.parquet(str(quant_path))
+            bands_path, codes_path = root / "bands", root / "codes"
+            if bands_path.exists():
+                pairs = similarity.incremental_embedding_near_dups(
+                    batch,
+                    band_state=spark.read.parquet(str(bands_path)),
+                    code_state=spark.read.parquet(str(codes_path)),
+                    quant=quant,
+                    threshold=threshold,
+                    n_planes=n_planes,
+                    n_bands=n_bands,
+                    dim=dim,
+                )
+            else:
+                # first batch: only within-batch pairs exist
+                pairs = similarity.embedding_near_dups(
+                    batch, threshold, n_planes, n_bands, dim
+                )
+            pairs.write.mode("append").parquet(str(root / "pairs"))
+            similarity.band_signatures(
+                batch, n_planes=n_planes, n_bands=n_bands, dim=dim
+            ).write.mode("append").parquet(str(bands_path))
+            similarity.quantize_embeddings(batch, quant).write.mode(
+                "append"
+            ).parquet(str(codes_path))
+            marker.mkdir()
+        finally:
+            batch.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
