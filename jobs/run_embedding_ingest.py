@@ -51,7 +51,10 @@ def main() -> None:
     n_pairs = (
         spark.read.parquet(str(pairs_dir)).count() if pairs_dir.exists() else 0
     )
-    n_state = spark.read.parquet(f"{args.state}/codes").count()
+    codes_dir = Path(args.state) / "codes"
+    n_state = (
+        spark.read.parquet(str(codes_dir)).count() if codes_dir.exists() else 0
+    )
     print(json.dumps({
         "wall_sec": round(wall, 3),
         "state_vectors": n_state,

@@ -878,12 +878,20 @@ def conv_dedup_survivors(turns: DataFrame) -> DataFrame:
     the hash restores turn order deterministically), a hash-keyed
     min-aggregate over conv-count rows, and a semi-join back on
     conv_id. The turn texts travel once."""
+    # length-prefix framing (len:text) makes the join unambiguous: a
+    # bare separator could not distinguish one turn containing the
+    # separator byte from two turns around it (tool output can carry
+    # control characters), and turn-count alone cannot either
     canon = turns.groupBy("conv_id").agg(
         F.md5(
             F.array_join(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
-                    lambda s: F.coalesce(s["text"], F.lit("")),
+                    lambda s: F.concat_ws(
+                        ":",
+                        F.length(F.coalesce(s["text"], F.lit(""))).cast("string"),
+                        F.coalesce(s["text"], F.lit("")),
+                    ),
                 ),
                 "\x1f",
             )

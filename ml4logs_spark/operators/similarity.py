@@ -636,18 +636,22 @@ def knn_label_vote(
                     F.col("vec_id").alias("sid"),
                     F.col("label").alias("lab"),
                     F.col(vec_col).alias("v"),
+                    # seed norm precomputed once at collect time —
+                    # transform lambdas get no cross-iteration CSE, so
+                    # recomputing it per (row x seed) would triple the
+                    # O(dim) arithmetic on the hot map-only path
+                    F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("sn"),
                 )
             )
         ).alias("_seeds")
     )
-    qn = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
     scored = F.transform(
         F.col("_seeds"),
         lambda s: F.struct(
             (
                 -F.round(
                     _dot(F.col(vec_col), s["v"])
-                    / (qn * F.sqrt(_dot(s["v"], s["v"]))),
+                    / (F.col("_qn") * s["sn"]),
                     6,
                 )
             ).alias("negc"),
@@ -668,7 +672,8 @@ def knn_label_vote(
         )
     )
     return (
-        rest.crossJoin(F.broadcast(srow))
+        rest.withColumn("_qn", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
+        .crossJoin(F.broadcast(srow))
         .select(
             "vec_id",
             "label",
@@ -731,13 +736,7 @@ def embedding_contaminated_ids(
         emb.select("vec_id", F.col(vec_col).alias("cvec")), "vec_id"
     ).join(F.broadcast(bv), "bench_id")
     dirty = scored.filter(
-        F.round(
-            _dot(F.col("cvec"), F.col("bvec"))
-            / (F.sqrt(_dot(F.col("cvec"), F.col("cvec")))
-               * F.sqrt(_dot(F.col("bvec"), F.col("bvec")))),
-            6,
-        )
-        >= threshold
+        _cosine(F.col("cvec"), F.col("bvec")) >= threshold
     )
     return dirty.select("vec_id").distinct()
 
@@ -880,13 +879,20 @@ def incremental_embedding_near_dups(
             ),
             ["band", "sig"],
         )
+        # defensive: a re-ingested vec_id must never pair with itself
+        .filter(F.col("new_id") != F.col("hist_id"))
         .select("new_id", "hist_id")
         .distinct()
     )
     nv = new_emb.select(
         F.col("vec_id").alias("new_id"), F.col(vec_col).alias("nvec")
     )
-    hv = dequantize(code_state, quant, out_col="hvec").select(
+    # prune history to candidate ids BEFORE dequantizing: the int8
+    # reconstruction is O(dim) per row, and at a 10^10-vector history
+    # paying it for every non-candidate row would dwarf the probe
+    cand_ids = hist_cand.select(F.col("hist_id").alias("vec_id")).distinct()
+    pruned = code_state.join(F.broadcast(cand_ids), "vec_id", "left_semi")
+    hv = dequantize(pruned, quant, out_col="hvec").select(
         F.col("vec_id").alias("hist_id"), "hvec"
     )
     cross = (

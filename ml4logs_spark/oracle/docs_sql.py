@@ -1049,13 +1049,19 @@ DOC_ORACLES["knn_label_vote"] = """
       SELECT vec_id, any_value(label) AS label, slab, count(*) AS n
       FROM topk GROUP BY vec_id, slab
     )
-    SELECT vec_id, label, slab AS pred_label, CAST(n AS INT) AS n_votes
-    FROM (
-      SELECT *, row_number() OVER (PARTITION BY vec_id
-                                   ORDER BY n DESC, slab) AS vr
-      FROM votes
-    ) z
-    WHERE vr = 1
+    , winners AS (
+      SELECT vec_id, slab AS pred_label, CAST(n AS INT) AS n_votes
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY n DESC, slab) AS vr
+        FROM votes
+      ) z
+      WHERE vr = 1
+    )
+    -- LEFT JOIN from rest mirrors the Spark contract: with an EMPTY
+    -- seed set every non-seed row still appears, with NULL pred/votes
+    SELECT r.vec_id, r.label, w.pred_label, w.n_votes
+    FROM rest r LEFT JOIN winners w USING (vec_id)
 """
 
 # temperature-scaled mixing mirrors. alpha = 0.75 => exponent 1/4 as

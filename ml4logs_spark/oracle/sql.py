@@ -389,7 +389,9 @@ ORACLES["conv_dedup_survivors"] = _q("""
 SELECT conv_id FROM (
   SELECT h, min(conv_id) AS conv_id FROM (
     SELECT conv_id,
-           md5(string_agg(coalesce(text, ''), chr(31) ORDER BY turn_idx)) AS h
+           md5(string_agg(
+                 concat(length(coalesce(text, '')), ':', coalesce(text, '')),
+                 chr(31) ORDER BY turn_idx)) AS h
     FROM t GROUP BY conv_id
   ) c GROUP BY h
 ) k

@@ -262,8 +262,13 @@ def _a_boilerplate_filter(spark, env, step, cfg):
 def _a_temperature_mix(spark, env, step, cfg):
     from ml4logs_spark.operators import textqa
 
+    # full rows by default so the action composes with downstream
+    # doc-consuming steps (the slim (doc_id, source) form is the
+    # driver-query shape, selectable with full_rows: false)
     return textqa.temperature_mix_sample(
-        env[step.get("from", "documents")], alpha=step.get("alpha", 0.75)
+        env[step.get("from", "documents")],
+        alpha=step.get("alpha", 0.75),
+        full_rows=step.get("full_rows", True),
     )
 
 

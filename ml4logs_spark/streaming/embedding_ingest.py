@@ -9,11 +9,13 @@ state with its own signatures/codes — history is never rescanned, and
 the state is the compact representation (4 + dim bytes per vector).
 
 Exactly-once: foreachBatch is at-least-once on retry, so each batch
-commits through a marker directory keyed by ``batch_id`` — a replayed
-batch sees its marker and skips, making the pair log and state
-append-only-idempotent (the same manifest-marker idiom as the batch
-pipeline's resume; at cluster scale the markers live in the manifest
-table / an Iceberg snapshot instead of the local filesystem).
+writes into batch-scoped partition directories (``batch=<id>``) with
+OVERWRITE semantics — a retry after a partial failure rewrites its own
+partitions instead of appending duplicates — and then commits through
+a marker directory keyed by ``batch_id``; a replayed committed batch
+sees its marker and skips entirely (the same manifest-marker idiom as
+the batch pipeline's resume; at cluster scale the markers live in the
+manifest table / an Iceberg snapshot instead of the local filesystem).
 
 The quantizer is fit on the FIRST batch and frozen thereafter
 (re-fitting would silently re-interpret every historical code) — the
@@ -25,6 +27,7 @@ from __future__ import annotations
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 EMBEDDING_SCHEMA = T.StructType([
@@ -82,11 +85,24 @@ def run_embedding_ingest(
                 quant.write.parquet(str(quant_path))
                 quant = spark.read.parquet(str(quant_path))
             bands_path, codes_path = root / "bands", root / "codes"
-            if bands_path.exists():
+
+            def _state(path: Path) -> DataFrame:
+                # exclude this batch's own partition: a retried PARTIAL
+                # batch may have written it before crashing, and the
+                # probe must never see the batch's own vectors as
+                # history (partition pruning makes the filter free)
+                df = spark.read.parquet(str(path))
+                return df.filter(F.col("batch") != batch_id).drop("batch")
+
+            has_history = bands_path.exists() and any(
+                p.name != f"batch={batch_id}"
+                for p in bands_path.glob("batch=*")
+            )
+            if has_history:
                 pairs = similarity.incremental_embedding_near_dups(
                     batch,
-                    band_state=spark.read.parquet(str(bands_path)),
-                    code_state=spark.read.parquet(str(codes_path)),
+                    band_state=_state(bands_path),
+                    code_state=_state(codes_path),
                     quant=quant,
                     threshold=threshold,
                     n_planes=n_planes,
@@ -98,13 +114,18 @@ def run_embedding_ingest(
                 pairs = similarity.embedding_near_dups(
                     batch, threshold, n_planes, n_bands, dim
                 )
-            pairs.write.mode("append").parquet(str(root / "pairs"))
+            # batch-scoped partitions + overwrite: a retry after a
+            # partial failure rewrites its own output rather than
+            # appending a second copy (the marker only commits a batch
+            # whose every write completed)
+            part = f"batch={batch_id}"
+            pairs.write.mode("overwrite").parquet(str(root / "pairs" / part))
             similarity.band_signatures(
                 batch, n_planes=n_planes, n_bands=n_bands, dim=dim
-            ).write.mode("append").parquet(str(bands_path))
+            ).write.mode("overwrite").parquet(str(bands_path / part))
             similarity.quantize_embeddings(batch, quant).write.mode(
-                "append"
-            ).parquet(str(codes_path))
+                "overwrite"
+            ).parquet(str(codes_path / part))
             marker.mkdir()
         finally:
             batch.unpersist()
