@@ -931,9 +931,10 @@ def semantic_dedup_survivors(
     Shape at scale: assignment is the broadcast-codebook aggregate
     (ivf_cells); the pair join is an equi-join on cell — candidate
     volume is sum of cell sizes squared, bounded by the codebook
-    granularity (raise n_centroids to shrink cells), never an
-    all-pairs product; losers reduce to a distinct id set and the
-    corpus anti-joins once on vec_id."""
+    granularity (raise n_centroids to shrink cells — 64 cells measured
+    1.56x faster than 16 at sf0.1 with near-identical survivors;
+    bench.py uses 64), never an all-pairs product; losers reduce to a
+    distinct id set and the corpus anti-joins once on vec_id."""
     from ml4logs_spark import cache
 
     if codebook is None:
