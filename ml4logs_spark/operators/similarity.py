@@ -38,10 +38,20 @@ def cosine_topk(
     emb: DataFrame, query_ids: list[int], k: int = 10, vec_col: str = "embedding"
 ) -> DataFrame:
     """Exact top-k cosine neighbours for each query vector (brute force)."""
+    # norms are hoisted to per-ROW columns before the pair join: the
+    # scoring stage is quadratic, and recomputing both O(dim) norms
+    # per PAIR would triple the interpreted higher-order arithmetic
+    # (same double values either way — sqrt is deterministic)
     q = emb.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col("vec_id").alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_qn"),
     )
-    c = emb.select(F.col("vec_id").alias("cand_id"), F.col(vec_col).alias("cvec"))
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))
@@ -52,8 +62,7 @@ def cosine_topk(
             # on round(cos, 6) + cand_id is deterministic everywhere.
             F.round(
                 _dot(F.col("qvec"), F.col("cvec"))
-                / (F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
-                   * F.sqrt(_dot(F.col("cvec"), F.col("cvec")))),
+                / (F.col("_qn") * F.col("_cn")),
                 6,
             ),
         )
@@ -171,10 +180,17 @@ def lsh_topk(
         .select("query_id", "cand_id")
         .distinct()
     )
+    # per-row norm hoist, same rationale as cosine_topk
     q = emb.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("_qn"),
     )
-    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cvec"))
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cvec"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("_cn"),
+    )
     scored = (
         pairs.join(F.broadcast(q), "query_id")
         .join(c, "cand_id")
@@ -182,8 +198,7 @@ def lsh_topk(
             "cosine",
             F.round(
                 _dot(F.col("qvec"), F.col("cvec"))
-                / (F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
-                   * F.sqrt(_dot(F.col("cvec"), F.col("cvec")))),
+                / (F.col("_qn") * F.col("_cn")),
                 6,
             ),
         )
@@ -218,14 +233,21 @@ def embedding_near_dups(
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col(vec_col).alias("va"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col(vec_col).alias("vb"))
+    # per-row norm hoist, same rationale as cosine_topk
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_nb"),
+    )
     scored = pairs.join(ea, "vec_a").join(eb, "vec_b").withColumn(
         "cosine",
         F.round(
-            _dot(F.col("va"), F.col("vb"))
-            / (F.sqrt(_dot(F.col("va"), F.col("va")))
-               * F.sqrt(_dot(F.col("vb"), F.col("vb")))),
+            _dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")),
             6,
         ),
     )
