@@ -752,13 +752,26 @@ def embedding_contaminated_ids(
         .distinct()
     )
     bv = bench.select(
-        F.col("vec_id").alias("bench_id"), F.col(vec_col).alias("bvec")
+        F.col("vec_id").alias("bench_id"),
+        F.col(vec_col).alias("bvec"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_bn"),
     )
+    # per-row norm hoist (see cosine_topk)
     scored = cand.join(
-        emb.select("vec_id", F.col(vec_col).alias("cvec")), "vec_id"
+        emb.select(
+            "vec_id",
+            F.col(vec_col).alias("cvec"),
+            F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_cn"),
+        ),
+        "vec_id",
     ).join(F.broadcast(bv), "bench_id")
     dirty = scored.filter(
-        _cosine(F.col("cvec"), F.col("bvec")) >= threshold
+        F.round(
+            _dot(F.col("cvec"), F.col("bvec"))
+            / (F.col("_cn") * F.col("_bn")),
+            6,
+        )
+        >= threshold
     )
     return dirty.select("vec_id").distinct()
 
@@ -907,7 +920,9 @@ def incremental_embedding_near_dups(
         .distinct()
     )
     nv = new_emb.select(
-        F.col("vec_id").alias("new_id"), F.col(vec_col).alias("nvec")
+        F.col("vec_id").alias("new_id"),
+        F.col(vec_col).alias("nvec"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_nn"),
     )
     # prune history to candidate ids BEFORE dequantizing: the int8
     # reconstruction is O(dim) per row, and at a 10^10-vector history
@@ -915,11 +930,20 @@ def incremental_embedding_near_dups(
     cand_ids = hist_cand.select(F.col("hist_id").alias("vec_id")).distinct()
     pruned = code_state.join(F.broadcast(cand_ids), "vec_id", "left_semi")
     hv = dequantize(pruned, quant, out_col="hvec").select(
-        F.col("vec_id").alias("hist_id"), "hvec"
+        F.col("vec_id").alias("hist_id"),
+        "hvec",
+        F.sqrt(_dot(F.col("hvec"), F.col("hvec"))).alias("_hn"),
     )
     cross = (
         hv.join(F.broadcast(hist_cand.join(nv, "new_id")), "hist_id")
-        .withColumn("cosine", _cosine(F.col("nvec"), F.col("hvec")))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("nvec"), F.col("hvec"))
+                / (F.col("_nn") * F.col("_hn")),
+                6,
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select(
             F.least("new_id", "hist_id").alias("vec_a"),
@@ -964,18 +988,33 @@ def semantic_dedup_survivors(
             fit_ivf_codebook(emb, n_centroids, vec_col=vec_col)
         )
     cells = ivf_cells(emb, codebook, vec_col=vec_col)
-    v = emb.select("vec_id", F.col(vec_col).alias("_v"))
+    # per-row norm hoist (see cosine_topk): the within-cell pair stage
+    # is quadratic in cell size, so norms must not recompute per pair
+    v = emb.select(
+        "vec_id",
+        F.col(vec_col).alias("_v"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_n"),
+    )
     sided = cells.join(v, "vec_id")
     a = sided.select(
-        "cell", F.col("vec_id").alias("id_a"), F.col("_v").alias("va")
+        "cell", F.col("vec_id").alias("id_a"),
+        F.col("_v").alias("va"), F.col("_n").alias("_na"),
     )
     b = sided.select(
-        "cell", F.col("vec_id").alias("id_b"), F.col("_v").alias("vb")
+        "cell", F.col("vec_id").alias("id_b"),
+        F.col("_v").alias("vb"), F.col("_n").alias("_nb"),
     )
     losers = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(_cosine(F.col("va"), F.col("vb")) >= threshold)
+        .filter(
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            )
+            >= threshold
+        )
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
