@@ -286,8 +286,19 @@ def _assign_cells(vecs: DataFrame, codebook: DataFrame) -> DataFrame:
     window sort; the only shuffle is the group-by of N x k scored rows
     with map-side combine. Tie-break: max struct (sim, -cent_id) ==
     ORDER BY sim DESC, cent_id ASC."""
-    scored = vecs.crossJoin(F.broadcast(codebook)).withColumn(
-        "sim", _cosine(F.col("v"), F.col("centvec"))
+    # per-row norm hoist (see cosine_topk): each vector scores against
+    # k centroids, so both norms compute once per ROW, not per pair
+    vn = vecs.withColumn("_vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    cn = codebook.withColumn(
+        "_cn", F.sqrt(_dot(F.col("centvec"), F.col("centvec")))
+    )
+    scored = vn.crossJoin(F.broadcast(cn)).withColumn(
+        "sim",
+        F.round(
+            _dot(F.col("v"), F.col("centvec"))
+            / (F.col("_vn") * F.col("_cn")),
+            6,
+        ),
     )
     ord_key = F.struct(F.col("sim").alias("s"), (-F.col("cent_id")).alias("c"))
     return scored.groupBy("vec_id").agg(F.max_by("cent_id", ord_key).alias("cell"))
@@ -816,9 +827,21 @@ def ivf_cell_summary(
         codebook = cache.track(
             fit_ivf_codebook(emb, n_centroids, vec_col=vec_col)
         )
-    vecs = emb.select("vec_id", "label", F.col(vec_col).alias("v"))
-    scored = vecs.crossJoin(F.broadcast(codebook)).withColumn(
-        "sim", _cosine(F.col("v"), F.col("centvec"))
+    vecs = emb.select(
+        "vec_id", "label",
+        F.col(vec_col).alias("v"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_vn"),
+    )
+    cbn = codebook.withColumn(
+        "_cn", F.sqrt(_dot(F.col("centvec"), F.col("centvec")))
+    )
+    scored = vecs.crossJoin(F.broadcast(cbn)).withColumn(
+        "sim",
+        F.round(
+            _dot(F.col("v"), F.col("centvec"))
+            / (F.col("_vn") * F.col("_cn")),
+            6,
+        ),
     )
     ord_key = F.struct(F.col("sim").alias("s"), (-F.col("cent_id")).alias("c"))
     # tracked persist: asg is a diamond node (feeds both the per-label
