@@ -218,13 +218,18 @@ def embedding_near_dups(
     n_bands: int = 4,
     dim: int = 64,
     vec_col: str = "embedding",
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the vector analog of
     dedup.near_dups: candidates collide in any LSH band (equi-join on
     buckets, O(n x bands), never all-pairs), then exact cosine verify
     against the threshold. Symmetric (doc_a < doc_b), whole-corpus."""
-    bs = band_signatures(emb, n_planes=n_planes, n_bands=n_bands,
-                         dim=dim, vec_col=vec_col)
+    bs = (
+        bands
+        if bands is not None
+        else band_signatures(emb, n_planes=n_planes, n_bands=n_bands,
+                             dim=dim, vec_col=vec_col)
+    )
     a = bs.alias("a")
     b = bs.alias("b")
     pairs = (
@@ -892,6 +897,7 @@ def incremental_embedding_near_dups(
     n_bands: int = 4,
     dim: int = 64,
     vec_col: str = "embedding",
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Day-2 embedding near-dup search over persisted state — closes
     the incremental-ingest loop for the embedding family the same way
@@ -925,9 +931,18 @@ def incremental_embedding_near_dups(
     sf0.1 fixture with identical exact-dup recall (bench.py uses
     16x4); the state must be WRITTEN with the same banding it is
     probed with."""
-    nb = band_signatures(new_emb, n_planes=n_planes, n_bands=n_bands,
-                         dim=dim, vec_col=vec_col)
-    hist_cand = (
+    from ml4logs_spark import cache
+
+    nb = (
+        new_bands
+        if new_bands is not None
+        else band_signatures(new_emb, n_planes=n_planes, n_bands=n_bands,
+                             dim=dim, vec_col=vec_col)
+    )
+    # tracked persist: hist_cand is a diamond (feeds the code-state
+    # prune AND the verify join) — without it the band-state probe,
+    # the dominant scan at a 10^10-vector history, would run twice
+    hist_cand = cache.track(
         band_state.select(
             "band", "sig", F.col("vec_id").alias("hist_id")
         )
@@ -975,7 +990,7 @@ def incremental_embedding_near_dups(
         )
     )
     within = embedding_near_dups(
-        new_emb, threshold, n_planes, n_bands, dim, vec_col
+        new_emb, threshold, n_planes, n_bands, dim, vec_col, bands=nb
     )
     return cross.unionByName(within)
 
@@ -1010,7 +1025,11 @@ def semantic_dedup_survivors(
         codebook = cache.track(
             fit_ivf_codebook(emb, n_centroids, vec_col=vec_col)
         )
-    cells = ivf_cells(emb, codebook, vec_col=vec_col)
+    # tracked persist: cells feeds BOTH sides of the pair join, and it
+    # embeds the N x k assignment aggregate — without the persist that
+    # aggregate (and the corpus scan under it) runs twice; the cached
+    # frame is two narrow columns, so vectors are not retained
+    cells = cache.track(ivf_cells(emb, codebook, vec_col=vec_col))
     # per-row norm hoist (see cosine_topk): the within-cell pair stage
     # is quadratic in cell size, so norms must not recompute per pair
     v = emb.select(

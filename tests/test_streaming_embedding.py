@@ -89,3 +89,47 @@ def test_streaming_ingest_batch_replay_is_idempotent(
     q.stop()
     assert spark.read.parquet(str(state / "pairs")).count() == n_pairs
     assert spark.read.parquet(str(state / "codes")).count() == n_codes
+
+
+def test_partial_batch_retry_overwrites_not_appends(spark, emb_batches, tmp_path):
+    """The exactly-once mechanism itself: a batch that wrote state but
+    died before its marker must, on retry, OVERWRITE its partitions
+    (not append) and must not probe its own partial state."""
+    from ml4logs_spark.streaming import embedding_ingest as ei
+
+    state = _run(spark, emb_batches, tmp_path, "c")
+    n_pairs = spark.read.parquet(str(state / "pairs")).count()
+    n_codes = spark.read.parquet(str(state / "codes")).count()
+    # find which batch id ingested file b2 (the cross-batch dup batch)
+    codes = spark.read.parquet(str(state / "codes"))
+    bid = codes.filter("vec_id = 205").select("batch").collect()[0]["batch"]
+    # simulate "state written, marker never committed"
+    (Path(state) / f"_batch_{bid}").rmdir()
+    ingest = ei.make_batch_ingester(str(state), threshold=0.98, dim=16)
+    ingest(spark.read.parquet(emb_batches + "/b2"), bid)
+    # retry rewrote its partitions in place: nothing duplicated
+    assert spark.read.parquet(str(state / "pairs")).count() == n_pairs
+    assert spark.read.parquet(str(state / "codes")).count() == n_codes
+    # and the planted cross-batch pair is still exactly once
+    pairs = [
+        tuple(r)
+        for r in spark.read.parquet(str(state / "pairs"))
+        .select("vec_a", "vec_b")
+        .collect()
+    ]
+    assert pairs.count((3, 205)) == 1
+
+
+def test_redelivered_batch_under_new_id_is_deduped(spark, emb_batches, tmp_path):
+    """A producer re-dropping the same rows under a NEW filename gets a
+    new batch_id (the marker cannot catch it); the vec_id anti-join
+    against the code state must keep the state and pair log unchanged."""
+    from ml4logs_spark.streaming import embedding_ingest as ei
+
+    state = _run(spark, emb_batches, tmp_path, "d")
+    n_pairs = spark.read.parquet(str(state / "pairs")).count()
+    n_codes = spark.read.parquet(str(state / "codes")).count()
+    ingest = ei.make_batch_ingester(str(state), threshold=0.98, dim=16)
+    ingest(spark.read.parquet(emb_batches + "/b2"), 99)  # fresh id, same rows
+    assert spark.read.parquet(str(state / "codes")).count() == n_codes
+    assert spark.read.parquet(str(state / "pairs")).count() == n_pairs
