@@ -227,3 +227,101 @@ def test_incremental_near_dup_equals_batch_property(spark, docs):
     }
     want = {p: j for p, j in batch.items() if p[0] % 2 == 1 or p[1] % 2 == 1}
     assert inc == want
+
+
+@settings(**SLOW)
+@given(
+    # per-conv turn text lists; texts may contain the separator byte
+    # and colons — the framing must stay unambiguous regardless
+    convs=st.lists(
+        st.lists(
+            st.text(alphabet="ab:\x1f", max_size=4), min_size=1, max_size=4
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_conv_dedup_groups_match_reference(spark, convs):
+    """conv_dedup_survivors keeps exactly one conv per distinct ordered
+    turn-text tuple (lowest conv_id), for ANY texts — including ones
+    containing the separator byte, which the length-prefix framing must
+    keep unambiguous."""
+    from ml4logs_spark.operators import dedup
+
+    rows = [
+        (f"c{i:03d}", t, "u", txt, None, None)
+        for i, texts in enumerate(convs)
+        for t, txt in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp"
+    )
+    kept = {
+        r["conv_id"]
+        for r in dedup.conv_dedup_survivors(df)
+        .select("conv_id").distinct().collect()
+    }
+    expect = {}
+    for i, texts in enumerate(convs):
+        expect.setdefault(tuple(texts), f"c{i:03d}")
+    assert kept == set(expect.values())
+
+
+@settings(**SLOW)
+@given(
+    texts=st.lists(st.text(alphabet="ab c", max_size=12), min_size=1, max_size=25),
+    n_batches=st.integers(min_value=1, max_value=4),
+)
+def test_vocab_merge_chain_equals_batch_property(spark, texts, n_batches):
+    """Any batch partitioning of any corpus: chained merge_vocab_counts
+    equals one batch count (df/tf additivity over disjoint doc_ids)."""
+    from ml4logs_spark.operators import textqa
+
+    docs = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    state = textqa.vocab_counts(docs.filter(f"doc_id % {n_batches} = 0"))
+    for b in range(1, n_batches):
+        state = textqa.merge_vocab_counts(
+            state, docs.filter(f"doc_id % {n_batches} = {b}")
+        )
+    merged = {r["token"]: (r["df"], r["tf"]) for r in state.collect()}
+    batch = {
+        r["token"]: (r["df"], r["tf"])
+        for r in textqa.vocab_counts(docs).collect()
+    }
+    assert merged == batch
+
+
+@settings(**SLOW)
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=8),
+    alpha=st.sampled_from([0.5, 0.75, 1.0]),
+)
+def test_temperature_rates_property(spark, counts, alpha):
+    """Rates match the pure-Python floor((n_min/n)^(1-alpha) * 65536)
+    for any source-size multiset and every sqrt-chain alpha; the
+    smallest source always keeps everything."""
+    import hashlib
+
+    from ml4logs_spark.operators import textqa
+
+    rows, did = [], 0
+    for s, n in enumerate(counts):
+        for _ in range(n):
+            rows.append((did, "x", f"s{s}"))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["source"]: r["rate_int"]
+        for r in textqa.temperature_mix_rates(docs, alpha=alpha).collect()
+    }
+    n_min = min(counts)
+    exp = {
+        f"s{s}": math.floor((n_min / n) ** (1 - alpha) * 65536)
+        for s, n in enumerate(counts)
+    }
+    assert got == exp
+    assert got[f"s{counts.index(n_min)}"] == 65536
