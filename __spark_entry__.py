@@ -661,6 +661,25 @@ def _q_doc_unigram_logprob(spark, sf_dir):
     return textqa.unigram_logprob(_docs(spark, sf_dir))
 
 
+def _q_conv_loop_flags(spark, sf_dir):
+    # agent-loop detection: per-conv longest run of identical
+    # (role, tool) turns + flag at >=3 (windows.conv_loop_flags)
+    return windows.conv_loop_flags(tx.transcripts(spark, sf_dir))
+
+
+def _q_role_transition_counts(spark, sf_dir):
+    # dialog-structure stat: role -> next-role transition counts
+    return windows.role_transition_counts(tx.transcripts(spark, sf_dir))
+
+
+def _q_conv_jaccard_pairs(spark, sf_dir):
+    # conversation-level verified Jaccard over LSH-colliding pairs:
+    # the full candidates -> verify chain of dedup.conv_near_dups,
+    # unthresholded so the synthetic corpus (max conv jaccard ~0.23)
+    # yields real verified values rather than an empty frame
+    return dedup_op.conv_jaccard_pairs(tx.transcripts(spark, sf_dir))
+
+
 def _q_curated_chunks(spark, sf_dir):
     # the WHOLE curation pipeline as one Catalyst plan, with the r5
     # in-plan stages ON: source mixing (MIX_WEIGHTS broadcast dim at the
@@ -917,7 +936,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_tool_counts": _q_conv_tool_counts,
         "tfidf_features": _q_tfidf_features,
         "timedeltas": _q_timedeltas,
-        "next_template": _q_next_template,
+        # round-5 batch 4: transcript analysis pack (slots from
+        # demoting three 3-4x-green queries whose mechanisms stay
+        # evidenced in-window: next_template's lead-over-conv-window
+        # runs inside role_transition_counts; dedup_exact_survivors'
+        # hash-agg + semi-join runs inside incremental_near_dup_verified
+        # and near_dup_survivors; ann_cosine_topk's exact cosine rerank
+        # runs inside lsh_cosine_topk / ivf_cosine_topk)
+        "conv_loop_flags": _q_conv_loop_flags,
+        "role_transition_counts": _q_role_transition_counts,
+        "conv_jaccard_pairs": _q_conv_jaccard_pairs,
         "conv_stats": _q_conv_stats,
         "conv_offsets": _q_conv_offsets,
         "labeled_turns": _q_labeled_turns,
@@ -934,14 +962,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curated_chunks": _q_curated_chunks,
         "lang_confusion": _q_lang_confusion,
         "source_rollup": _q_source_rollup,
-        "dedup_exact_survivors": _q_dedup_exact_survivors,
         "near_dup_clusters": _q_near_dup_clusters,
         "near_dup_survivors": _q_near_dup_survivors,
         "simhash_near_dups": _q_simhash_near_dups,
-        "ann_cosine_topk": _q_ann_cosine_topk,
         "lsh_cosine_topk": _q_lsh_cosine_topk,
         "ivf_cosine_topk": _q_ivf_cosine_topk,
         # ---- end of the 50-entry grading window ----
+        # round-5 batch-4 demotions (3-4x driver-green r1-r4)
+        "next_template": _q_next_template,
+        "dedup_exact_survivors": _q_dedup_exact_survivors,
+        "ann_cosine_topk": _q_ann_cosine_topk,
         # round-5 demotions (2x driver-green r3+r4; mechanisms stay
         # evidenced in-window — see rotation comments above)
         "embedding_near_dup_clusters": _q_embedding_near_dup_clusters,

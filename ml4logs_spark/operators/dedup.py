@@ -899,3 +899,54 @@ def conv_dedup_survivors(turns: DataFrame) -> DataFrame:
     )
     keep = canon.groupBy("conv_hash").agg(F.min("conv_id").alias("conv_id"))
     return turns.join(keep.select("conv_id"), "conv_id", "left_semi")
+
+
+def conv_text_docs(turns: DataFrame) -> DataFrame:
+    """Conversation -> document adapter: (doc_id=conv_id, text=turn
+    texts joined with ' ' in stable turn_idx order, NULL text -> '').
+
+    Space-joining (rather than conv_dedup_survivors' length-prefix
+    framing) is deliberate here: the downstream consumer is the
+    token-shingle near-dup family, where the conversation should
+    tokenize exactly like a document whose words are its turns'
+    words — framing bytes would pollute the shingle vocabulary.
+    One conv_id shuffle; collect_list partials merge in any order and
+    array_sort restores turn order (the W2 ordering contract)."""
+    return (
+        turns.groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                    lambda s: F.coalesce(s["text"], F.lit("")),
+                ),
+                " ",
+            ).alias("text")
+        )
+        .select(F.col("conv_id").alias("doc_id"), "text")
+    )
+
+
+def conv_jaccard_pairs(turns: DataFrame) -> DataFrame:
+    """Verified shingle-Jaccard for every LSH-colliding conversation
+    pair, over the conv-as-document adapter. Reuses the document
+    MinHash/LSH core verbatim, so the scale shape is the proven one:
+    banded equi-join candidates, exact shingle-Jaccard verify on
+    colliding pairs only, never all-pairs.
+
+    Returns (conv_a, conv_b, jaccard) with conv_a < conv_b
+    (lexicographic — conv ids are strings)."""
+    docs = conv_text_docs(turns)
+    pairs = jaccard_pairs(docs, lsh_candidate_pairs(docs))
+    return pairs.select(
+        F.col("doc_a").alias("conv_a"),
+        F.col("doc_b").alias("conv_b"),
+        "jaccard",
+    )
+
+
+def conv_near_dups(turns: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Conversation-level near-duplicate pairs: the "same conversation
+    re-ingested with a few edited turns" case exact conv dedup
+    (conv_dedup_survivors) misses. conv_jaccard_pairs thresholded."""
+    return conv_jaccard_pairs(turns).filter(F.col("jaccard") >= threshold)

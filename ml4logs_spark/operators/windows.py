@@ -147,3 +147,64 @@ def conv_offsets(turns: DataFrame, n_parts: int | None = None) -> DataFrame:
     return local.join(F.broadcast(bases), "_pid").select(
         "conv_id", "conv_size", (F.col("_local") + F.col("_base")).alias("conv_offset")
     )
+
+
+def conv_loop_flags(turns: DataFrame, min_run: int = 3) -> DataFrame:
+    """Agent-loop detection over transcripts: per conversation, the
+    longest run of consecutive turns with identical (role, tool) —
+    the "agent stuck retrying the same tool" signal a transcript QA
+    pass gates on before the conversation enters a training mix
+    (reference analog: the anomalous-block labels its HDFS pipeline
+    consumes are exactly this kind of per-block behavioral flag,
+    data/hdfs.py label join).
+
+    Returns (conv_id, n_turns, n_runs, max_run, loop_flag) where a
+    run is a maximal streak of equal (role, coalesce(tool, '')) in
+    turn_idx order and loop_flag = max_run >= min_run.
+
+    Scale shape: ONE conv_id exchange feeds everything — the two
+    ordered windows (lag boundary + running sum) and the run-length
+    count window both cluster by conv_id (hash partitioning on
+    conv_id satisfies the (conv_id, run_id) clustered distribution,
+    so no second exchange), and the final groupBy(conv_id) reuses it
+    too. Window state is O(1) per row; the giant-conversation skew
+    case degrades one task's sort, never memory."""
+    w = w_conv()
+    key = F.concat_ws("\x1f", F.col("role"), F.coalesce(F.col("tool"), F.lit("")))
+    prev = F.lag(key).over(w)
+    boundary = F.when(prev.isNull() | (prev != key), F.lit(1)).otherwise(F.lit(0))
+    with_run = turns.select(
+        "conv_id",
+        "turn_idx",
+        F.sum(boundary).over(w).alias("run_id"),
+    )
+    run_len = F.count(F.lit(1)).over(Window.partitionBy("conv_id", "run_id"))
+    per_turn = with_run.withColumn("run_len", run_len)
+    return (
+        per_turn.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.max("run_id").cast("long").alias("n_runs"),
+            F.max("run_len").cast("long").alias("max_run"),
+        )
+        .withColumn("loop_flag", F.col("max_run") >= F.lit(min_run))
+    )
+
+
+def role_transition_counts(turns: DataFrame) -> DataFrame:
+    """Dialog-structure statistic: corpus-wide counts of role -> next
+    role transitions within conversations (who speaks after whom) —
+    the transcript analog of the reference's template-occurrence
+    count table (a tiny global aggregate describing sequence shape).
+
+    Scale shape: one conv_id window exchange for the lead, then a
+    groupBy over a handful of (role_a, role_b) keys — partial
+    aggregation collapses everything map-side before the (tiny)
+    second shuffle."""
+    nxt = F.lead("role").over(w_conv())
+    return (
+        turns.select(F.col("role").alias("role_a"), nxt.alias("role_b"))
+        .filter(F.col("role_b").isNotNull())
+        .groupBy("role_a", "role_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -396,3 +396,89 @@ SELECT conv_id FROM (
   ) c GROUP BY h
 ) k
 """)
+
+
+# agent-loop detection: gaps-and-islands runs of identical
+# (role, coalesce(tool, '')) in turn_idx order; every sum()/count()
+# surfaced is CAST to BIGINT (DuckDB HUGEINT rule)
+ORACLES["conv_loop_flags"] = _q("""
+, lk AS (
+  SELECT conv_id, turn_idx,
+         concat_ws(chr(31), role, coalesce(tool, '')) AS k
+  FROM t
+),
+lr AS (
+  SELECT conv_id, turn_idx,
+         CAST(sum(CASE WHEN prev IS NULL OR prev <> k THEN 1 ELSE 0 END)
+              OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT) AS run_id
+  FROM (
+    SELECT conv_id, turn_idx, k,
+           lag(k) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+    FROM lk
+  )
+),
+lrl AS (
+  SELECT conv_id, run_id, count(*) AS run_len
+  FROM lr GROUP BY conv_id, run_id
+)
+SELECT conv_id,
+       CAST(sum(run_len) AS BIGINT) AS n_turns,
+       CAST(max(run_id) AS BIGINT) AS n_runs,
+       CAST(max(run_len) AS BIGINT) AS max_run,
+       max(run_len) >= 3 AS loop_flag
+FROM lrl GROUP BY conv_id
+""")
+
+# corpus-wide role -> next-role transition counts within conversations
+ORACLES["role_transition_counts"] = _q("""
+SELECT role_a, role_b, count(*) AS n FROM (
+  SELECT role AS role_a,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS role_b
+  FROM t
+) WHERE role_b IS NOT NULL
+GROUP BY role_a, role_b
+""")
+
+
+# conversation-level near-dup mirror: conv-as-document adapter
+# (space-joined turn texts in turn_idx order) feeding the SAME
+# shingle/minhash/band construction as the documents prologue
+# (docs_sql._SHINGLES/_MH_EXPRS/_bands_sql), so Spark and oracle
+# share one set of constants
+from ml4logs_spark.oracle.docs_sql import (  # noqa: E402
+    _MH_EXPRS as _CMH,
+    _SHINGLES as _CSH,
+    _bands_sql as _cbands_sql,
+)
+
+ORACLES["conv_jaccard_pairs"] = _q(f"""
+, cd AS (
+  SELECT conv_id AS doc_id,
+         string_agg(coalesce(text, ''), ' ' ORDER BY turn_idx) AS text
+  FROM t GROUP BY conv_id
+),
+csh AS (SELECT doc_id, {_CSH} AS shingles FROM cd),
+csig AS (
+  SELECT doc_id,
+         {_CMH}
+  FROM csh
+),
+cbands AS ({_cbands_sql("csig")}),
+ccand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM cbands a JOIN cbands b USING (band, h)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+cjac AS (
+  SELECT c.doc_a, c.doc_b,
+         round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+               / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
+           AS jaccard
+  FROM ccand c
+  JOIN csh sa ON sa.doc_id = c.doc_a
+  JOIN csh sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a AS conv_a, doc_b AS conv_b, jaccard
+FROM cjac
+""")

@@ -34,7 +34,13 @@ def test_grading_window_holds_only_full_oracle_queries():
     q, o = list(entry.queries()), entry.oracle_sql()
     window = q[:50]
     assert all(name in o for name in window), [n for n in window if n not in o]
-    for name in ("ann_cosine_topk", "lsh_cosine_topk",
+    for name in ("lsh_cosine_topk",
+                 # round-5 batch 4: ann_cosine_topk demoted after 3
+                 # green rounds (r1/r3/r4) — its exact cosine rerank
+                 # runs in-window inside lsh/ivf topk; the transcript
+                 # analysis pack takes the slots
+                 "conv_loop_flags", "role_transition_counts",
+                 "conv_jaccard_pairs",
                  "ivf_cosine_topk", "simhash_near_dups",
                  # round-5 rotation: survivor policy is new; its slot
                  # came from demoting the multi-round-green

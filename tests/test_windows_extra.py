@@ -64,3 +64,92 @@ def test_standardize_degenerate_and_split(spark):
     c = spark.createDataFrame([("conv-a", 5.0), ("conv-b", 5.0)], "conv_id string, v double")
     z = feat.standardize(c, "v", keys=[]).toPandas()
     assert (z.v_z == 0.0).all()
+
+
+def _rt(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+
+
+def test_conv_loop_flags_runs_and_flag(spark):
+    from ml4logs_spark.operators import windows
+
+    rows = [
+        # c1: assistant/search x3 consecutive -> loop
+        ("c1", 0, "user", "q", None),
+        ("c1", 1, "assistant", "a", "search"),
+        ("c1", 2, "assistant", "b", "search"),
+        ("c1", 3, "assistant", "c", "search"),
+        ("c1", 4, "user", "d", None),
+        # c2: alternating -> max run 1, 4 runs
+        ("c2", 0, "user", "q", None),
+        ("c2", 1, "assistant", "a", "code"),
+        ("c2", 2, "user", "r", None),
+        ("c2", 3, "assistant", "b", "search"),
+        # c3: same role, DIFFERENT tool -> runs break on tool
+        ("c3", 0, "assistant", "a", "search"),
+        ("c3", 1, "assistant", "b", "code"),
+        ("c3", 2, "assistant", "c", "code"),
+    ]
+    out = {
+        r["conv_id"]: r
+        for r in windows.conv_loop_flags(_rt(spark, rows)).collect()
+    }
+    assert (out["c1"]["n_turns"], out["c1"]["n_runs"], out["c1"]["max_run"]) == (5, 3, 3)
+    assert out["c1"]["loop_flag"] is True
+    assert (out["c2"]["n_runs"], out["c2"]["max_run"]) == (4, 1)
+    assert out["c2"]["loop_flag"] is False
+    assert (out["c3"]["n_runs"], out["c3"]["max_run"]) == (2, 2)
+    assert out["c3"]["loop_flag"] is False
+    # min_run is a parameter
+    out2 = {
+        r["conv_id"]: r["loop_flag"]
+        for r in windows.conv_loop_flags(_rt(spark, rows), min_run=2).collect()
+    }
+    assert out2 == {"c1": True, "c2": False, "c3": True}
+
+
+def test_role_transition_counts(spark):
+    from ml4logs_spark.operators import windows
+
+    rows = [
+        ("c1", 0, "user", "q", None),
+        ("c1", 1, "assistant", "a", None),
+        ("c1", 2, "user", "r", None),
+        ("c2", 0, "user", "q", None),
+        ("c2", 1, "assistant", "a", None),
+    ]
+    got = {
+        (r["role_a"], r["role_b"]): r["n"]
+        for r in windows.role_transition_counts(_rt(spark, rows)).collect()
+    }
+    # last turn of each conv contributes nothing; no cross-conv pairs
+    assert got == {("user", "assistant"): 2, ("assistant", "user"): 1}
+
+
+def test_conv_near_dups_and_jaccard_pairs(spark):
+    from ml4logs_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    toks = base.split()
+    rows = []
+    # c1 and c2: identical but one appended token on the last turn
+    for cid, tail in [("c1", ""), ("c2", " extra")]:
+        for i in range(4):
+            rows.append((cid, i, "user", " ".join(toks[i:]) , None))
+        rows[-1] = (cid, 3, "user", " ".join(toks[3:]) + tail, None)
+    # c3: disjoint vocabulary
+    for i in range(4):
+        rows.append(("c3", i, "user", f"omega{i} psi{i} chi{i} phi{i}", None))
+    turns = _rt(spark, rows)
+    pairs = dedup.conv_near_dups(turns, threshold=0.8).collect()
+    assert [(p["conv_a"], p["conv_b"]) for p in pairs] == [("c1", "c2")]
+    assert pairs[0]["jaccard"] >= 0.8
+    # unthresholded surface returns the same verified pair values
+    jp = {
+        (r["conv_a"], r["conv_b"]): r["jaccard"]
+        for r in dedup.conv_jaccard_pairs(turns).collect()
+    }
+    assert jp[("c1", "c2")] == pairs[0]["jaccard"]
+    assert all(a != "c3" and b != "c3" or j < 0.8 for (a, b), j in jp.items())
