@@ -661,6 +661,15 @@ def _q_doc_unigram_logprob(spark, sf_dir):
     return textqa.unigram_logprob(_docs(spark, sf_dir))
 
 
+def _q_bigram_logprob(spark, sf_dir):
+    # one rung up the n-gram ladder: mean add-one-smoothed BIGRAM
+    # logprob under the corpus's own model (CCNet-perplexity proxy);
+    # one pair explode feeds both the model fit and the scoring join
+    from ml4logs_spark.operators import textqa
+
+    return textqa.bigram_logprob(_docs(spark, sf_dir))
+
+
 def _q_conv_loop_flags(spark, sf_dir):
     # agent-loop detection: per-conv longest run of identical
     # (role, tool) turns + flag at >=3 (windows.conv_loop_flags)
@@ -911,6 +920,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # from demoting simhash64, whose aggregate is exercised
         # in-window by BOTH simhash search queries above)
         "doc_unigram_logprob": _q_doc_unigram_logprob,
+        # round-5 batch 5: bigram-LM quality score (slot from demoting
+        # timedeltas — 4x driver-green r1-r4, and its lag-over-conv
+        # window mechanism stays evidenced in-window by conv_sessions,
+        # which lags ts over the identical conv window, plus the
+        # conv_loop_flags / role_transition_counts window queries)
+        "bigram_logprob": _q_bigram_logprob,
         # round-5 batch 3: kNN label classifier + temperature mixing
         # (slots from demoting embedding_near_dup_clusters — 2x
         # driver-green r3+r4, and its connected-components core stays
@@ -935,7 +950,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_sink_counts": _q_route_sink_counts,
         "conv_tool_counts": _q_conv_tool_counts,
         "tfidf_features": _q_tfidf_features,
-        "timedeltas": _q_timedeltas,
         # round-5 batch 4: transcript analysis pack (slots from
         # demoting three 3-4x-green queries whose mechanisms stay
         # evidenced in-window: next_template's lead-over-conv-window
@@ -968,6 +982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk": _q_lsh_cosine_topk,
         "ivf_cosine_topk": _q_ivf_cosine_topk,
         # ---- end of the 50-entry grading window ----
+        # round-5 batch-5 demotion (4x driver-green r1-r4)
+        "timedeltas": _q_timedeltas,
         # round-5 batch-4 demotions (3-4x driver-green r1-r4)
         "next_template": _q_next_template,
         "dedup_exact_survivors": _q_dedup_exact_survivors,

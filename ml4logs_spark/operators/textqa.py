@@ -481,6 +481,70 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc mean add-one-smoothed BIGRAM log probability under the
+    corpus's own bigram model — one step up the n-gram ladder from
+    ``unigram_logprob`` toward the KenLM-perplexity filter real
+    pretraining pipelines run (CCNet-style): a doc full of individually
+    common tokens in improbable ORDER (shuffled boilerplate, keyword
+    stuffing) scores low here while passing the unigram filter.
+
+    lp(a, b) = ln((c(a,b) + 1) / (c(a) + V)) with c the corpus counts
+    and V the vocabulary size; returns (doc_id, avg_bigram_logprob,
+    n_bigrams), docs with < 2 tokens keeping a row with NULL score and
+    0 bigrams (same reattach contract as unigram_logprob). Tokens are
+    the shared ``_toks_lower``; pairs are the shared zip-with-tail
+    shape of ``bigram_counts`` so the model's support equals that
+    operator's output.
+
+    Shape at scale: ONE pair explode feeds both the model fit (hash
+    aggregate on (tok_a, tok_b)) and the scoring join; the context
+    counts come from one token aggregate, the V normalizer from a
+    1-row broadcast. The (pair, lp) dim rides back as a broadcast
+    hash join; past broadcast size (~10^8 distinct pairs) drop the
+    hint and it becomes a pair-keyed shuffle join — the only
+    structural change (same note as unigram_logprob)."""
+    toks = _toks_lower(text_col)
+    pairs = F.zip_with(
+        toks,
+        F.slice(toks, 2, 1 << 30),
+        lambda a, b: F.struct(a.alias("tok_a"), b.alias("tok_b")),
+    )
+    ep = (
+        docs.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b"))
+        .filter(F.col("tok_b").isNotNull())
+    )
+    pair_cnt = ep.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("_pn"))
+    ctx = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_cn"))
+    )
+    norm = ctx.agg(F.count(F.lit(1)).alias("_vsz"))
+    lp = (
+        pair_cnt.join(ctx.withColumnRenamed("token", "tok_a"), "tok_a")
+        .crossJoin(F.broadcast(norm))
+        .select(
+            "tok_a", "tok_b",
+            F.log((F.col("_pn") + F.lit(1.0)) / (F.col("_cn") + F.col("_vsz"))).alias("_lp"),
+        )
+    )
+    per_doc = (
+        ep.join(F.broadcast(lp), ["tok_a", "tok_b"])
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg("_lp"), 6).alias("avg_bigram_logprob"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "avg_bigram_logprob",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+    )
+
+
 def doc_length_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus length distribution in power-of-2 token buckets:
     (bucket_lo, n_docs, n_tokens_total) where ``bucket_lo`` = 2^floor(

@@ -757,6 +757,38 @@ DOC_ORACLES["doc_unigram_logprob"] = f"""
     FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
+
+# bigram-LM mirror: same add-one smoothing, pair support = the
+# bigram_counts zip-with-tail shape, context counts = unigram counts
+DOC_ORACLES["bigram_logprob"] = f"""
+    WITH pr AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(a) - 1, 0)),
+               i -> struct_pack(tok_a := a[i], tok_b := a[i + 1]))) AS p
+      FROM (SELECT doc_id, {_TOKS_LOWER} AS a FROM documents)
+    ), pc AS (
+      SELECT p.tok_a AS tok_a, p.tok_b AS tok_b, count(*) AS pn
+      FROM pr GROUP BY 1, 2
+    ), ctx AS (
+      SELECT token, count(*) AS cn FROM (
+        SELECT unnest({_TOKS_LOWER}) AS token FROM documents
+      ) GROUP BY token
+    ), nrm AS (SELECT count(*) AS vsz FROM ctx),
+    lp AS (
+      SELECT pc.tok_a, pc.tok_b,
+             ln((pn + 1.0) / (cn + vsz)) AS lp
+      FROM pc JOIN ctx ON ctx.token = pc.tok_a CROSS JOIN nrm
+    ), per AS (
+      SELECT pr.doc_id, round(avg(lp.lp), 6) AS avg_bigram_logprob,
+             count(*) AS n_bigrams
+      FROM pr JOIN lp ON lp.tok_a = pr.p.tok_a AND lp.tok_b = pr.p.tok_b
+      GROUP BY pr.doc_id
+    )
+    SELECT d.doc_id, per.avg_bigram_logprob,
+           CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams
+    FROM documents d LEFT JOIN per USING (doc_id)
+"""
 # power-of-2 token-length histogram (doc_stats' whitespace tokens)
 DOC_ORACLES["doc_length_histogram"] = """
     SELECT CAST(CASE WHEN n <= 0 THEN 0

@@ -368,6 +368,33 @@ def test_unigram_logprob_hand_computed(spark):
     assert got[0][0] > got[1][0]  # common tokens -> higher score
 
 
+def test_bigram_logprob_hand_computed(spark):
+    """Add-one-smoothed corpus bigram LM against hand-computed values:
+    lp(a,b) = ln((c(a,b)+1)/(c(a)+V)); in-order docs score above
+    shuffled docs over the SAME tokens (the property unigram_logprob
+    cannot see), and <2-token docs keep a NULL-score row."""
+    import math
+
+    from ml4logs_spark.operators import textqa
+
+    # corpus pairs: (a,b)x2 from docs 0+1, (b,a) from doc 1
+    # context counts: c(a)=3, c(b)=3 (doc 2's lone token counts too)
+    # V = 2  ->  lp(a,b)=ln(3/5), lp(b,a)=ln(2/5)
+    docs = _docs(spark, [
+        (0, "a b", "s"),
+        (1, "a b a", "s"),
+        (2, "b", "s"),       # 1 token -> 0 bigrams, NULL score
+        (3, None, "s"),
+    ])
+    got = {r.doc_id: (r.avg_bigram_logprob, r.n_bigrams)
+           for r in textqa.bigram_logprob(docs).collect()}
+    lp_ab, lp_ba = math.log((2 + 1) / (3 + 2)), math.log((1 + 1) / (3 + 2))
+    assert got[0] == (round(lp_ab, 6), 1)
+    assert got[1] == (round((lp_ab + lp_ba) / 2, 6), 2)
+    assert got[2] == (None, 0) and got[3] == (None, 0)
+    assert got[0][0] > got[1][0]  # frequent ORDER -> higher score
+
+
 def test_curate_corpus_temperature_mix_stage(spark):
     """mix_alpha applies the temperature downsample at the scan: the
     chain output equals manually pre-mixing then curating, and
