@@ -670,6 +670,15 @@ def _q_bigram_logprob(spark, sf_dir):
     return textqa.bigram_logprob(_docs(spark, sf_dir))
 
 
+def _q_perplexity_buckets(spark, sf_dir):
+    # CCNet-style per-source head/middle/tail tiers over the corpus
+    # unigram-LM score; distributed two-phase ranking (build_vocab
+    # shape) + arithmetic ntile
+    from ml4logs_spark.operators import textqa
+
+    return textqa.perplexity_buckets(_docs(spark, sf_dir))
+
+
 def _q_conv_loop_flags(spark, sf_dir):
     # agent-loop detection: per-conv longest run of identical
     # (role, tool) turns + flag at >=3 (windows.conv_loop_flags)
@@ -926,6 +935,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # which lags ts over the identical conv window, plus the
         # conv_loop_flags / role_transition_counts window queries)
         "bigram_logprob": _q_bigram_logprob,
+        # round-5 batch 5: CCNet perplexity tiers (slot from demoting
+        # conv_tool_counts — 4x driver-green r1-r4, and its BOW
+        # hash-aggregate mechanism stays evidenced in-window by
+        # tfidf_features, which consumes the identical counts stage)
+        "perplexity_buckets": _q_perplexity_buckets,
         # round-5 batch 3: kNN label classifier + temperature mixing
         # (slots from demoting embedding_near_dup_clusters — 2x
         # driver-green r3+r4, and its connected-components core stays
@@ -948,7 +962,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parsed_turns": _q_parsed_turns,
         "enrich_turns": _q_enrich_turns,
         "route_sink_counts": _q_route_sink_counts,
-        "conv_tool_counts": _q_conv_tool_counts,
         "tfidf_features": _q_tfidf_features,
         # round-5 batch 4: transcript analysis pack (slots from
         # demoting three 3-4x-green queries whose mechanisms stay
@@ -982,8 +995,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk": _q_lsh_cosine_topk,
         "ivf_cosine_topk": _q_ivf_cosine_topk,
         # ---- end of the 50-entry grading window ----
-        # round-5 batch-5 demotion (4x driver-green r1-r4)
+        # round-5 batch-5 demotions (4x driver-green r1-r4)
         "timedeltas": _q_timedeltas,
+        "conv_tool_counts": _q_conv_tool_counts,
         # round-5 batch-4 demotions (3-4x driver-green r1-r4)
         "next_template": _q_next_template,
         "dedup_exact_survivors": _q_dedup_exact_survivors,

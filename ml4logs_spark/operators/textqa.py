@@ -545,6 +545,84 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def perplexity_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """CCNet-style per-source quality tiers: rank every doc within its
+    source by the unigram-LM quality score (``avg_logprob`` DESC —
+    most-typical text first, NULL-score docs last, doc_id tiebreak) and
+    cut each source into ``n_buckets`` ntile tiers (1 = head, n =
+    tail). This is the head/middle/tail perplexity split CCNet (Wenzek
+    et al. 2020) keeps or reweights per language before pretraining,
+    run against the engine's own corpus LM. Returns (doc_id, source,
+    avg_logprob, ppl_rank, ppl_bucket).
+
+    Shape at scale: scoring is ``unigram_logprob``'s shape; the
+    per-source ranking is the DISTRIBUTED two-phase shape of
+    ``build_vocab`` — range-partition by (source, key, doc_id), local
+    row_number, per-(partition, source) counts prefix-summed (a window
+    over #partitions × #sources rows, tiny) and broadcast back as base
+    offsets — because a per-source Window would sort a dominant
+    source's billions of docs in ONE task. The ntile itself is then
+    pure arithmetic on (rank, source_count): bucket = (rank-1)·n DIV
+    count + 1, with per-source counts riding back as a broadcast dim.
+    ``ranged`` is persisted (cache.track) before its three consumers
+    branch — repartitionByRange samples boundaries, so evaluating it
+    twice risks inconsistent ``_pid`` assignments."""
+    from pyspark.sql.window import Window
+
+    from ml4logs_spark import cache
+
+    scored = (
+        docs.select("doc_id", "source")
+        .join(unigram_logprob(docs, text_col), "doc_id")
+        # ascending sort key: negated score, NULL-score docs last
+        .withColumn(
+            "_key",
+            F.coalesce(-F.col("avg_logprob"), F.lit(float("inf"))),
+        )
+    )
+    parts = n_parts or docs.sparkSession.sparkContext.defaultParallelism
+    ranged = cache.track(
+        scored.repartitionByRange(parts, "source", "_key", "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("_pid", "source").orderBy("_key", "doc_id")
+    local = ranged.withColumn("_local", F.row_number().over(w_local))
+    counts = ranged.groupBy("_pid", "source").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    # bounded by #partitions rows PER SOURCE — not a global sort
+    w_base = (
+        Window.partitionBy("source")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = counts.withColumn(
+        "_base", F.coalesce(F.sum("_n").over(w_base), F.lit(0))
+    ).select("_pid", "source", "_base")
+    totals = counts.groupBy("source").agg(F.sum("_n").alias("_c"))
+    return (
+        local.join(F.broadcast(bases), ["_pid", "source"])
+        .withColumn(
+            "ppl_rank", (F.col("_base") + F.col("_local")).cast("long")
+        )
+        .join(F.broadcast(totals), "source")
+        .select(
+            "doc_id",
+            "source",
+            "avg_logprob",
+            "ppl_rank",
+            F.expr(
+                f"CAST((ppl_rank - 1) * {int(n_buckets)} DIV _c + 1 AS INT)"
+            ).alias("ppl_bucket"),
+        )
+    )
+
+
 def doc_length_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus length distribution in power-of-2 token buckets:
     (bucket_lo, n_docs, n_tokens_total) where ``bucket_lo`` = 2^floor(

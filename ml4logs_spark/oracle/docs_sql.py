@@ -789,6 +789,41 @@ DOC_ORACLES["bigram_logprob"] = f"""
            CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams
     FROM documents d LEFT JOIN per USING (doc_id)
 """
+# CCNet-style per-source perplexity tiers: the unigram-LM score CTE
+# above, then a plain per-source window (fine at oracle scale; the
+# engine runs the distributed two-phase ranking) — ntile spelled as
+# (rank-1)*n // count + 1 so both engines share ONE exact formula
+DOC_ORACLES["perplexity_buckets"] = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_LOWER}) AS token FROM documents
+    ), vocab AS (
+      SELECT token, count(*) AS cnt FROM tok GROUP BY token
+    ), norm AS (
+      SELECT (SELECT count(*) FROM tok) AS tot,
+             (SELECT count(*) FROM vocab) AS vsz
+    ), logp AS (
+      SELECT token, ln((cnt + 1.0) / (tot + vsz)) AS lp FROM vocab, norm
+    ), per AS (
+      SELECT doc_id, round(avg(lp), 6) AS avg_logprob
+      FROM tok JOIN logp USING (token) GROUP BY doc_id
+    ), scored AS (
+      SELECT d.doc_id, d.source, p.avg_logprob
+      FROM documents d LEFT JOIN per p USING (doc_id)
+    ), r AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY avg_logprob DESC NULLS LAST, doc_id
+             ) AS ppl_rank,
+             count(*) OVER (PARTITION BY source) AS c
+      FROM scored
+    )
+    SELECT doc_id, source, avg_logprob,
+           CAST(ppl_rank AS BIGINT) AS ppl_rank,
+           CAST((ppl_rank - 1) * 3 // c + 1 AS INT) AS ppl_bucket
+    FROM r
+"""
+
 # power-of-2 token-length histogram (doc_stats' whitespace tokens)
 DOC_ORACLES["doc_length_histogram"] = """
     SELECT CAST(CASE WHEN n <= 0 THEN 0

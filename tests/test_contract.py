@@ -67,6 +67,13 @@ def test_grading_window_holds_only_full_oracle_queries():
                  # via near_dup_clusters — and doc_rolling_fingerprint —
                  # 2x-green map-only winnowing)
                  "knn_label_vote", "temperature_mix_sample",
+                 # round-5 batch 5: the n-gram-LM ladder's next rung +
+                 # CCNet perplexity tiers (slots from demoting the
+                 # 4x-green timedeltas — lag-over-conv-window runs
+                 # in-window inside conv_sessions — and conv_tool_counts
+                 # — BOW counts stage runs in-window inside
+                 # tfidf_features)
+                 "bigram_logprob", "perplexity_buckets",
                  # round-3 curation family — first driver check is round 3
                  "ivf_codebook",
                  "vocab_dim", "decontaminated",

@@ -395,6 +395,68 @@ def test_bigram_logprob_hand_computed(spark):
     assert got[0][0] > got[1][0]  # frequent ORDER -> higher score
 
 
+def test_perplexity_buckets_hand_computed(spark):
+    """Per-source ntile over the unigram-LM score: head bucket gets the
+    most-typical docs, NULL-score docs rank last, bucket sizes follow
+    ntile (larger buckets first), and sources tier independently."""
+    from ml4logs_spark.operators import textqa
+
+    # source s: 4 docs with strictly ordered scores (more 'a's = more
+    # typical since 'a' dominates the corpus) + a NULL-text doc;
+    # source t: 2 docs -> buckets 1 and 2 only (ntile on 2 rows, n=3)
+    docs = _docs(spark, [
+        (0, "a a a", "s"),
+        (1, "a a b", "s"),
+        (2, "a b b", "s"),
+        (3, "c", "s"),
+        (4, None, "s"),
+        (5, "a a", "t"),
+        (6, "b c", "t"),
+    ])
+    rows = {r.doc_id: r for r in textqa.perplexity_buckets(docs).collect()}
+    assert [rows[i].ppl_rank for i in range(5)] == [1, 2, 3, 4, 5]
+    # 5 rows, 3 buckets -> sizes 2,2,1; NULL-score doc 4 lands in tail
+    assert [rows[i].ppl_bucket for i in range(5)] == [1, 1, 2, 2, 3]
+    assert rows[4].avg_logprob is None
+    assert (rows[5].ppl_rank, rows[6].ppl_rank) == (1, 2)
+    assert (rows[5].ppl_bucket, rows[6].ppl_bucket) == (1, 2)
+
+
+def test_perplexity_buckets_matches_single_partition_ntile(spark):
+    """The distributed two-phase ranking equals a plain per-source
+    ntile window regardless of partition count (1, 3, 16)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ml4logs_spark.operators import textqa
+
+    docs = _docs(spark, [
+        (i, " ".join("abcde"[j % 5] * ((i + j) % 3 + 1)
+                      for j in range(i % 7 + 1)), f"s{i % 3}")
+        for i in range(60)
+    ])
+    w = Window.partitionBy("source").orderBy(
+        F.col("avg_logprob").desc_nulls_last(), "doc_id"
+    )
+    expect = {
+        (r.doc_id, r.ppl_rank, r.ppl_bucket)
+        for r in docs.select("doc_id", "source")
+        .join(textqa.unigram_logprob(docs), "doc_id")
+        .select(
+            "doc_id",
+            F.row_number().over(w).alias("ppl_rank"),
+            F.ntile(3).over(w).alias("ppl_bucket"),
+        )
+        .collect()
+    }
+    for parts in (1, 3, 16):
+        got = {
+            (r.doc_id, r.ppl_rank, r.ppl_bucket)
+            for r in textqa.perplexity_buckets(docs, n_parts=parts).collect()
+        }
+        assert got == expect, f"n_parts={parts}"
+
+
 def test_curate_corpus_temperature_mix_stage(spark):
     """mix_alpha applies the temperature downsample at the scan: the
     chain output equals manually pre-mixing then curating, and

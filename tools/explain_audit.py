@@ -180,6 +180,21 @@ def main() -> int:
         r"Exchange SinglePartition[^\[\n]*\[plan_id=(\d+)\]", p))
     check("build_vocab: no single-partition stage over the vocab",
           len(single_ids) <= 2, f"SinglePartition plan_ids={sorted(single_ids)}")
+    # perplexity tiers: same two-phase ranking contract as build_vocab
+    # — range repartition on (source, key), corpus-sized window keyed by
+    # _pid, and the only SinglePartition stages are the 1-row LM
+    # normalizer scalars (the per-source base-offset window partitions
+    # by source, so it never appears as SinglePartition)
+    p = plan_of(textqa.perplexity_buckets(docs))
+    check("perplexity_buckets: range repartition on (source, key)",
+          "rangepartitioning(source" in p)
+    check("perplexity_buckets: rank window partitioned by _pid",
+          "windowspecdefinition(_pid" in p)
+    single_ids = set(_re.findall(
+        r"Exchange SinglePartition[^\[\n]*\[plan_id=(\d+)\]", p))
+    check("perplexity_buckets: no single-partition stage over the docs",
+          len(single_ids) <= 2, f"SinglePartition plan_ids={sorted(single_ids)}")
+
     from pyspark.sql import functions as FF
     nib = FF.substring(FF.md5("text"), 1, 1)
     p = plan_of(dedup.decontaminate(docs.filter(nib != "0"), docs.filter(nib == "0")))
