@@ -670,6 +670,14 @@ def _q_bigram_logprob(spark, sf_dir):
     return textqa.bigram_logprob(_docs(spark, sf_dir))
 
 
+def _q_nb_source_classify(spark, sf_dir):
+    # multinomial NB text classifier (fastText-quality-filter stand-in):
+    # fit on even doc_ids, classify odd — exact micro-unit loglik sums
+    from ml4logs_spark.operators import classify
+
+    return classify.nb_source_classify_split(_docs(spark, sf_dir))
+
+
 def _q_perplexity_buckets(spark, sf_dir):
     # CCNet-style per-source head/middle/tail tiers over the corpus
     # unigram-LM score; distributed two-phase ranking (build_vocab
@@ -940,6 +948,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-aggregate mechanism stays evidenced in-window by
         # tfidf_features, which consumes the identical counts stage)
         "perplexity_buckets": _q_perplexity_buckets,
+        # round-5 batch 5: in-plan NB classifier (slot from demoting
+        # merged_features — 4x driver-green r1-r4, and its key-join +
+        # concat mechanism stays evidenced in-window by labeled_turns
+        # and tfidf_features, which run the same equi-join shapes)
+        "nb_source_classify": _q_nb_source_classify,
         # round-5 batch 3: kNN label classifier + temperature mixing
         # (slots from demoting embedding_near_dup_clusters — 2x
         # driver-green r3+r4, and its connected-components core stays
@@ -979,7 +992,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "confusion_at_half": _q_confusion_at_half,
         "threshold_sweep": _q_threshold_sweep,
         "tool_conv_union_distinct": _q_union_distinct,
-        "merged_features": _q_merged_features,
         "turn_embeddings": _q_turn_embeddings,
         "conv_turnvec_maxpool": _q_conv_turnvec_maxpool,
         "conv_sessions": _q_conv_sessions,
@@ -998,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 batch-5 demotions (4x driver-green r1-r4)
         "timedeltas": _q_timedeltas,
         "conv_tool_counts": _q_conv_tool_counts,
+        "merged_features": _q_merged_features,
         # round-5 batch-4 demotions (3-4x driver-green r1-r4)
         "next_template": _q_next_template,
         "dedup_exact_survivors": _q_dedup_exact_survivors,

@@ -824,6 +824,63 @@ DOC_ORACLES["perplexity_buckets"] = f"""
     FROM r
 """
 
+# multinomial NB classifier, fit on even doc_ids / applied to odd —
+# mirrors classify.nb_source_classify_split. Log-likelihoods fixed to
+# integer micro-units at the model dim (the repo determinism idiom) so
+# the per-doc sums are exact bigints on both engines; argmax via
+# row_number (score DESC, label ASC) = Spark's min(struct(-score,label))
+DOC_ORACLES["nb_source_classify"] = f"""
+    WITH train AS (
+      SELECT * FROM documents WHERE doc_id % 2 = 0
+    ), tok AS (
+      SELECT source AS label, unnest({_TOKS_LOWER}) AS token FROM train
+    ), cnt AS (
+      SELECT label, token, count(*) AS c FROM tok GROUP BY 1, 2
+    ), labels AS (
+      SELECT source AS label, count(*) AS nd FROM train GROUP BY 1
+    ), ntot AS (
+      SELECT label, count(*) AS nk FROM tok GROUP BY 1
+    ), vocab AS (
+      SELECT DISTINCT token FROM tok
+    ), vsz AS (SELECT count(*) AS v FROM vocab),
+    ll AS (
+      SELECT l.label, vb.token,
+             CAST(round(ln((coalesce(c.c, 0) + 1.0)
+                           / (coalesce(n.nk, 0) + vs.v)) * 1e6)
+                  AS BIGINT) AS ll_micro
+      FROM labels l
+      CROSS JOIN vocab vb CROSS JOIN vsz vs
+      LEFT JOIN ntot n USING (label)
+      LEFT JOIN cnt c ON c.label = l.label AND c.token = vb.token
+    ), priors AS (
+      SELECT label,
+             CAST(round(ln(nd * 1.0 / (SELECT sum(nd) FROM labels)) * 1e6)
+                  AS BIGINT) AS prior_micro
+      FROM labels
+    ), test AS (
+      SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+    ), ttok AS (
+      SELECT doc_id, unnest({_TOKS_LOWER}) AS token
+      FROM documents WHERE doc_id % 2 = 1
+    ), sums AS (
+      SELECT t.doc_id, ll.label, sum(ll.ll_micro) AS s
+      FROM ttok t JOIN ll USING (token) GROUP BY 1, 2
+    ), scored AS (
+      SELECT te.doc_id, p.label,
+             p.prior_micro + coalesce(s.s, 0) AS logpost_micro
+      FROM test te
+      CROSS JOIN priors p
+      LEFT JOIN sums s ON s.doc_id = te.doc_id AND s.label = p.label
+    ), best AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY logpost_micro DESC, label ASC
+      ) AS rn FROM scored
+    )
+    SELECT doc_id, label AS pred_label,
+           CAST(logpost_micro AS BIGINT) AS logpost_micro
+    FROM best WHERE rn = 1
+"""
+
 # power-of-2 token-length histogram (doc_stats' whitespace tokens)
 DOC_ORACLES["doc_length_histogram"] = """
     SELECT CAST(CASE WHEN n <= 0 THEN 0

@@ -74,6 +74,10 @@ def test_grading_window_holds_only_full_oracle_queries():
                  # — BOW counts stage runs in-window inside
                  # tfidf_features)
                  "bigram_logprob", "perplexity_buckets",
+                 # round-5 batch 5: in-plan NB classifier (slot from
+                 # demoting 4x-green merged_features — key-join+concat
+                 # runs in-window inside labeled_turns/tfidf_features)
+                 "nb_source_classify",
                  # round-3 curation family — first driver check is round 3
                  "ivf_codebook",
                  "vocab_dim", "decontaminated",

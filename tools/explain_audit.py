@@ -195,6 +195,16 @@ def main() -> int:
     check("perplexity_buckets: no single-partition stage over the docs",
           len(single_ids) <= 2, f"SinglePartition plan_ids={sorted(single_ids)}")
 
+    # NB classifier: the V*K model dim rides back as a broadcast hash
+    # join; the only nested loops are broadcasts of the label-count /
+    # vocab-size scalars — never a cartesian product over docs
+    from ml4logs_spark.operators import classify
+    p = plan_of(classify.nb_source_classify_split(docs))
+    check("nb_classify: no cartesian product", "CartesianProduct" not in p)
+    check("nb_classify: model dim broadcast", "BroadcastHashJoin" in p)
+    check("nb_classify: partial+final micro-unit aggregate",
+          p.count("HashAggregate") >= 2)
+
     from pyspark.sql import functions as FF
     nib = FF.substring(FF.md5("text"), 1, 1)
     p = plan_of(dedup.decontaminate(docs.filter(nib != "0"), docs.filter(nib == "0")))
