@@ -427,6 +427,35 @@ def main() -> None:
         for _df in (seen_bands, seen_store, hist_sigs):
             _df.unpersist()
         sh_corpus.unpersist()
+        # in-plan quality models on the same >=100k replicated corpus
+        # (rebuilt with the source column): NB fit-on-half/classify-half
+        # and the CCNet perplexity tiering (unigram LM + distributed
+        # two-phase per-source ranking), each end-to-end
+        from ml4logs_spark.operators import classify as classify_op
+
+        nb_corpus = (
+            docs.crossJoin(spark.range(sh_rep).withColumnRenamed("id", "rep"))
+            .select(
+                (F.col("doc_id") + F.col("rep") * F.lit(n_raw)).alias(
+                    "doc_id"
+                ),
+                F.concat_ws(
+                    " ", "text", F.concat(F.lit("r"), F.col("rep"))
+                ).alias("text"),
+                "source",
+            )
+            .repartition(n_parts)
+            .persist()
+        )
+        n_nb = nb_corpus.count()
+        t0 = time.perf_counter()
+        force(classify_op.nb_source_classify_split(nb_corpus))
+        _nb = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        force(textqa_op.perplexity_buckets(nb_corpus))
+        _ppx = time.perf_counter() - t0
+        cache.release_all()
+        nb_corpus.unpersist()
         docs_out["simhash_docs"] = n_docs
         docs_out["simhash_sec"] = round(_sh, 3)
         docs_out["simhash_docs_per_sec"] = round(n_docs / _sh, 1)
@@ -447,6 +476,11 @@ def main() -> None:
         docs_out["incremental_neardup_pairs_per_sec"] = round(inc_pairs / _inc, 1)
         docs_out["incremental_simhash_sec"] = round(_incsh, 3)
         docs_out["incremental_simhash_docs_per_sec"] = round(n_new / _incsh, 1)
+        docs_out["nb_classify_docs"] = n_nb
+        docs_out["nb_classify_sec"] = round(_nb, 3)
+        docs_out["nb_classify_docs_per_sec"] = round(n_nb / _nb, 1)
+        docs_out["perplexity_buckets_sec"] = round(_ppx, 3)
+        docs_out["perplexity_buckets_docs_per_sec"] = round(n_nb / _ppx, 1)
         docs_out["incremental_simhash_pairs"] = incsh_pairs
         docs_out["incremental_simhash_pairs_per_sec"] = round(
             incsh_pairs / _incsh, 1)
