@@ -670,6 +670,22 @@ def _q_bigram_logprob(spark, sf_dir):
     return textqa.bigram_logprob(_docs(spark, sf_dir))
 
 
+def _q_source_kl_divergence(spark, sf_dir):
+    # data-mixing skew diagnostic: KL(source unigram dist || corpus
+    # marginal) in exact nano-units
+    from ml4logs_spark.operators import textqa
+
+    return textqa.source_kl_divergence(_docs(spark, sf_dir))
+
+
+def _q_bigram_novelty(spark, sf_dir):
+    # phrasing-novelty score: fraction of each doc's bigrams found in
+    # no other doc
+    from ml4logs_spark.operators import textqa
+
+    return textqa.bigram_novelty(_docs(spark, sf_dir))
+
+
 def _q_nb_source_classify(spark, sf_dir):
     # multinomial NB text classifier (fastText-quality-filter stand-in):
     # fit on even doc_ids, classify odd — exact micro-unit loglik sums
@@ -953,6 +969,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # concat mechanism stays evidenced in-window by labeled_turns
         # and tfidf_features, which run the same equi-join shapes)
         "nb_source_classify": _q_nb_source_classify,
+        # round-5 batch 5: mixing-skew + novelty diagnostics (slots
+        # from demoting conv_stats — 4x driver-green r1-r4, group-by-
+        # conv aggregation stays evidenced in-window by conv_offsets,
+        # which aggregates the same conv key before its prefix sum —
+        # and tool_conv_union_distinct — 4x green, union/distinct
+        # mechanics run in-window inside near_dup_clusters' edge union
+        # and vocab_dim's distinct-token stage)
+        "source_kl_divergence": _q_source_kl_divergence,
+        "bigram_novelty": _q_bigram_novelty,
         # round-5 batch 3: kNN label classifier + temperature mixing
         # (slots from demoting embedding_near_dup_clusters — 2x
         # driver-green r3+r4, and its connected-components core stays
@@ -986,12 +1011,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_loop_flags": _q_conv_loop_flags,
         "role_transition_counts": _q_role_transition_counts,
         "conv_jaccard_pairs": _q_conv_jaccard_pairs,
-        "conv_stats": _q_conv_stats,
         "conv_offsets": _q_conv_offsets,
         "labeled_turns": _q_labeled_turns,
         "confusion_at_half": _q_confusion_at_half,
         "threshold_sweep": _q_threshold_sweep,
-        "tool_conv_union_distinct": _q_union_distinct,
         "turn_embeddings": _q_turn_embeddings,
         "conv_turnvec_maxpool": _q_conv_turnvec_maxpool,
         "conv_sessions": _q_conv_sessions,
@@ -1011,6 +1034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timedeltas": _q_timedeltas,
         "conv_tool_counts": _q_conv_tool_counts,
         "merged_features": _q_merged_features,
+        "conv_stats": _q_conv_stats,
+        "tool_conv_union_distinct": _q_union_distinct,
         # round-5 batch-4 demotions (3-4x driver-green r1-r4)
         "next_template": _q_next_template,
         "dedup_exact_survivors": _q_dedup_exact_survivors,

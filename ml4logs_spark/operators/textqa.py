@@ -545,6 +545,108 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def source_kl_divergence(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source domain-skew diagnostic: KL(P_s || Q) where P_s is the
+    source's unigram token distribution and Q the whole corpus's — the
+    statistic a data-mixing pipeline reads to see which sources are
+    distribution outliers before picking mixture weights (a source
+    near 0 is corpus-typical; a large KL source dominates or diverges).
+    Returns (source, n_tokens, kl_nano) with the divergence in integer
+    NANO-units: each term p·ln(p/q) is rounded to 1e-9 at the (source,
+    token) grain and summed as an exact bigint, so the fold order can
+    never move the result across engines (the repo micro-unit idiom,
+    one grain finer because individual terms are O(p)). No smoothing
+    is needed: every token of a source exists in the corpus, so q > 0.
+    |KL| <= ln(corpus_tokens) ~ 40, so the nano sum stays far inside
+    int64 even with per-term rounding halves at 10^9 vocab.
+
+    Shape at scale: one explode feeds the (source, token) counts; the
+    corpus marginal comes from re-aggregating those counts (never a
+    second scan); the per-source totals and the 1-row corpus total ride
+    back as broadcasts, and the only non-broadcast join is (source,
+    token) x (token) — token-keyed shuffle co-partitioned with the
+    counts aggregate. Output is #sources rows."""
+    toks = docs.select(
+        "source", F.explode(_toks_lower(text_col)).alias("token")
+    )
+    st = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("_c"))
+    s_tot = st.groupBy("source").agg(F.sum("_c").alias("_ns"))
+    marg = st.groupBy("token").agg(F.sum("_c").alias("_cg"))
+    g_tot = st.agg(F.sum("_c").alias("_ng"))
+    p = F.col("_c") / F.col("_ns")
+    q = F.col("_cg") / F.col("_ng")
+    terms = (
+        st.join(marg, "token")
+        .join(F.broadcast(s_tot), "source")
+        .crossJoin(F.broadcast(g_tot))
+        .select(
+            "source",
+            F.round(p * F.log(p / q) * 1e9, 0).cast("long").alias("_t"),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(F.sum("_t").alias("kl_nano"))
+        .join(F.broadcast(s_tot), "source")
+        .select("source", F.col("_ns").cast("long").alias("n_tokens"), "kl_nano")
+    )
+
+
+def bigram_novelty(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc phrasing novelty: the fraction of a doc's bigrams that
+    occur in NO other document — the diversity/uniqueness score a
+    curation pipeline reads alongside the repetition and LM-quality
+    gates (template farms and mirrored boilerplate sit near 0; genuinely
+    novel prose near 1). Returns (doc_id, n_bigrams, novel_frac 6dp);
+    docs with < 2 tokens keep a row with 0 bigrams and NULL frac. A
+    bigram repeated only WITHIN one doc still counts as novel (it
+    appears in no other doc). Pairs are the shared zip-with-tail shape
+    of ``bigram_counts``/``bigram_logprob``.
+
+    Shape at scale: one pair explode feeds both the per-pair distinct-
+    doc counts (two-phase countDistinct on the pair key) and the
+    scoring join back on the same key — pair-keyed shuffles, no
+    all-pairs product; one doc_id aggregate; novel_frac is an exact
+    small-int ratio rounded at 6dp (identical doubles on both
+    engines)."""
+    toks = _toks_lower(text_col)
+    pairs = F.zip_with(
+        toks,
+        F.slice(toks, 2, 1 << 30),
+        lambda a, b: F.struct(a.alias("tok_a"), b.alias("tok_b")),
+    )
+    ep = (
+        docs.select("doc_id", F.explode(pairs).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.tok_a").alias("tok_a"),
+            F.col("p.tok_b").alias("tok_b"),
+        )
+        .filter(F.col("tok_b").isNotNull())
+    )
+    pair_docs = ep.groupBy("tok_a", "tok_b").agg(
+        F.countDistinct("doc_id").alias("_nd")
+    )
+    per_doc = (
+        ep.join(pair_docs, ["tok_a", "tok_b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("_nd") == 1, 1).otherwise(0)).alias("_nov"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("_nov") / F.col("n_bigrams"), 6).alias("novel_frac"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        "novel_frac",
+    )
+
+
 def perplexity_buckets(
     docs: DataFrame,
     n_buckets: int = 3,

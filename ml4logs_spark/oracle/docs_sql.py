@@ -881,6 +881,64 @@ DOC_ORACLES["nb_source_classify"] = f"""
     FROM best WHERE rn = 1
 """
 
+# per-source unigram KL divergence vs the corpus marginal — terms
+# rounded to NANO-units at the (source, token) grain then summed as
+# exact bigints (fold-order independent); no smoothing needed (every
+# source token exists in the corpus)
+DOC_ORACLES["source_kl_divergence"] = f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKS_LOWER}) AS token FROM documents
+    ), st AS (
+      SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2
+    ), stot AS (
+      SELECT source, sum(c) AS ns FROM st GROUP BY 1
+    ), marg AS (
+      SELECT token, sum(c) AS cg FROM st GROUP BY 1
+    ), gtot AS (SELECT sum(c) AS ng FROM st),
+    terms AS (
+      SELECT st.source,
+             CAST(round((st.c * 1.0 / stot.ns)
+                        * ln((st.c * 1.0 / stot.ns)
+                             / (marg.cg * 1.0 / gtot.ng)) * 1e9)
+                  AS BIGINT) AS t
+      FROM st
+      JOIN marg USING (token)
+      JOIN stot USING (source)
+      CROSS JOIN gtot
+    )
+    SELECT terms.source,
+           CAST(stot.ns AS BIGINT) AS n_tokens,
+           CAST(sum(terms.t) AS BIGINT) AS kl_nano
+    FROM terms JOIN stot USING (source)
+    GROUP BY terms.source, stot.ns
+"""
+
+# per-doc bigram novelty: fraction of the doc's bigrams present in no
+# other document (within-doc repeats still novel); <2-token docs keep
+# a 0-bigram NULL-frac row
+DOC_ORACLES["bigram_novelty"] = f"""
+    WITH pr AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(a) - 1, 0)),
+               i -> struct_pack(tok_a := a[i], tok_b := a[i + 1]))) AS p
+      FROM (SELECT doc_id, {_TOKS_LOWER} AS a FROM documents)
+    ), pd AS (
+      SELECT p.tok_a AS tok_a, p.tok_b AS tok_b,
+             count(DISTINCT doc_id) AS nd
+      FROM pr GROUP BY 1, 2
+    ), per AS (
+      SELECT pr.doc_id, count(*) AS n_bigrams,
+             sum(CASE WHEN pd.nd = 1 THEN 1 ELSE 0 END) AS nov
+      FROM pr JOIN pd ON pd.tok_a = pr.p.tok_a AND pd.tok_b = pr.p.tok_b
+      GROUP BY pr.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           round(per.nov * 1.0 / per.n_bigrams, 6) AS novel_frac
+    FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
 # power-of-2 token-length histogram (doc_stats' whitespace tokens)
 DOC_ORACLES["doc_length_histogram"] = """
     SELECT CAST(CASE WHEN n <= 0 THEN 0

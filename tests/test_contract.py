@@ -78,6 +78,12 @@ def test_grading_window_holds_only_full_oracle_queries():
                  # demoting 4x-green merged_features — key-join+concat
                  # runs in-window inside labeled_turns/tfidf_features)
                  "nb_source_classify",
+                 # round-5 batch 5: mixing-skew + novelty diagnostics
+                 # (slots from demoting 4x-green conv_stats and
+                 # tool_conv_union_distinct — conv aggregation runs
+                 # in-window inside conv_offsets; union/distinct inside
+                 # near_dup_clusters / vocab_dim)
+                 "source_kl_divergence", "bigram_novelty",
                  # round-3 curation family — first driver check is round 3
                  "ivf_codebook",
                  "vocab_dim", "decontaminated",

@@ -457,6 +457,58 @@ def test_perplexity_buckets_matches_single_partition_ntile(spark):
         assert got == expect, f"n_parts={parts}"
 
 
+def test_source_kl_divergence_hand_computed(spark):
+    """KL(P_s || Q) against hand-folded terms; a source matching the
+    corpus marginal sits at ~0, a skewed source is positive; NULL-text
+    docs contribute nothing."""
+    import math
+
+    from ml4logs_spark.operators import textqa
+
+    # corpus: s = {a a b}, t = {a b b}, so Q = {a: 1/2, b: 1/2}
+    docs = _docs(spark, [
+        (0, "a a b", "s"),
+        (1, "a b b", "t"),
+        (2, None, "t"),
+    ])
+    got = {r.source: (r.n_tokens, r.kl_nano)
+           for r in textqa.source_kl_divergence(docs).collect()}
+
+    def nano(x):
+        return int(math.floor(abs(x) * 1e9 + 0.5)) * (1 if x >= 0 else -1)
+
+    kl_s = nano((2 / 3) * math.log((2 / 3) / 0.5)) + nano(
+        (1 / 3) * math.log((1 / 3) / 0.5))
+    assert got == {"s": (3, kl_s), "t": (3, kl_s)}  # symmetric skews
+    assert kl_s > 0
+    # a source identical to the corpus marginal has KL == 0
+    uni = _docs(spark, [(0, "a b", "u"), (1, "a b", "v")])
+    got2 = {r.source: r.kl_nano
+            for r in textqa.source_kl_divergence(uni).collect()}
+    assert got2 == {"u": 0, "v": 0}
+
+
+def test_bigram_novelty_hand_computed(spark):
+    """novel_frac counts bigrams seen in no OTHER doc: shared bigrams
+    score 0, unique ones 1, within-doc repeats stay novel, <2-token
+    docs keep a 0-bigram NULL-frac row."""
+    from ml4logs_spark.operators import textqa
+
+    docs = _docs(spark, [
+        (0, "a b c", "s"),      # (a,b) shared with doc 1, (b,c) unique
+        (1, "a b", "s"),        # (a,b) shared -> 0 novel
+        (2, "x y x y", "s"),    # all 3 bigrams only here (xy repeats)
+        (3, "z", "s"),
+        (4, None, "s"),
+    ])
+    got = {r.doc_id: (r.n_bigrams, r.novel_frac)
+           for r in textqa.bigram_novelty(docs).collect()}
+    assert got[0] == (2, 0.5)
+    assert got[1] == (1, 0.0)
+    assert got[2] == (3, 1.0)
+    assert got[3] == (0, None) and got[4] == (0, None)
+
+
 def test_curate_corpus_temperature_mix_stage(spark):
     """mix_alpha applies the temperature downsample at the scan: the
     chain output equals manually pre-mixing then curating, and
