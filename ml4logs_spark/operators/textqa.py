@@ -676,7 +676,7 @@ def perplexity_buckets(
     twice risks inconsistent ``_pid`` assignments."""
     from pyspark.sql.window import Window
 
-    from ml4logs_spark import cache
+    from ml4logs_spark.operators import twophase
 
     scored = (
         docs.select("doc_id", "source")
@@ -688,25 +688,11 @@ def perplexity_buckets(
         )
     )
     parts = n_parts or docs.sparkSession.sparkContext.defaultParallelism
-    ranged = cache.track(
-        scored.repartitionByRange(parts, "source", "_key", "doc_id")
-        .withColumn("_pid", F.spark_partition_id())
-    )
+    ranged = twophase.ranged(scored, ["source", "_key", "doc_id"], parts)
     w_local = Window.partitionBy("_pid", "source").orderBy("_key", "doc_id")
     local = ranged.withColumn("_local", F.row_number().over(w_local))
-    counts = ranged.groupBy("_pid", "source").agg(
-        F.count(F.lit(1)).alias("_n")
-    )
-    # bounded by #partitions rows PER SOURCE — not a global sort
-    w_base = (
-        Window.partitionBy("source")
-        .orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    bases = counts.withColumn(
-        "_base", F.coalesce(F.sum("_n").over(w_base), F.lit(0))
-    ).select("_pid", "source", "_base")
-    totals = counts.groupBy("source").agg(F.sum("_n").alias("_c"))
+    bases = twophase.bases(ranged, F.count(F.lit(1)), ("source",))
+    totals = ranged.groupBy("source").agg(F.count(F.lit(1)).alias("_c"))
     return (
         local.join(F.broadcast(bases), ["_pid", "source"])
         .withColumn(
@@ -845,7 +831,7 @@ def build_vocab(
     so evaluating it twice risks inconsistent ``_pid`` assignments."""
     from pyspark.sql.window import Window
 
-    from ml4logs_spark import cache
+    from ml4logs_spark.operators import twophase
 
     vocab = vocab_counts(docs, text_col)
     total = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -854,24 +840,10 @@ def build_vocab(
         & (F.col("df") <= F.lit(max_df_ratio) * F.col("n_docs"))
     )
     parts = n_parts or docs.sparkSession.sparkContext.defaultParallelism
-    ranged = cache.track(
-        kept.repartitionByRange(parts, "token")
-        .withColumn("_pid", F.spark_partition_id())
-    )
+    ranged = twophase.ranged(kept, ["token"], parts)
     w_local = Window.partitionBy("_pid").orderBy("token")
     local = ranged.withColumn("_local", F.row_number().over(w_local))
-    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
-    # bounded by #partitions rows — deliberate single-partition window;
-    # the non-foldable constant key survives the optimizer (see
-    # windows.conv_offsets)
-    w_base = (
-        Window.partitionBy(F.substring(F.col("_pid").cast("string"), 1, 0))
-        .orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    bases = counts.withColumn(
-        "_base", F.coalesce(F.sum("_n").over(w_base), F.lit(0))
-    ).select("_pid", "_base")
+    bases = twophase.bases(ranged, F.count(F.lit(1)))
     return local.join(F.broadcast(bases), "_pid").select(
         (F.col("_base") + F.col("_local")).cast("long").alias("token_id"),
         "token",
@@ -904,18 +876,11 @@ def pack_sequences(
         raise ValueError(f"seq_tokens must be positive, got {seq_tokens}")
     from pyspark.sql.window import Window
 
-    from ml4logs_spark import cache
+    from ml4logs_spark.operators import twophase
 
     slim = chunks.select("doc_id", "chunk_idx", "n_tokens")
     parts = n_parts or chunks.sparkSession.sparkContext.defaultParallelism
-    # persisted for the same reason as conv_offsets' ranged frame:
-    # repartitionByRange boundaries come from sampling, so the two
-    # consumers (local sums, per-partition totals) must see ONE
-    # materialized _pid assignment
-    ranged = cache.track(
-        slim.repartitionByRange(parts, "doc_id", "chunk_idx")
-        .withColumn("_pid", F.spark_partition_id())
-    )
+    ranged = twophase.ranged(slim, ["doc_id", "chunk_idx"], parts)
     w_local = (
         Window.partitionBy("_pid")
         .orderBy("doc_id", "chunk_idx")
@@ -924,17 +889,7 @@ def pack_sequences(
     local = ranged.withColumn(
         "_local", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
     )
-    totals = ranged.groupBy("_pid").agg(F.sum("n_tokens").alias("_tot"))
-    # bounded by #partitions rows — deliberate single-partition window
-    # over the tiny totals frame (see windows.conv_offsets)
-    w_base = (
-        Window.partitionBy(F.substring(F.col("_pid").cast("string"), 1, 0))
-        .orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    bases = totals.withColumn(
-        "_base", F.coalesce(F.sum("_tot").over(w_base), F.lit(0))
-    ).select("_pid", "_base")
+    bases = twophase.bases(ranged, F.sum("n_tokens"))
     off = local.join(F.broadcast(bases), "_pid").select(
         "doc_id",
         "chunk_idx",

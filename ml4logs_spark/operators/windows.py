@@ -117,14 +117,11 @@ def conv_offsets(turns: DataFrame, n_parts: int | None = None) -> DataFrame:
     points, assign buckets by range lookup) — same shape as the drain
     fit — which trades the cache for an extra sampling job.
     """
-    from ml4logs_spark import cache
+    from ml4logs_spark.operators import twophase
 
     sizes = turns.groupBy("conv_id").agg(F.count(F.lit(1)).alias("conv_size"))
     parts = n_parts or turns.sparkSession.sparkContext.defaultParallelism
-    ranged = cache.track(
-        sizes.repartitionByRange(parts, "conv_id")
-        .withColumn("_pid", F.spark_partition_id())
-    )
+    ranged = twophase.ranged(sizes, ["conv_id"], parts)
     w_local = (
         Window.partitionBy("_pid").orderBy("conv_id")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -132,18 +129,7 @@ def conv_offsets(turns: DataFrame, n_parts: int | None = None) -> DataFrame:
     local = ranged.withColumn(
         "_local", F.coalesce(F.sum("conv_size").over(w_local), F.lit(0))
     )
-    totals = ranged.groupBy("_pid").agg(F.sum("conv_size").alias("_tot"))
-    # bounded by #partitions rows — deliberate single-partition window;
-    # the non-foldable constant key (empty substring of a real column)
-    # survives the optimizer, unlike a literal (see parse.template_dim)
-    w_base = (
-        Window.partitionBy(F.substring(F.col("_pid").cast("string"), 1, 0))
-        .orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    bases = totals.withColumn(
-        "_base", F.coalesce(F.sum("_tot").over(w_base), F.lit(0))
-    ).select("_pid", "_base")
+    bases = twophase.bases(ranged, F.sum("conv_size"))
     return local.join(F.broadcast(bases), "_pid").select(
         "conv_id", "conv_size", (F.col("_local") + F.col("_base")).alias("conv_offset")
     )
