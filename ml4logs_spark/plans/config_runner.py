@@ -291,6 +291,47 @@ def _a_knn_label_vote(spark, env, step, cfg):
     )
 
 
+def _a_bigram_logprob(spark, env, step, cfg):
+    from ml4logs_spark.operators import textqa
+
+    return textqa.bigram_logprob(env[step.get("from", "documents")])
+
+
+def _a_perplexity_buckets(spark, env, step, cfg):
+    from ml4logs_spark.operators import textqa
+
+    return textqa.perplexity_buckets(
+        env[step.get("from", "documents")],
+        n_buckets=step.get("n_buckets", 3),
+    )
+
+
+def _a_nb_classify(spark, env, step, cfg):
+    # fit on one frame, classify another (defaults to the split-query
+    # even/odd day-2 framing when only one frame is named)
+    from ml4logs_spark.operators import classify
+
+    src = env[step.get("from", "documents")]
+    if "train_from" in step:
+        loglik, priors = classify.nb_fit(
+            env[step["train_from"]], label_col=step.get("label_col", "source")
+        )
+        return classify.nb_classify(src, loglik, priors)
+    return classify.nb_source_classify_split(src)
+
+
+def _a_source_kl(spark, env, step, cfg):
+    from ml4logs_spark.operators import textqa
+
+    return textqa.source_kl_divergence(env[step.get("from", "documents")])
+
+
+def _a_bigram_novelty(spark, env, step, cfg):
+    from ml4logs_spark.operators import textqa
+
+    return textqa.bigram_novelty(env[step.get("from", "documents")])
+
+
 def _a_dataset_split(spark, env, step, cfg):
     from ml4logs_spark.operators import textqa
 
@@ -336,6 +377,11 @@ ACTIONS: dict[str, Callable] = {
     "temperature_mix": _a_temperature_mix,
     "knn_label_vote": _a_knn_label_vote,
     "ivf_cell_summary": _a_ivf_cell_summary,
+    "bigram_logprob": _a_bigram_logprob,
+    "perplexity_buckets": _a_perplexity_buckets,
+    "nb_classify": _a_nb_classify,
+    "source_kl": _a_source_kl,
+    "bigram_novelty": _a_bigram_novelty,
 }
 
 

@@ -174,6 +174,30 @@ def test_config_packing_split_boilerplate(spark, tmp_path):
     assert result["dataset_split"] == 500
 
 
+def test_config_quality_models(spark, tmp_path):
+    """The batch-5 quality-model actions wire through the runner:
+    NB split-classify, perplexity tiers, KL skew, bigram scores."""
+    cfg = {
+        "input": SF_DIR,
+        "warehouse": str(tmp_path / "whq"),
+        "pipeline": [
+            {"action": "documents"},
+            {"action": "nb_classify", "from": "documents", "save": True},
+            {"action": "perplexity_buckets", "from": "documents",
+             "n_buckets": 4, "save": True},
+            {"action": "source_kl", "from": "documents", "save": True},
+            {"action": "bigram_logprob", "from": "documents", "save": True},
+            {"action": "bigram_novelty", "from": "documents", "save": True},
+        ],
+    }
+    result = run_config(spark, cfg)
+    assert result["nb_classify"] == 250  # odd half
+    assert result["perplexity_buckets"] == 500
+    assert result["source_kl"] == 20
+    assert result["bigram_logprob"] == 500
+    assert result["bigram_novelty"] == 500
+
+
 def test_run_pipeline_cli_smoke(tmp_path):
     """The spark-submit entry point (jobs/run_pipeline.py) runs end to
     end as its own process and prints the metrics JSON contract."""
