@@ -703,6 +703,23 @@ def _q_perplexity_buckets(spark, sf_dir):
     return textqa.perplexity_buckets(_docs(spark, sf_dir))
 
 
+def _q_dedup_consecutive_turns(spark, sf_dir):
+    # transcript cleaning: drop turns exactly repeating the previous
+    # turn of their conversation (NULL-safe role/tool/text compare)
+    return windows.dedup_consecutive_turns(
+        tx.transcripts(spark, sf_dir)
+    ).select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+
+def _q_pack_conversations(spark, sf_dir):
+    # SFT-batch prep: conversation-granular stream packing into
+    # 2048-token sequences via the two-phase distributed prefix sum
+    return windows.pack_conversations(tx.transcripts(spark, sf_dir))
+
+
 def _q_conv_loop_flags(spark, sf_dir):
     # agent-loop detection: per-conv longest run of identical
     # (role, tool) turns + flag at >=3 (windows.conv_loop_flags)
@@ -978,6 +995,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and vocab_dim's distinct-token stage)
         "source_kl_divergence": _q_source_kl_divergence,
         "bigram_novelty": _q_bigram_novelty,
+        # round-5 batch 6: transcript cleaning + SFT packing (slots
+        # from demoting confusion_at_half — 4x driver-green r1-r4,
+        # confusion sums run in-window inside threshold_sweep's
+        # per-threshold confusion rows — and labeled_turns — 4x green,
+        # left_semi isin + equi-join shapes run in-window inside
+        # enrich_turns and tfidf_features)
+        "dedup_consecutive_turns": _q_dedup_consecutive_turns,
+        "pack_conversations": _q_pack_conversations,
         # round-5 batch 3: kNN label classifier + temperature mixing
         # (slots from demoting embedding_near_dup_clusters — 2x
         # driver-green r3+r4, and its connected-components core stays
@@ -1012,8 +1037,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_transition_counts": _q_role_transition_counts,
         "conv_jaccard_pairs": _q_conv_jaccard_pairs,
         "conv_offsets": _q_conv_offsets,
-        "labeled_turns": _q_labeled_turns,
-        "confusion_at_half": _q_confusion_at_half,
         "threshold_sweep": _q_threshold_sweep,
         "turn_embeddings": _q_turn_embeddings,
         "conv_turnvec_maxpool": _q_conv_turnvec_maxpool,
@@ -1036,6 +1059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merged_features": _q_merged_features,
         "conv_stats": _q_conv_stats,
         "tool_conv_union_distinct": _q_union_distinct,
+        "labeled_turns": _q_labeled_turns,
+        "confusion_at_half": _q_confusion_at_half,
         # round-5 batch-4 demotions (3-4x driver-green r1-r4)
         "next_template": _q_next_template,
         "dedup_exact_survivors": _q_dedup_exact_survivors,

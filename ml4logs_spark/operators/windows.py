@@ -194,3 +194,90 @@ def role_transition_counts(turns: DataFrame) -> DataFrame:
         .groupBy("role_a", "role_b")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def dedup_consecutive_turns(turns: DataFrame) -> DataFrame:
+    """Transcript cleaning: drop a turn when it exactly repeats the
+    previous turn of the same conversation in (role, tool, text) —
+    the stuttering-agent / double-submit artifact an SFT pipeline
+    strips before packing (the within-conversation complement of
+    ``conv_loop_flags``, which only FLAGS the run; reference analog:
+    the consecutive-duplicate-line collapse its log parsers assume
+    upstream). Comparison is NULL-safe (NULL tool == NULL tool), the
+    ordering key is W2's stable (conv_id, turn_idx), and only the
+    immediately-previous turn is compared — an A B A pattern keeps
+    all three. Returns the surviving rows, original columns.
+
+    Shape at scale: one conv_id window exchange for three lags, then a
+    map-side filter — O(1) state per row, no self-join, and the text
+    column travels through the shuffle exactly once."""
+    w = w_conv()
+    # lag(turn_idx) gates the first turn explicitly: NULL-safe equality
+    # alone would match an all-NULL first turn against the NULL lags
+    same_prev = (
+        F.lag("turn_idx").over(w).isNotNull()
+        & F.col("role").eqNullSafe(F.lag("role").over(w))
+        & F.col("tool").eqNullSafe(F.lag("tool").over(w))
+        & F.col("text").eqNullSafe(F.lag("text").over(w))
+    )
+    return turns.withColumn("_dup", same_prev).filter(~F.col("_dup")).drop("_dup")
+
+
+def pack_conversations(
+    turns: DataFrame, seq_tokens: int = 2048, n_parts: int | None = None
+) -> DataFrame:
+    """SFT-batch prep: assign every conversation a position in a fixed
+    token-budget training stream — the conversation-granular sibling of
+    ``textqa.pack_sequences`` (chunks). Conversations are concatenated
+    in canonical conv_id order; a conversation belongs to the sequence
+    where its FIRST token lands (stream packing: deterministic,
+    order-exact, conversations never split across the midline
+    reassignments a greedy bin-packer would need). Token counts are the
+    shared whitespace definition with NULL text folding to ''.
+
+    Returns (conv_id, conv_tokens, token_offset, seq_id, seq_pos).
+
+    Shape at scale: one conv_id aggregate for per-conversation token
+    totals, then the two-phase distributed prefix sum over the
+    conv-count-sized totals frame (operators/twophase.py — no global
+    sort, no single-partition window over conversations); the division
+    into sequences is map-side arithmetic."""
+    if seq_tokens <= 0:
+        raise ValueError(f"seq_tokens must be positive, got {seq_tokens}")
+    from ml4logs_spark.operators import twophase
+
+    n_tok = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+            lambda t: t != "",
+        )
+    )
+    sizes = turns.groupBy("conv_id").agg(
+        F.sum(n_tok).cast("long").alias("conv_tokens")
+    )
+    parts = n_parts or turns.sparkSession.sparkContext.defaultParallelism
+    ranged = twophase.ranged(sizes, ["conv_id"], parts)
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy("conv_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "_local", F.coalesce(F.sum("conv_tokens").over(w_local), F.lit(0))
+    )
+    bases = twophase.bases(ranged, F.sum("conv_tokens"))
+    return local.join(F.broadcast(bases), "_pid").select(
+        "conv_id",
+        "conv_tokens",
+        (F.col("_local") + F.col("_base")).cast("long").alias("token_offset"),
+        F.floor((F.col("_local") + F.col("_base")) / F.lit(seq_tokens))
+        .cast("long")
+        .alias("seq_id"),
+        (
+            (F.col("_local") + F.col("_base"))
+            - F.floor((F.col("_local") + F.col("_base")) / F.lit(seq_tokens))
+            * seq_tokens
+        )
+        .cast("long")
+        .alias("seq_pos"),
+    )

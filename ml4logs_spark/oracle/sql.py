@@ -482,3 +482,47 @@ cjac AS (
 SELECT doc_a AS conv_a, doc_b AS conv_b, jaccard
 FROM cjac
 """)
+
+
+# consecutive-duplicate turn removal: NULL-safe (role, tool, text)
+# compare against the immediately-previous turn; lag(turn_idx) gates
+# the first turn (matches the Spark operator's guard)
+ORACLES["dedup_consecutive_turns"] = _q("""
+, lagged AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts,
+         lag(turn_idx) OVER w AS p_idx,
+         lag(role) OVER w AS p_role,
+         lag(tool) OVER w AS p_tool,
+         lag(text) OVER w AS p_text
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us
+FROM lagged
+WHERE NOT (p_idx IS NOT NULL
+           AND role IS NOT DISTINCT FROM p_role
+           AND tool IS NOT DISTINCT FROM p_tool
+           AND text IS NOT DISTINCT FROM p_text)
+""")
+
+# conversation-granular stream packing: per-conv whitespace token
+# totals, exclusive prefix sum in conv_id order, budget division
+ORACLES["pack_conversations"] = _q("""
+, csizes AS (
+  SELECT conv_id,
+         CAST(coalesce(sum(len(list_filter(
+           str_split(coalesce(text, ''), ' '), x -> x <> ''))), 0)
+           AS BIGINT) AS conv_tokens
+  FROM t GROUP BY conv_id
+),
+coff AS (
+  SELECT conv_id, conv_tokens,
+         CAST(coalesce(sum(conv_tokens) OVER
+           (ORDER BY conv_id ROWS BETWEEN UNBOUNDED PRECEDING
+            AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+  FROM csizes
+)
+SELECT conv_id, conv_tokens, token_offset,
+       CAST(token_offset // 2048 AS BIGINT) AS seq_id,
+       CAST(token_offset % 2048 AS BIGINT) AS seq_pos
+FROM coff
+""")

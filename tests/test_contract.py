@@ -84,6 +84,12 @@ def test_grading_window_holds_only_full_oracle_queries():
                  # in-window inside conv_offsets; union/distinct inside
                  # near_dup_clusters / vocab_dim)
                  "source_kl_divergence", "bigram_novelty",
+                 # round-5 batch 6: transcript cleaning + SFT packing
+                 # (slots from demoting 4x-green confusion_at_half —
+                 # confusion sums run in-window inside threshold_sweep
+                 # — and labeled_turns — semi-join/equi-join shapes in
+                 # enrich_turns / tfidf_features)
+                 "dedup_consecutive_turns", "pack_conversations",
                  # round-3 curation family — first driver check is round 3
                  "ivf_codebook",
                  "vocab_dim", "decontaminated",

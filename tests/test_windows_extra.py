@@ -153,3 +153,92 @@ def test_conv_near_dups_and_jaccard_pairs(spark):
     }
     assert jp[("c1", "c2")] == pairs[0]["jaccard"]
     assert all(a != "c3" and b != "c3" or j < 0.8 for (a, b), j in jp.items())
+
+
+def _full_turns(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+
+
+def test_dedup_consecutive_turns(spark):
+    """Exact-consecutive repeats drop (NULL-safe on tool/text), A B A
+    keeps all three, first turns always survive — even an all-NULL
+    first turn — and conversations are independent."""
+    import datetime as dt
+
+    from ml4logs_spark.operators import windows
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c1", 0, "user", "hi", None, t0),
+        ("c1", 1, "user", "hi", None, t0),          # dup of 0 -> drop
+        ("c1", 2, "assistant", "hello", "search", t0),
+        ("c1", 3, "user", "hi", None, t0),          # A B A -> keep
+        ("c2", 0, "user", "hi", None, t0),          # conv boundary
+        ("c3", 0, None, None, None, t0),            # all-NULL first turn
+        ("c3", 1, None, None, None, t0),            # real NULL dup -> drop
+    ]
+    got = sorted(
+        (r.conv_id, r.turn_idx)
+        for r in windows.dedup_consecutive_turns(
+            _full_turns(spark, rows)
+        ).collect()
+    )
+    assert got == [("c1", 0), ("c1", 2), ("c1", 3), ("c2", 0), ("c3", 0)]
+
+
+def test_pack_conversations_hand_computed(spark):
+    """Offsets follow conv_id order, NULL text counts 0 tokens, and a
+    conversation straddling the budget belongs to the sequence where
+    its first token lands."""
+    import datetime as dt
+
+    from ml4logs_spark.operators import windows
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", 0, "user", "one two three", None, t0),   # 3 tokens
+        ("a", 1, "user", "four five", None, t0),       # conv a: 5 tokens
+        ("b", 0, "user", None, None, t0),               # conv b: 0 tokens
+        ("c", 0, "user", "x y z w", None, t0),          # conv c: 4 tokens
+        ("d", 0, "user", "tail", None, t0),             # conv d: 1 token
+    ]
+    got = {
+        r.conv_id: (r.conv_tokens, r.token_offset, r.seq_id, r.seq_pos)
+        for r in windows.pack_conversations(
+            _full_turns(spark, rows), seq_tokens=6
+        ).collect()
+    }
+    assert got == {
+        "a": (5, 0, 0, 0),
+        "b": (0, 5, 0, 5),
+        "c": (4, 5, 0, 5),   # first token in seq 0 though it straddles
+        "d": (1, 9, 1, 3),
+    }
+
+
+def test_pack_conversations_partition_invariant(spark):
+    """Same packing at 1 / 3 / 16 range partitions (two-phase shape)."""
+    import datetime as dt
+
+    from ml4logs_spark.operators import windows
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (f"c{i:03d}", j, "user", " ".join(["tok"] * ((i * 7 + j) % 5)),
+         None, t0)
+        for i in range(40) for j in range(3)
+    ]
+    frames = [
+        {
+            (r.conv_id, r.conv_tokens, r.token_offset, r.seq_id, r.seq_pos)
+            for r in windows.pack_conversations(
+                _full_turns(spark, rows), seq_tokens=16, n_parts=p
+            ).collect()
+        }
+        for p in (1, 3, 16)
+    ]
+    assert frames[0] == frames[1] == frames[2]
