@@ -703,6 +703,24 @@ def _q_perplexity_buckets(spark, sf_dir):
     return textqa.perplexity_buckets(_docs(spark, sf_dir))
 
 
+def _q_bpe_merges(spark, sf_dir):
+    # tokenizer training: learned BPE merge table (rows-only — the
+    # iterative argmax fit has no SQL analog; pinned in pytest against
+    # an independent pure-Python reference with identical tie-breaks)
+    from ml4logs_spark.operators import bpe
+
+    return bpe.bpe_fit(_docs(spark, sf_dir), n_merges=24)
+
+
+def _q_bpe_encode_stats(spark, sf_dir):
+    # tokenizer compression diagnostic: pieces-per-word under the
+    # learned merges (rows-only — depends on the iterative fit)
+    from ml4logs_spark.operators import bpe
+
+    docs = _docs(spark, sf_dir)
+    return bpe.bpe_encode(docs, bpe.bpe_fit(docs, n_merges=24))
+
+
 def _q_dedup_consecutive_turns(spark, sf_dir):
     # transcript cleaning: drop turns exactly repeating the previous
     # turn of their conversation (NULL-safe role/tool/text compare)
@@ -1112,6 +1130,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_convs": _q_approx_distinct_convs,
         "media_features": _q_media_features,
         "drain_templates": _q_drain_templates,
+        # rows-only (iterative BPE fit; pinned vs a pure-Python
+        # reference in tests/test_bpe.py)
+        "bpe_merges": _q_bpe_merges,
+        "bpe_encode_stats": _q_bpe_encode_stats,
     }
 
 

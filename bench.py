@@ -454,6 +454,14 @@ def main() -> None:
         t0 = time.perf_counter()
         force(textqa_op.perplexity_buckets(nb_corpus))
         _ppx = time.perf_counter() - t0
+        # BPE merge learning: 16 rounds of pair-count argmax over the
+        # word-TYPE dim (the corpus is scanned once) — the tokenizer-fit
+        # wall a pipeline pays per vocab sweep
+        from ml4logs_spark.operators import bpe as bpe_op
+
+        t0 = time.perf_counter()
+        n_bpe = bpe_op.bpe_fit(nb_corpus, n_merges=16).count()
+        _bpe = time.perf_counter() - t0
         cache.release_all()
         nb_corpus.unpersist()
         docs_out["simhash_docs"] = n_docs
@@ -481,6 +489,9 @@ def main() -> None:
         docs_out["nb_classify_docs_per_sec"] = round(n_nb / _nb, 1)
         docs_out["perplexity_buckets_sec"] = round(_ppx, 3)
         docs_out["perplexity_buckets_docs_per_sec"] = round(n_nb / _ppx, 1)
+        docs_out["bpe_fit_merges"] = n_bpe
+        docs_out["bpe_fit_sec"] = round(_bpe, 3)
+        docs_out["bpe_fit_merges_per_sec"] = round(n_bpe / _bpe, 2)
         docs_out["incremental_simhash_pairs"] = incsh_pairs
         docs_out["incremental_simhash_pairs_per_sec"] = round(
             incsh_pairs / _incsh, 1)

@@ -332,6 +332,25 @@ def _a_bigram_novelty(spark, env, step, cfg):
     return textqa.bigram_novelty(env[step.get("from", "documents")])
 
 
+def _a_bpe_fit(spark, env, step, cfg):
+    from ml4logs_spark.operators import bpe
+
+    return bpe.bpe_fit(
+        env[step.get("from", "documents")],
+        n_merges=step.get("n_merges", 32),
+    )
+
+
+def _a_bpe_encode(spark, env, step, cfg):
+    from ml4logs_spark.operators import bpe
+
+    src = env[step.get("from", "documents")]
+    merges = env[step["merges_from"]] if "merges_from" in step else bpe.bpe_fit(
+        src, n_merges=step.get("n_merges", 32)
+    )
+    return bpe.bpe_encode(src, merges)
+
+
 def _a_dataset_split(spark, env, step, cfg):
     from ml4logs_spark.operators import textqa
 
@@ -382,6 +401,8 @@ ACTIONS: dict[str, Callable] = {
     "nb_classify": _a_nb_classify,
     "source_kl": _a_source_kl,
     "bigram_novelty": _a_bigram_novelty,
+    "bpe_fit": _a_bpe_fit,
+    "bpe_encode": _a_bpe_encode,
 }
 
 

@@ -17,6 +17,10 @@ ROWS_ONLY = {
     "approx_distinct_convs": "HLL sketch values are engine-specific",
     "drain_templates": "Python tree mining has no SQL analog",
     "media_features": "byte-level pandas-UDF stub has no SQL analog",
+    "bpe_merges": "iterative argmax fit has no SQL analog; pinned vs "
+                  "a pure-Python reference in tests/test_bpe.py",
+    "bpe_encode_stats": "depends on the iterative BPE fit; compression "
+                        "pinned in tests/test_bpe.py",
 }
 
 
