@@ -703,6 +703,14 @@ def _q_perplexity_buckets(spark, sf_dir):
     return textqa.perplexity_buckets(_docs(spark, sf_dir))
 
 
+def _q_nb_confusion(spark, sf_dir):
+    # NB gate trust view: true source x predicted label counts over
+    # the odd (held-out) half
+    from ml4logs_spark.operators import classify
+
+    return classify.nb_confusion(_docs(spark, sf_dir))
+
+
 def _q_bpe_merges(spark, sf_dir):
     # tokenizer training: learned BPE merge table (rows-only — the
     # iterative argmax fit has no SQL analog; pinned in pytest against
@@ -1079,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_conv_union_distinct": _q_union_distinct,
         "labeled_turns": _q_labeled_turns,
         "confusion_at_half": _q_confusion_at_half,
+        "nb_confusion": _q_nb_confusion,
         # round-5 batch-4 demotions (3-4x driver-green r1-r4)
         "next_template": _q_next_template,
         "dedup_exact_survivors": _q_dedup_exact_survivors,

@@ -134,6 +134,24 @@ def nb_classify(
     )
 
 
+def nb_confusion(docs: DataFrame, label_col: str = "source") -> DataFrame:
+    """Confusion rollup of the split classifier: true label (odd half)
+    x predicted label counts — the quality view a pipeline reads to
+    decide whether the cheap NB gate is trustworthy per source. Output
+    is at most #labels^2 rows; the join back to truth is on doc_id
+    (broadcast-able: predictions are one row per scored doc, the
+    rollup collapses immediately)."""
+    pred = nb_source_classify_split(docs)
+    truth = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.col(label_col).alias(label_col)
+    )
+    return (
+        truth.join(pred, "doc_id")
+        .groupBy(label_col, "pred_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def nb_source_classify_split(docs: DataFrame) -> DataFrame:
     """Day-2 framing of the NB classifier: fit on even doc_ids
     (history-as-labeled-set), classify the odd doc_ids — the same

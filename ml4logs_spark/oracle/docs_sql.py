@@ -829,7 +829,7 @@ DOC_ORACLES["perplexity_buckets"] = f"""
 # integer micro-units at the model dim (the repo determinism idiom) so
 # the per-doc sums are exact bigints on both engines; argmax via
 # row_number (score DESC, label ASC) = Spark's min(struct(-score,label))
-DOC_ORACLES["nb_source_classify"] = f"""
+_NB_CTE = f"""
     WITH train AS (
       SELECT * FROM documents WHERE doc_id % 2 = 0
     ), tok AS (
@@ -876,9 +876,22 @@ DOC_ORACLES["nb_source_classify"] = f"""
         PARTITION BY doc_id ORDER BY logpost_micro DESC, label ASC
       ) AS rn FROM scored
     )
+"""
+
+DOC_ORACLES["nb_source_classify"] = _NB_CTE + """
     SELECT doc_id, label AS pred_label,
            CAST(logpost_micro AS BIGINT) AS logpost_micro
     FROM best WHERE rn = 1
+"""
+
+# confusion rollup of the split classifier: true source (odd half) x
+# predicted label counts
+DOC_ORACLES["nb_confusion"] = _NB_CTE + """
+    SELECT d.source, b.label AS pred_label,
+           CAST(count(*) AS BIGINT) AS n
+    FROM best b JOIN documents d USING (doc_id)
+    WHERE b.rn = 1
+    GROUP BY 1, 2
 """
 
 # per-source unigram KL divergence vs the corpus marginal — terms

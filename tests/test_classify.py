@@ -102,6 +102,16 @@ def test_nb_split_query_equals_manual_composition(spark):
     assert via_split == manual
 
 
+def test_nb_confusion_diagonal_on_planted_signal(spark):
+    """Planted-marker corpus: the confusion matrix is exactly the
+    diagonal (25 held-out docs per class, all correct)."""
+    rows = [(i, f"common words marker{(i // 2) % 4} tail",
+             f"s{(i // 2) % 4}") for i in range(200)]
+    got = {(r.source, r.pred_label): r.n
+           for r in classify.nb_confusion(_docs(spark, rows)).collect()}
+    assert got == {(f"s{k}", f"s{k}"): 25 for k in range(4)}
+
+
 def test_nb_empty_input(spark):
     docs = _docs(spark, [])
     loglik, priors = classify.nb_fit(docs)
