@@ -195,6 +195,32 @@ def main() -> int:
     check("perplexity_buckets: no single-partition stage over the docs",
           len(single_ids) <= 2, f"SinglePartition plan_ids={sorted(single_ids)}")
 
+    # batch-6 diagnostics: KL terms join broadcast stat dims (the only
+    # nested loop is the 1-row corpus total); novelty is pair-keyed
+    # equi-joins — neither may produce a cartesian product
+    p = plan_of(textqa.source_kl_divergence(docs))
+    check("source_kl: no cartesian product", "CartesianProduct" not in p)
+    p = plan_of(textqa.bigram_novelty(docs))
+    check("bigram_novelty: no cartesian product", "CartesianProduct" not in p)
+
+    # transcript cleaning: ONE conv_id window exchange, map-side filter
+    from ml4logs_spark.operators import windows as win_op
+    p = plan_of(win_op.dedup_consecutive_turns(t))
+    check("dedup_consecutive_turns: single exchange",
+          p.count("Exchange hashpartitioning") == 1)
+
+    # conversation packing: the two-phase contract (range partition on
+    # conv_id, window keyed by _pid, totals-only single-partition)
+    p = plan_of(win_op.pack_conversations(t))
+    check("pack_conversations: range repartition on conv_id",
+          "rangepartitioning(conv_id" in p)
+    check("pack_conversations: prefix window partitioned by _pid",
+          "windowspecdefinition(_pid" in p)
+    single_ids = set(_re.findall(
+        r"Exchange SinglePartition[^\[\n]*\[plan_id=(\d+)\]", p))
+    check("pack_conversations: no single-partition stage over convs",
+          len(single_ids) <= 1, f"SinglePartition plan_ids={sorted(single_ids)}")
+
     # NB classifier: the V*K model dim rides back as a broadcast hash
     # join; the only nested loops are broadcasts of the label-count /
     # vocab-size scalars — never a cartesian product over docs
