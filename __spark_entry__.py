@@ -703,6 +703,16 @@ def _q_perplexity_buckets(spark, sf_dir):
     return textqa.perplexity_buckets(_docs(spark, sf_dir))
 
 
+def _q_lm_score_day2(spark, sf_dir):
+    # day-2 LM quality scoring: odd docs scored under the unigram LM
+    # frozen from the even half's persisted vocab_counts state
+    from ml4logs_spark.operators import textqa
+
+    docs = _docs(spark, sf_dir)
+    hist = textqa.vocab_counts(docs.filter(F.col("doc_id") % 2 == 0))
+    return textqa.lm_score(docs.filter(F.col("doc_id") % 2 == 1), hist)
+
+
 def _q_nb_confusion(spark, sf_dir):
     # NB gate trust view: true source x predicted label counts over
     # the odd (held-out) half
@@ -1088,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "labeled_turns": _q_labeled_turns,
         "confusion_at_half": _q_confusion_at_half,
         "nb_confusion": _q_nb_confusion,
+        "lm_score_day2": _q_lm_score_day2,
         # round-5 batch-4 demotions (3-4x driver-green r1-r4)
         "next_template": _q_next_template,
         "dedup_exact_survivors": _q_dedup_exact_survivors,

@@ -481,6 +481,53 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def lm_score(
+    docs: DataFrame, counts: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Score docs under a FROZEN unigram LM — the day-2 path of
+    ``unigram_logprob``: the model is the persisted (token, tf) state
+    that ``vocab_counts`` / ``merge_vocab_counts`` maintain, so
+    tomorrow's crawl is quality-scored under today's LM without
+    rescanning (or even holding) historical text. Same add-one
+    smoothing, with tokens UNSEEN by the model taking the smoothed
+    floor ln(1/(N+V)) — the piece the self-scoring operator never
+    needs. ``lm_score(docs, vocab_counts(docs))`` equals
+    ``unigram_logprob(docs)`` exactly (pytest-pinned), so green means
+    the fit/apply seam introduces nothing. Returns (doc_id,
+    avg_logprob, n_tokens); NULL/empty docs keep a NULL-score row.
+
+    Shape at scale: one explode, a broadcast LEFT join against the
+    token-count state (same Heaps'-bounded dim and same >10^8-entry
+    escape hatch as unigram_logprob), the (N, V) normalizer as a
+    broadcast 1-row aggregate, one doc_id aggregate."""
+    norm = counts.agg(
+        F.sum("tf").alias("_tot"), F.count(F.lit(1)).alias("_vsz")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(_toks_lower(text_col)).alias("token")
+    )
+    scored = (
+        toks.join(F.broadcast(counts.select("token", "tf")), "token", "left")
+        .crossJoin(F.broadcast(norm))
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce("tf", F.lit(0)) + F.lit(1.0))
+                / (F.col("_tot") + F.col("_vsz"))
+            ).alias("_lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "avg_logprob",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+    )
+
+
 def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc mean add-one-smoothed BIGRAM log probability under the
     corpus's own bigram model — one step up the n-gram ladder from

@@ -829,6 +829,37 @@ DOC_ORACLES["perplexity_buckets"] = f"""
 # integer micro-units at the model dim (the repo determinism idiom) so
 # the per-doc sums are exact bigints on both engines; argmax via
 # row_number (score DESC, label ASC) = Spark's min(struct(-score,label))
+# day-2 LM scoring: unigram model frozen on the even half (the
+# persisted vocab_counts state), odd half scored with OOV floor —
+# the oracle fits batch-style, so green == state-equals-batch
+DOC_ORACLES["lm_score_day2"] = f"""
+    WITH hist AS (
+      SELECT * FROM documents WHERE doc_id % 2 = 0
+    ), cnts AS (
+      SELECT token, count(*) AS tf FROM (
+        SELECT unnest({_TOKS_LOWER}) AS token FROM hist
+      ) GROUP BY token
+    ), nrm AS (
+      SELECT (SELECT coalesce(sum(tf), 0) FROM cnts) AS tot,
+             (SELECT count(*) FROM cnts) AS vsz
+    ), tok AS (
+      SELECT doc_id, unnest({_TOKS_LOWER}) AS token
+      FROM documents WHERE doc_id % 2 = 1
+    ), sc AS (
+      SELECT t.doc_id,
+             ln((coalesce(c.tf, 0) + 1.0) / (n.tot + n.vsz)) AS lp
+      FROM tok t LEFT JOIN cnts c USING (token) CROSS JOIN nrm n
+    ), per AS (
+      SELECT doc_id, round(avg(lp), 6) AS avg_logprob,
+             count(*) AS n_tokens
+      FROM sc GROUP BY doc_id
+    )
+    SELECT d.doc_id, p.avg_logprob,
+           CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+    LEFT JOIN per p USING (doc_id)
+"""
+
 _NB_CTE = f"""
     WITH train AS (
       SELECT * FROM documents WHERE doc_id % 2 = 0

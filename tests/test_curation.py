@@ -395,6 +395,28 @@ def test_bigram_logprob_hand_computed(spark):
     assert got[0][0] > got[1][0]  # frequent ORDER -> higher score
 
 
+def test_lm_score_self_equals_unigram_logprob(spark):
+    """lm_score under the model fit on the SAME corpus reproduces
+    unigram_logprob exactly (the fit/apply seam adds nothing), and an
+    OOV-only day-2 doc takes the smoothed floor ln(1/(N+V))."""
+    import math
+
+    from ml4logs_spark.operators import textqa
+
+    docs = _docs(spark, [
+        (0, "a a b", "s"), (1, "b c", "s"), (2, "", "s"), (3, None, "s"),
+    ])
+    self_scored = {tuple(r) for r in textqa.lm_score(
+        docs, textqa.vocab_counts(docs)).collect()}
+    direct = {tuple(r) for r in textqa.unigram_logprob(docs).collect()}
+    assert self_scored == direct
+    # frozen model: fit on docs, score an unseen-token batch
+    new = _docs(spark, [(10, "zzz zzz", "s")])
+    row = textqa.lm_score(new, textqa.vocab_counts(docs)).collect()[0]
+    assert row.avg_logprob == round(math.log(1 / (5 + 3)), 6)  # N=5, V=3
+    assert row.n_tokens == 2
+
+
 def test_perplexity_buckets_hand_computed(spark):
     """Per-source ntile over the unigram-LM score: head bucket gets the
     most-typical docs, NULL-score docs rank last, bucket sizes follow
