@@ -325,3 +325,72 @@ def test_temperature_rates_property(spark, counts, alpha):
     }
     assert got == exp
     assert got[f"s{counts.index(n_min)}"] == 65536
+
+
+@settings(**SLOW)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=30),
+                   min_size=1, max_size=30),
+    budget=st.integers(min_value=1, max_value=40),
+    parts=st.integers(min_value=1, max_value=7),
+)
+def test_pack_conversations_stream_property(spark, sizes, budget, parts):
+    """Conversation packing == pandas cumsum + integer division, for
+    any token-count multiset, budget, and partition count."""
+    rows = [
+        (f"c{i:04d}", 0, "u", " ".join(["t"] * n) if n else None, None, None)
+        for i, n in enumerate(sizes)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp"
+    )
+    got = (
+        windows.pack_conversations(df, seq_tokens=budget, n_parts=parts)
+        .toPandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    offs = pd.Series(sizes).cumsum().shift(1, fill_value=0)
+    assert got.conv_tokens.tolist() == sizes
+    assert got.token_offset.tolist() == offs.tolist()
+    assert got.seq_id.tolist() == (offs // budget).tolist()
+    assert got.seq_pos.tolist() == (offs % budget).tolist()
+
+
+@settings(**SLOW)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=6).map(
+            lambda cs: " ".join(cs)
+        ),
+        min_size=1, max_size=20,
+    )
+)
+def test_bigram_novelty_matches_python(spark, texts):
+    """novel_frac == a pure-Python count of bigrams unique to one doc,
+    for any small random corpus; frac always within [0, 1]."""
+    from collections import Counter
+
+    from ml4logs_spark.operators import textqa
+
+    docs = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    got = {r.doc_id: (r.n_bigrams, r.novel_frac)
+           for r in textqa.bigram_novelty(docs).collect()}
+    pairs_by_doc = {
+        i: [(w[j], w[j + 1]) for j in range(len(w) - 1)]
+        for i, t in enumerate(texts)
+        for w in [[x for x in t.split(" ") if x]]
+    }
+    owners = Counter()
+    for i, ps in pairs_by_doc.items():
+        for p in set(ps):
+            owners[p] += 1
+    for i, ps in pairs_by_doc.items():
+        n = len(ps)
+        nov = sum(1 for p in ps if owners[p] == 1)
+        exp = (n, round(nov / n, 6) if n else None)
+        assert got[i] == exp
+        if n:
+            assert 0.0 <= got[i][1] <= 1.0
