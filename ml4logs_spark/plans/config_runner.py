@@ -332,6 +332,22 @@ def _a_bigram_novelty(spark, env, step, cfg):
     return textqa.bigram_novelty(env[step.get("from", "documents")])
 
 
+def _a_nb_confusion(spark, env, step, cfg):
+    from ml4logs_spark.operators import classify
+
+    return classify.nb_confusion(env[step.get("from", "documents")])
+
+
+def _a_lm_score(spark, env, step, cfg):
+    # score one frame under the LM carried by another frame's
+    # vocab_counts state (defaults to self-scoring == unigram_logprob)
+    from ml4logs_spark.operators import textqa
+
+    src = env[step.get("from", "documents")]
+    model_src = env[step["model_from"]] if "model_from" in step else src
+    return textqa.lm_score(src, textqa.vocab_counts(model_src))
+
+
 def _a_bpe_fit(spark, env, step, cfg):
     from ml4logs_spark.operators import bpe
 
@@ -403,6 +419,8 @@ ACTIONS: dict[str, Callable] = {
     "bigram_novelty": _a_bigram_novelty,
     "bpe_fit": _a_bpe_fit,
     "bpe_encode": _a_bpe_encode,
+    "nb_confusion": _a_nb_confusion,
+    "lm_score": _a_lm_score,
 }
 
 
