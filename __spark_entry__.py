@@ -837,6 +837,22 @@ def _q_quantized_cosine_topk(spark, sf_dir):
     return similarity.quantized_topk(_emb(spark, sf_dir), query_ids=list(range(5)), k=10)
 
 
+def _q_pq_codes(spark, sf_dir):
+    # product-quantization codes (m bytes/vector vs 4*dim float32 —
+    # 64x smaller ANN state at dim=64/m=4): per-subspace Lloyd fit +
+    # argmin-L2 encode, exploded for value-hashing; the oracle replays
+    # the whole fit as chained CTEs (oracle/docs_sql.py _pq_fit_ctes)
+    return similarity.pq_encode(_emb(spark, sf_dir)).select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    )
+
+
+def _q_pq_cosine_topk(spark, sf_dir):
+    # brute-force top-k over the PQ-reconstructed corpus (symmetric
+    # distance) — the accuracy probe for the PQ scale path
+    return similarity.pq_topk(_emb(spark, sf_dir), query_ids=list(range(5)), k=10)
+
+
 def _q_vocab_coverage(spark, sf_dir):
     # per-doc OOV rate vs the df-thresholded vocabulary (vocab_dim's
     # exact thresholds) — tokenizer-coverage check before featurization
@@ -1060,6 +1076,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "embedding_near_dup_clusters": _q_embedding_near_dup_clusters,
         "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
+        # round-5 final additions (landed after the r5 window froze;
+        # certified by tests/test_oracle_gate.py like every
+        # beyond-window oracle)
+        "pq_codes": _q_pq_codes,
+        "pq_cosine_topk": _q_pq_cosine_topk,
         "source_rollup": _q_source_rollup,
         "pii_masked": _q_pii_masked,
         "doc_chunks": _q_doc_chunks,

@@ -285,18 +285,20 @@ def main() -> None:
     # median-of-3 by default: single-shot e2e timings carry host noise
     # (round-1 measured 2.7s one-shot vs 1.9s median on the same build)
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    if reps > 1:
+
+    def measure_e2e(t=None):
+        """Median-of-reps wall for one e2e() input (warm-up already done
+        for the uniform table; callers warm other inputs themselves)."""
         import statistics
         runs = []
-        for _ in range(reps):
+        for _ in range(max(reps, 1)):
             t0 = time.perf_counter()
-            e2e()
+            e2e(t)
             runs.append(time.perf_counter() - t0)
-        timings["e2e_pipeline"] = round(statistics.median(runs), 3)
-    else:
-        timed("e2e_pipeline", e2e)
+        return round(statistics.median(runs), 3)
 
     if os.environ.get("SPARK_GRAFT_E2E_ONLY") == "1":
+        timings["e2e_pipeline"] = measure_e2e()
         total = round(sum(timings.values()), 3)
         out = {
             "metric": "parse_enrich_route_aggregate_wall",
@@ -315,6 +317,16 @@ def main() -> None:
     # straggler shape route.py's salting and the O(1)-state windows are
     # designed for. The claim under measurement (VERDICT r3 #7/r4 #4):
     # the skewed wall stays within ~1.3x of the uniform wall.
+    #
+    # Tables build and warm HERE, but the headline e2e/skew TIMING runs
+    # at the END of the bench: both measured anomalies (r5 datapoints:
+    # e2e 11-14s in full-bench runs whose later sections were normal,
+    # vs 1.3-2.3s for the identical code in e2e-only mode minutes
+    # later) happened in the first ~minute of a bench process — disk
+    # writeback from the table build plus host-load decay — while the
+    # late-timed components (parse_assign, sink_counts) stayed at their
+    # steady-state values in the SAME runs. Timing last measures the
+    # steady state the 100x projection is based on.
     skew_out: dict = {}
     sk = spark.table(ensure_input(spark, sf_dir, replicate, buckets, skew=True))
     sizes = (
@@ -326,24 +338,19 @@ def main() -> None:
         .first()
     )
     e2e(sk)  # warm: JIT + broadcast for the skewed shapes
-    skew_runs = []
-    for _ in range(max(reps, 1)):
-        t0 = time.perf_counter()
-        e2e(sk)
-        skew_runs.append(time.perf_counter() - t0)
-    import statistics as _st
 
-    timings["skew_e2e"] = round(_st.median(skew_runs), 3)
-    skew_out = {
-        "skew_e2e_sec": timings["skew_e2e"],
-        "uniform_e2e_sec": timings["e2e_pipeline"],
-        "skew_over_uniform": round(
-            timings["skew_e2e"] / timings["e2e_pipeline"], 3
-        ),
-        "giant_conv_turns": int(sizes.mx),
-        "median_conv_turns": int(sizes.md),
-        "skew_factor": round(sizes.mx / max(sizes.md, 1), 1),
-    }
+    def measure_skew():
+        timings["skew_e2e"] = measure_e2e(sk)
+        skew_out.update({
+            "skew_e2e_sec": timings["skew_e2e"],
+            "uniform_e2e_sec": timings["e2e_pipeline"],
+            "skew_over_uniform": round(
+                timings["skew_e2e"] / timings["e2e_pipeline"], 3
+            ),
+            "giant_conv_turns": int(sizes.mx),
+            "median_conv_turns": int(sizes.md),
+            "skew_factor": round(sizes.mx / max(sizes.md, 1), 1),
+        })
 
     # -------- documents/embeddings path: simhash cost + ANN recall ----
     # (outside the headline turns/sec metric; recorded so the ANN scale
@@ -537,6 +544,30 @@ def main() -> None:
             "quantized_config": "int8 affine per-dim (min/max fit), 4x smaller state",
             "quantized_sec": round(time.perf_counter() - t0, 3),
         })
+        # product quantization: the 64x-smaller state path (m codes per
+        # vector). Coarse codes collapse within-cluster rank order, so
+        # the probe is neighborhood membership on the clustered fixture
+        # (fraction of PQ top-10 neighbours in the query's true
+        # cluster) plus the rank-level recall for the record.
+        t0 = time.perf_counter()
+        pq_clustered = _clustered_fixture(spark)
+        pq_kw = dict(m=4, dim=16, ksub=16, n_iters=2, sample_mod=1)
+        pq_tk = similarity.pq_topk(
+            pq_clustered, query_ids=qids, k=10, **pq_kw
+        ).toPandas()
+        pq_purity = float(
+            ((pq_tk.query_id % 8) == (pq_tk.cand_id % 8)).mean()
+        )
+        docs_out.update({
+            "pq_cluster_purity_at_10": round(pq_purity, 4),
+            "pq_purity_floor": 0.9,
+            "pq_purity_pass": pq_purity >= 0.9,
+            "pq_recall_at_10": similarity.pq_recall(
+                pq_clustered, qids, k=10, **pq_kw
+            ),
+            "pq_config": "m=4 subspaces x 16 centroids, 64x smaller state",
+            "pq_sec": round(time.perf_counter() - t0, 3),
+        })
         # kNN label-vote classifier (embedding-space quality/domain
         # tagging): accuracy of the broadcast-seed majority vote
         # against the corpus's true labels — the held-out fraction is
@@ -707,6 +738,14 @@ def main() -> None:
     timed("timedeltas", lambda: force(
         windows.with_timedeltas(turns).select("conv_id", "turn_idx", "td")))
 
+    # headline e2e + skew timing, deferred to steady state (see the
+    # skew-section comment): the plans are long warm — uniform warmed
+    # before the docs sections, skewed right after its table build —
+    # so this measures per-row cost, not process ramp-up.
+    load1 = round(os.getloadavg()[0], 2)  # host state at timing, for the record
+    timings["e2e_pipeline"] = measure_e2e()
+    measure_skew()
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "parse_enrich_route_aggregate_wall",
@@ -717,6 +756,7 @@ def main() -> None:
         "turns": n_turns,
         "turns_per_sec": round(n_turns / timings["e2e_pipeline"], 1),
         "cores": cores,
+        "load1_at_e2e": load1,
         "skew": skew_out,
         "docs": docs_out,
         "streaming": stream_out,

@@ -1061,3 +1061,221 @@ def semantic_dedup_survivors(
         .distinct()
     )
     return emb.join(losers, "vec_id", "left_anti")
+
+
+# ------------------------------------------------ product quantization
+
+def _pq_subvectors(vecs: DataFrame, m: int, dsub: int,
+                   vec_col: str = "v") -> DataFrame:
+    """Map-side 1->m explode of (vec_id, v) into (vec_id, sub, sv) —
+    one row per dim/m-wide subvector, Jegou et al. TPAMI 2011's
+    decomposition. The sub-norm hoists here (see cosine_topk): each
+    subvector scores against ksub centroids, so dot(sv, sv) computes
+    once per ROW, not per (row, centroid) pair."""
+    parts = F.array(*[
+        F.struct(
+            F.lit(s).alias("sub"),
+            F.slice(F.col(vec_col), s * dsub + 1, dsub).alias("sv"),
+        )
+        for s in range(m)
+    ])
+    ex = vecs.select("vec_id", F.explode(parts).alias("e")).select(
+        "vec_id", "e.sub", "e.sv"
+    )
+    return ex.withColumn("_sn", _dot(F.col("sv"), F.col("sv")))
+
+
+def _pq_assign(subs: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Per-(vec_id, sub) argmin-L2 centroid: join the broadcast
+    (sub, cent_id, cv) codebook on sub, squared distance via the
+    hoisted-norms identity d = |s|^2 - 2<s,c> + |c|^2 rounded to 6dp
+    BEFORE ranking (fold-order double noise must not flip near-ties
+    between engines), min_by struct(d, cent_id) == ORDER BY d ASC,
+    cent_id ASC. ONE hash aggregate over N x m x ksub scored rows with
+    map-side combine; no window, no corpus self-join."""
+    cb = codebook.withColumn("_cn2", _dot(F.col("cv"), F.col("cv")))
+    scored = subs.join(F.broadcast(cb), "sub").withColumn(
+        "d",
+        F.round(
+            F.col("_sn") - 2 * _dot(F.col("sv"), F.col("cv")) + F.col("_cn2"),
+            6,
+        ),
+    )
+    key = F.struct(F.col("d").alias("d"), F.col("cent_id").alias("c"))
+    return scored.groupBy("vec_id", "sub").agg(
+        F.min_by("cent_id", key).alias("code")
+    )
+
+
+def fit_pq_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    n_iters: int = 2,
+    sample_mod: int = 5,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks (Jegou, Douze, Schmid, TPAMI
+    2011 — public): per-subspace Lloyd k-means over dim/m-wide vector
+    slices -> (sub, cent_id, cv). PQ is the ANN memory end-game: a
+    vector stores as m codes (m bytes at ksub<=256) instead of 4*dim
+    float32 bytes — 64x smaller at dim=64/m=4, the difference between
+    a 10^10-vector search state living in executor memory or not
+    (int8 scalar quantization, fit_quantizer, only buys 4x).
+
+    Deterministic + SQL-expressible like fit_ivf_codebook (the oracle
+    replays every step as chained CTEs — mirrors the ALGORITHM, not
+    literals):
+    - bounded sample: vec_id % sample_mod == 0 — the fit never scans
+      the full corpus; assignment is |sample| x m x ksub per round;
+    - seeds: the ksub sampled vec_ids with the LOWEST md5(vec_id),
+      each SLICED into its m subvectors (one TakeOrdered; all m
+      subspaces share seed ids). md5 order rather than id order: ids
+      carry corpus structure (round-robin shards, per-source ranges),
+      and seeds drawn from one id range start Lloyd inside one region
+      of the space — measured on the clustered fixture, id-ordered
+      seeds landed in 2 of 4 clusters and left top-k cluster purity at
+      0.55; md5-spread seeds recover it (the deterministic stand-in
+      for kmeans++ random seeding, identical on both engines);
+    - iterate: argmin-L2 assignment per subspace, then per-dim means
+      in EXACT micro-units — floor(val*1e6 + 0.5) summed as bigint,
+      divided and rounded at the end — so re-estimation is fold-order
+      independent on both engines (avg() of raw doubles can land on
+      either side of the 6dp boundary depending on partitioning; the
+      ivf_cell_summary incident, hardened here from the start);
+    - a subspace cell that loses all members drops out (both engines
+      agree).
+
+    All m subspaces train in ONE lazy plan: the sample explodes to
+    (vec_id, sub, sv) rows and every Lloyd round is two hash
+    aggregates keyed by (sub, cell[, pos]) — the m fits never
+    serialize. Nothing collects to the driver."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    sample = emb.filter(F.col("vec_id") % sample_mod == 0).select(
+        "vec_id",
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    seeds = sample.orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    ).limit(ksub)
+    codebook = _pq_subvectors(seeds, m, dsub).select(
+        "sub", F.col("vec_id").alias("cent_id"), F.col("sv").alias("cv")
+    )
+    subs = _pq_subvectors(sample, m, dsub)
+    micro = F.floor(F.col("val") * 1e6 + F.lit(0.5)).cast("long")
+    for _ in range(n_iters):
+        assigned = _pq_assign(subs, codebook).join(subs, ["vec_id", "sub"])
+        codebook = (
+            assigned.select(
+                "sub", F.col("code").alias("cell"),
+                F.posexplode("sv").alias("pos", "val"),
+            )
+            .groupBy("sub", "cell", "pos")
+            .agg(
+                F.round(
+                    F.sum(micro) / (F.count(F.lit(1)) * F.lit(1e6)), 6
+                ).alias("m")
+            )
+            .groupBy("sub", "cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .select("sub", F.col("cell").alias("cent_id"), "cv")
+        )
+    return codebook
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: DataFrame | None = None,
+    m: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    **fit_kw,
+) -> DataFrame:
+    """PQ codes for the full corpus: (vec_id, codes array<int> of
+    length m, codes[s] = nearest sub-centroid id in subspace s).
+
+    Scale shape: the corpus explodes map-side to N x m subvector rows,
+    scores against the BROADCAST codebook (m x ksub rows), and two
+    hash aggregates later is N rows of m ints — the corpus never
+    shuffles wider than (vec_id, sub, code). This is the
+    representation the day-2 embedding state would hold at 10^10+
+    vectors (64x smaller than float32)."""
+    if codebook is None:
+        codebook = fit_pq_codebooks(emb, m=m, dim=dim, vec_col=vec_col, **fit_kw)
+    vecs = emb.select(
+        "vec_id",
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    asg = _pq_assign(_pq_subvectors(vecs, m, dim // m), codebook)
+    return asg.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda s: s["code"].cast("int"),
+        ).alias("codes")
+    )
+
+
+def pq_decode(
+    codes: DataFrame, codebook: DataFrame, out_col: str = "pqvec"
+) -> DataFrame:
+    """Reconstruct the approximation from codes: concatenate each
+    code's sub-centroid in subspace order. posexplode -> broadcast
+    equi-join on (sub, cent_id) -> one vec_id aggregate; centroid
+    values are 6dp by construction, so the reconstruction is
+    bit-identical on both engines."""
+    ex = codes.select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    )
+    cb = codebook.select(
+        "sub", F.col("cent_id").alias("code"), "cv"
+    )
+    j = ex.join(F.broadcast(cb), ["sub", "code"])
+    return j.groupBy("vec_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "cv"))),
+                lambda s: s["cv"],
+            )
+        ).alias(out_col)
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    m: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
+    **fit_kw,
+) -> DataFrame:
+    """Brute-force cosine top-k over the PQ-reconstructed corpus — the
+    accuracy probe for the PQ scale path (symmetric distance: queries
+    reconstruct through the same codes; bench.py reports recall vs the
+    float32 exact baseline, the quantized_topk pattern). The codebook
+    is a tracked diamond (encode's assign join + decode's lookup both
+    consume it)."""
+    from ml4logs_spark import cache
+
+    if codebook is None:
+        codebook = cache.track(
+            fit_pq_codebooks(emb, m=m, dim=dim, vec_col=vec_col, **fit_kw)
+        )
+    dec = pq_decode(pq_encode(emb, codebook, m, dim, vec_col), codebook)
+    return cosine_topk(dec, query_ids, k, vec_col="pqvec")
+
+
+def pq_recall(emb: DataFrame, query_ids: list[int], k: int = 10,
+              **pq_kw) -> float:
+    """Recall@k of the PQ path vs the float32 exact baseline."""
+    return _recall_vs_exact(emb, pq_topk(emb, query_ids, k, **pq_kw),
+                            query_ids, k)

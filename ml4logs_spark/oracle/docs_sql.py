@@ -1511,3 +1511,101 @@ DOC_ORACLES["semantic_dedup_survivors"] = f"""
     SELECT e.vec_id FROM embeddings e
     WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id_b = e.vec_id)
 """
+
+
+# Product-quantization mirror: fit_pq_codebooks is per-subspace Lloyd
+# with every step SQL-expressible (mod-sample, shared TakeOrdered seed
+# ids sliced per subspace, argmin-L2 assignment on 6dp-rounded
+# distances, per-dim means in exact micro-units), so fit + encode
+# replay as chained CTEs — the oracle mirrors the ALGORITHM, not
+# data-dependent literals. Constants must match the
+# similarity.fit_pq_codebooks defaults.
+_PQ_M, _PQ_KSUB, _PQ_ITERS, _PQ_SAMPLE_MOD, _PQ_DSUB = 4, 16, 2, 5, 16
+
+_PQ_D2 = (
+    "round(list_dot_product(t.sv, t.sv)"
+    " - 2 * list_dot_product(t.sv, c.cv)"
+    " + list_dot_product(c.cv, c.cv), 6)"
+)
+
+_PQ_SUBGRID = f"(SELECT range AS s FROM range(0, {_PQ_M})) g"
+
+
+def _pq_fit_ctes() -> str:
+    slice_expr = (
+        f"list_slice(v, g.s * {_PQ_DSUB} + 1, (g.s + 1) * {_PQ_DSUB})"
+    )
+    ctes = [
+        "psamp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        f"FROM embeddings WHERE vec_id % {_PQ_SAMPLE_MOD} = 0)",
+        f"pseeds AS (SELECT vec_id, v FROM psamp "
+        f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_PQ_KSUB})",
+        f"psubs AS (SELECT vec_id, g.s AS sub, {slice_expr} AS sv "
+        f"FROM psamp CROSS JOIN {_PQ_SUBGRID})",
+        f"pcb0 AS (SELECT g.s AS sub, vec_id AS cent_id, {slice_expr} AS cv "
+        f"FROM pseeds CROSS JOIN {_PQ_SUBGRID})",
+    ]
+    for it in range(1, _PQ_ITERS + 1):
+        ctes.append(
+            f"ps{it} AS (SELECT t.vec_id, t.sub, t.sv, c.cent_id, "
+            f"{_PQ_D2} AS d FROM psubs t JOIN pcb{it - 1} c ON t.sub = c.sub)"
+        )
+        ctes.append(
+            f"pa{it} AS (SELECT vec_id, sub, sv, cent_id AS cell FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY vec_id, sub "
+            f"ORDER BY d, cent_id) AS rn FROM ps{it}) r WHERE rn = 1)"
+        )
+        ctes.append(
+            f"pm{it} AS (SELECT sub, cell, g.i AS pos, "
+            "round(sum(CAST(floor(sv[g.i] * 1e6 + 0.5) AS BIGINT)) "
+            "/ (count(*) * 1000000.0), 6) AS m "
+            f"FROM pa{it} CROSS JOIN (SELECT range AS i "
+            f"FROM range(1, {_PQ_DSUB + 1})) g GROUP BY sub, cell, g.i)"
+        )
+        ctes.append(
+            f"pcb{it} AS (SELECT sub, cell AS cent_id, "
+            f"list(m ORDER BY pos) AS cv FROM pm{it} GROUP BY sub, cell)"
+        )
+    ctes += [
+        "pcorp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings)",
+        f"pcsub AS (SELECT vec_id, g.s AS sub, {slice_expr} AS sv "
+        f"FROM pcorp CROSS JOIN {_PQ_SUBGRID})",
+        f"pcs AS (SELECT t.vec_id, t.sub, c.cent_id, {_PQ_D2} AS d "
+        f"FROM pcsub t JOIN pcb{_PQ_ITERS} c ON t.sub = c.sub)",
+        "pasg AS (SELECT vec_id, sub, cent_id AS code FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY vec_id, sub "
+        "ORDER BY d, cent_id) AS rn FROM pcs) r WHERE rn = 1)",
+    ]
+    return ",\n    ".join(ctes)
+
+
+DOC_ORACLES["pq_codes"] = f"""
+    WITH {_pq_fit_ctes()}
+    SELECT vec_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code
+    FROM pasg
+"""
+
+_PQ_COS = (
+    "list_dot_product(q.pqvec, c.pqvec)"
+    " / (sqrt(list_dot_product(q.pqvec, q.pqvec))"
+    " * sqrt(list_dot_product(c.pqvec, c.pqvec)))"
+)
+
+DOC_ORACLES["pq_cosine_topk"] = f"""
+    WITH {_pq_fit_ctes()},
+    pdec AS (
+      SELECT a.vec_id, flatten(list(c.cv ORDER BY a.sub)) AS pqvec
+      FROM pasg a JOIN pcb{_PQ_ITERS} c
+        ON c.sub = a.sub AND c.cent_id = a.code
+      GROUP BY a.vec_id
+    )
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round({_PQ_COS}, 6) DESC, c.vec_id) AS INT) AS rank,
+           round({_PQ_COS}, 6) AS cosine
+    FROM pdec q JOIN pdec c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 5
+    QUALIFY rank <= 10
+"""

@@ -332,6 +332,34 @@ def _a_bigram_novelty(spark, env, step, cfg):
     return textqa.bigram_novelty(env[step.get("from", "documents")])
 
 
+def _a_pq_encode(spark, env, step, cfg):
+    from ml4logs_spark.operators import similarity
+
+    return similarity.pq_encode(
+        env[step.get("from", "embeddings")],
+        m=step.get("m", 4),
+        dim=step.get("dim", 64),
+        ksub=step.get("ksub", 16),
+        n_iters=step.get("n_iters", 2),
+        sample_mod=step.get("sample_mod", 5),
+    )
+
+
+def _a_pq_topk(spark, env, step, cfg):
+    from ml4logs_spark.operators import similarity
+
+    return similarity.pq_topk(
+        env[step.get("from", "embeddings")],
+        query_ids=step.get("query_ids", list(range(5))),
+        k=step.get("k", 10),
+        m=step.get("m", 4),
+        dim=step.get("dim", 64),
+        ksub=step.get("ksub", 16),
+        n_iters=step.get("n_iters", 2),
+        sample_mod=step.get("sample_mod", 5),
+    )
+
+
 def _a_nb_confusion(spark, env, step, cfg):
     from ml4logs_spark.operators import classify
 
@@ -421,6 +449,8 @@ ACTIONS: dict[str, Callable] = {
     "bpe_encode": _a_bpe_encode,
     "nb_confusion": _a_nb_confusion,
     "lm_score": _a_lm_score,
+    "pq_encode": _a_pq_encode,
+    "pq_topk": _a_pq_topk,
 }
 
 
