@@ -149,6 +149,18 @@ def main() -> int:
           p.count("HashAggregate") >= 2)
     check("fit_ivf_codebook: no cartesian product", "CartesianProduct" not in p)
 
+    # 8d'. product quantization: encode scores the exploded corpus
+    # against the BROADCAST (m x ksub)-row codebook — an equi-join on
+    # sub, never a cartesian — and aggregates by hash, never a
+    # corpus-wide window sort.
+    p = plan_of(similarity.pq_encode(
+        emb, m=4, dim=16, ksub=8, n_iters=1, sample_mod=1))
+    check("pq_encode: codebook join broadcast", "BroadcastHashJoin" in p)
+    check("pq_encode: no cartesian product", "CartesianProduct" not in p)
+    check("pq_encode: no corpus window sort", "Window" not in p)
+    check("pq_encode: partial+final HashAggregate",
+          p.count("HashAggregate") >= 2)
+
     # 8e. curation ops: quality filter and hash sampling are map-only
     # (filter fuses into the scan); decontamination is a broadcast
     # shingle equi-join, never a cartesian.
