@@ -261,6 +261,84 @@ def boilerplate_span_filter(
     return _reassemble_blocks(kept, text_col)
 
 
+BLOCK_STORE_HASH_CHARS = 16  # 64-bit block hashes in the span-dedup state
+
+
+def block_store(
+    docs: DataFrame,
+    span_tokens: int = 16,
+    text_col: str = "text",
+    hash_chars: int = BLOCK_STORE_HASH_CHARS,
+) -> DataFrame:
+    """Day-2 state for span-level dedup: the distinct set of block
+    hashes ever seen, as ``hash_chars``-hex md5 prefixes (one
+    ``block_hash`` column). 16 hex chars = 64 bits: at 10^12 historical
+    blocks the birthday-collision expectation is ~0.03 merged pairs —
+    and a collision only drops one more span, it never corrupts a doc.
+    Fixed-width hex state with NO text, the same keep-the-hashes-only
+    contract as ``shingle_store`` / the simhash signature table.
+
+    Advance the frontier after an ingest by unioning
+    ``block_store(new_batch)`` (every block of the batch is "seen"
+    after the batch lands, whether its canonical copy survived in
+    history or in the batch) and re-distincting — a set union on the
+    uniform hash key, history never rescanned."""
+    return (
+        span_blocks(docs, span_tokens, text_col)
+        .select(F.substring("block_hash", 1, hash_chars).alias("block_hash"))
+        .distinct()
+    )
+
+
+def incremental_span_dedup(
+    new_docs: DataFrame,
+    store: DataFrame,
+    span_tokens: int = 16,
+    text_col: str = "text",
+    hash_chars: int = BLOCK_STORE_HASH_CHARS,
+) -> DataFrame:
+    """Cross-batch span-level dedup — the day-2 ingest path of
+    ``span_dedup`` (Lee et al. 2021 block-hash ExactSubstr
+    approximation), closing the incremental loop for the span family
+    like exact / minhash / simhash / embedding have theirs.
+
+    A block of the new batch survives iff its hash is NOT in the
+    historical ``block_store`` AND it is the batch-canonical occurrence
+    (min (doc_id, block_idx)) of its hash; survivors reassemble per doc
+    in block order. Docs whose every block is historical drop out
+    entirely. When history ids precede batch ids this equals
+    ``span_dedup(history UNION batch)`` restricted to the batch
+    (pytest-pinned); a replayed batch whose blocks were already
+    absorbed into the store emits NOTHING (no duplicate spans ever
+    re-enter the corpus — the same at-least-once contract as the other
+    incremental families).
+
+    Shape at scale: map-side block explode -> anti-join against the
+    compact hash-only state on the uniform 64-bit key (state is a hash
+    dim, the historical corpus text is never read) -> the span_dedup
+    min-aggregate + semi-filter -> the shared per-doc reassembly
+    shuffle. O(tokens/span) rows throughout."""
+    b = span_blocks(new_docs, span_tokens, text_col).withColumn(
+        "_bh", F.substring("block_hash", 1, hash_chars)
+    )
+    fresh = b.join(
+        store.select(F.col("block_hash").alias("_seen")),
+        F.col("_bh") == F.col("_seen"),
+        "left_anti",
+    )
+    winners = fresh.groupBy("_bh").agg(
+        F.min(F.struct("doc_id", "block_idx")).alias("w")
+    ).select(
+        "_bh", F.col("w.doc_id").alias("_wdoc"),
+        F.col("w.block_idx").alias("_widx"),
+    )
+    kept = fresh.join(winners, "_bh").filter(
+        (F.col("doc_id") == F.col("_wdoc"))
+        & (F.col("block_idx") == F.col("_widx"))
+    )
+    return _reassemble_blocks(kept, text_col)
+
+
 SIMHASH_CHUNKS = 4  # 4 x 16-bit chunks = 64-bit signature
 
 

@@ -360,6 +360,96 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# the Gopher rule-set stopword list (Rae et al. 2021, appendix A1.1:
+# "contains at least 2 of the following English words")
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """The Gopher quality rule set (Rae et al. 2021, public) as one
+    fused map-side projection — the heuristic-gate complement of the
+    repetition signals in ``repetition_stats`` (which covers the
+    repetition half of the same appendix): word-count bounds, mean
+    word length bounds, symbol-to-word ratio (``#`` and ellipses),
+    alphabetic-word fraction, and the stopword-presence rule. Returns
+    per-doc signal values (6dp), one boolean per rule, and the overall
+    ``passes`` conjunction — the report a curation run reads to tune
+    thresholds before turning the gate into a filter.
+
+    Same ``_toks_lower`` tokens as every other docs operator (NULL
+    text folds to empty); rule comparisons use the ROUNDED signal
+    values so the booleans can never disagree across engines at a
+    rounding boundary. Pure Catalyst expressions, no explode, no
+    shuffle — at 100 TB this is a free rider on the corpus scan."""
+    toks = _toks_lower(text_col)
+    n = F.size(toks)
+    nz = F.greatest(n, F.lit(1))
+    mean_len = F.round(
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        )
+        / nz,
+        6,
+    )
+    sym_ratio = F.round(
+        F.regexp_count(
+            F.coalesce(F.col(text_col), F.lit("")),
+            F.lit("#|\\.\\.\\.|…"),
+        )
+        / nz,
+        6,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / nz, 6
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    out = docs.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    return out.select(
+        "*",
+        ((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words))
+        .alias("pass_word_count"),
+        (
+            (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len)
+        ).alias("pass_mean_word_len"),
+        (F.col("symbol_ratio") <= max_symbol_ratio).alias("pass_symbol_ratio"),
+        (F.col("alpha_word_frac") >= min_alpha_word_frac).alias(
+            "pass_alpha_words"
+        ),
+        (F.col("stop_hits") >= min_stop_hits).alias("pass_stopwords"),
+    ).withColumn(
+        "passes",
+        F.col("pass_word_count")
+        & F.col("pass_mean_word_len")
+        & F.col("pass_symbol_ratio")
+        & F.col("pass_alpha_words")
+        & F.col("pass_stopwords"),
+    )
+
+
 def dup_bigram_frac_expr(text_col: str = "text") -> Column:
     """Repeated-phrasing ratio ``1 - distinct bigrams / bigrams`` as a
     pure map-side Column (rounded 6dp; 0.0 for docs of <2 tokens) —

@@ -1609,3 +1609,70 @@ DOC_ORACLES["pq_cosine_topk"] = f"""
     WHERE q.vec_id < 5
     QUALIFY rank <= 10
 """
+
+
+# Gopher rule-set mirror (textqa.gopher_quality_flags): fused
+# word-count / mean-word-length / symbol-ratio / alpha-word /
+# stopword-presence signals + per-rule booleans over _TOKS_LOWER
+# tokens. Rule comparisons use the ROUNDED signals on both engines
+# (same cross-engine-boundary discipline as the repetition gate).
+# Driver-query thresholds: min_words=20, max_words=90,
+# min_mean_word_len=4.0, min_stop_hits=1, rest at the paper defaults.
+DOC_ORACLES["gopher_quality_flags"] = f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             round(coalesce(list_sum(list_transform(toks, t -> len(t))), 0)
+                   * 1.0 / greatest(len(toks), 1), 6) AS mean_word_len,
+             round(len(regexp_extract_all(txt, '#|\\.\\.\\.|…'))
+                   * 1.0 / greatest(len(toks), 1), 6) AS symbol_ratio,
+             round(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                   * 1.0 / greatest(len(toks), 1), 6) AS alpha_word_frac,
+             CAST(len(list_intersect(list_distinct(toks),
+                  ['the','be','to','of','and','that','have','with']))
+                  AS BIGINT) AS stop_hits
+      FROM (
+        SELECT doc_id, {_TOKS_LOWER} AS toks, coalesce(text, '') AS txt
+        FROM documents
+      )
+    )
+    SELECT *,
+           (pass_word_count AND pass_mean_word_len AND pass_symbol_ratio
+            AND pass_alpha_words AND pass_stopwords) AS passes
+    FROM (
+      SELECT *,
+             (n_words >= 20 AND n_words <= 90) AS pass_word_count,
+             (mean_word_len >= 4.0 AND mean_word_len <= 10.0)
+               AS pass_mean_word_len,
+             (symbol_ratio <= 0.1) AS pass_symbol_ratio,
+             (alpha_word_frac >= 0.8) AS pass_alpha_words,
+             (stop_hits >= 1) AS pass_stopwords
+      FROM s
+    )
+"""
+
+
+# Day-2 span dedup mirror (dedup.incremental_span_dedup): even
+# doc_ids are history, present ONLY as the 16-hex block-hash store;
+# odd ids are the new batch. A batch block survives iff its hash
+# prefix is not in the store and it is the batch-canonical (min
+# doc_id, block_idx) occurrence; survivors reassemble in order.
+DOC_ORACLES["incremental_span_dedup"] = f"""
+    WITH store AS (
+      SELECT DISTINCT substring(md5(block_text), 1, 16) AS bh
+      FROM ({_span_blocks_sql("(SELECT * FROM documents WHERE doc_id % 2 = 0)")})
+    ), nb AS (
+      SELECT doc_id, block_idx, block_text,
+             substring(md5(block_text), 1, 16) AS bh
+      FROM ({_span_blocks_sql("(SELECT * FROM documents WHERE doc_id % 2 = 1)")})
+    ), fresh AS (
+      SELECT * FROM nb WHERE bh NOT IN (SELECT bh FROM store)
+    ), ranked AS (
+      SELECT doc_id, block_idx, block_text,
+             row_number() OVER (PARTITION BY bh
+                                ORDER BY doc_id, block_idx) AS rn
+      FROM fresh
+    )
+    SELECT doc_id, string_agg(block_text, ' ' ORDER BY block_idx) AS text
+    FROM ranked WHERE rn = 1 GROUP BY doc_id
+"""

@@ -166,6 +166,35 @@ def _a_span_dedup(spark, env, step, cfg):
     )
 
 
+def _a_incremental_span_dedup(spark, env, step, cfg):
+    # day-2 span dedup: the FROM frame is the new batch, the state
+    # table named by "store" is the historical block-hash dim
+    from ml4logs_spark.operators import dedup
+
+    return dedup.incremental_span_dedup(
+        env[step.get("from", "documents")],
+        env[step["store"]],
+        step.get("span_tokens", 16),
+    )
+
+
+def _a_gopher_quality(spark, env, step, cfg):
+    from ml4logs_spark.operators import textqa
+
+    kw = {
+        k: step[k]
+        for k in (
+            "min_words", "max_words", "min_mean_word_len",
+            "max_mean_word_len", "max_symbol_ratio",
+            "min_alpha_word_frac", "min_stop_hits",
+        )
+        if k in step
+    }
+    return textqa.gopher_quality_flags(
+        env[step.get("from", "documents")], **kw
+    )
+
+
 def _a_length_histogram(spark, env, step, cfg):
     from ml4logs_spark.operators import textqa
 
@@ -431,6 +460,8 @@ ACTIONS: dict[str, Callable] = {
     "unigram_logprob": _a_unigram_logprob,
     "bigram_counts": _a_bigram_counts,
     "span_dedup": _a_span_dedup,
+    "incremental_span_dedup": _a_incremental_span_dedup,
+    "gopher_quality": _a_gopher_quality,
     "length_histogram": _a_length_histogram,
     "top_ngrams": _a_top_ngrams,
     "curate": _a_curate,

@@ -63,6 +63,9 @@ def test_grading_window_holds_only_full_oracle_queries():
         "embedding_decontaminated", "ivf_cell_summary",
         "incremental_embedding_near_dups", "incremental_vocab_counts",
         "semantic_dedup_survivors", "conv_dedup_survivors",
+        # continuation-session: still never driver-checked
+        "pq_codes", "pq_cosine_topk",
+        "incremental_span_dedup", "gopher_quality_flags",
     )
     once_green = (
         "doc_length_histogram",  # r4 red (oracle HUGEINT artifact, fixed)
@@ -74,9 +77,14 @@ def test_grading_window_holds_only_full_oracle_queries():
     )
     fillers = (
         "lsh_cosine_topk",  # 2/3 green — its one red round (r1) earns a slot
-        "ivf_codebook", "ivf_cosine_topk", "vocab_dim", "curated_chunks",
-        "near_dup_clusters", "near_dup_survivors", "decontaminated",
+        "vocab_dim", "curated_chunks", "near_dup_clusters",
         "lang_confusion",
+        # ivf_codebook / ivf_cosine_topk / near_dup_survivors /
+        # decontaminated ceded their slots to the four continuation
+        # additions; mechanisms still evidenced in-window
+        # (ivf_cell_summary replays the fit, the max_quality policy
+        # row covers survivor selection, contamination_report shares
+        # decontaminate's broadcast shape)
     )
     for name in never_green_r5 + once_green + fillers:
         assert name in window, f"{name} fell outside the grading window"

@@ -577,3 +577,96 @@ def test_temperature_full_rows_matches_default(spark):
     full = textqa.temperature_mix_sample(docs, alpha=0.5, full_rows=True)
     assert set(full.columns) == {"doc_id", "text", "source"}
     assert {(r["doc_id"], r["source"]) for r in full.collect()} == slim
+
+
+def test_gopher_quality_flags_hand_computed(spark):
+    """Each Gopher rule verified against hand-computed signal values
+    and an independent pure-Python evaluation of the same rules."""
+    import re
+
+    from ml4logs_spark.operators import textqa
+
+    rows = [
+        (1, "The cat sat on the mat with a dog"),
+        (2, "aaa ### bbb ... ccc …"),
+        (3, "w1 w2 w3 w4 w5 w6"),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.asDict()
+        for r in textqa.gopher_quality_flags(
+            docs, min_words=5, min_mean_word_len=2.0, min_stop_hits=2
+        ).collect()
+    }
+
+    # doc 1: 9 words, mean len 25/9, stopword hits {the, with, a?} ->
+    # 'a' not in the Gopher list; distinct hits = {the, with} = 2
+    d1 = out[1]
+    assert d1["n_words"] == 9
+    assert d1["mean_word_len"] == round(25 / 9, 6)
+    assert d1["stop_hits"] == 2
+    assert d1["alpha_word_frac"] == 1.0
+    assert d1["pass_stopwords"] and d1["pass_word_count"]
+    assert d1["passes"]
+
+    # doc 2: 6 tokens; symbol matches = 3x'#' + '...' + ellipsis = 5;
+    # alpha tokens = {aaa, bbb, ccc} -> 0.5 < 0.8
+    d2 = out[2]
+    assert d2["n_words"] == 6
+    assert d2["symbol_ratio"] == round(5 / 6, 6)
+    assert d2["alpha_word_frac"] == 0.5
+    assert not d2["pass_symbol_ratio"]
+    assert not d2["pass_alpha_words"]
+    assert not d2["passes"]
+
+    # doc 3: no stopwords -> fails only the stopword rule
+    d3 = out[3]
+    assert d3["stop_hits"] == 0 and not d3["pass_stopwords"]
+    assert d3["pass_word_count"] and d3["pass_alpha_words"]
+    assert not d3["passes"]
+
+    # doc 4 (NULL text): zero everything, fails
+    d4 = out[4]
+    assert d4["n_words"] == 0 and d4["mean_word_len"] == 0.0
+    assert not d4["passes"]
+
+    # independent pure-Python evaluation of every signal
+    for doc_id, text in rows:
+        toks = [t for t in (text or "").lower().split(" ") if t]
+        n = len(toks)
+        got = out[doc_id]
+        assert got["n_words"] == n
+        assert got["mean_word_len"] == round(
+            sum(len(t) for t in toks) / max(n, 1), 6
+        )
+        assert got["symbol_ratio"] == round(
+            len(re.findall(r"#|\.\.\.|…", text or "")) / max(n, 1), 6
+        )
+        assert got["alpha_word_frac"] == round(
+            sum(1 for t in toks if re.search("[a-z]", t)) / max(n, 1), 6
+        )
+        assert got["stop_hits"] == len(
+            set(toks) & set(textqa.GOPHER_STOPWORDS)
+        )
+
+
+def test_gopher_quality_flags_default_bounds(spark):
+    """Paper-default bounds: a 49-word doc fails the word-count rule,
+    a 50-word doc with sane signals passes everything."""
+    from ml4logs_spark.operators import textqa
+
+    short = " ".join(["the", "and"] * 24 + ["cat"])          # 49 words
+    ok = " ".join(["the", "and"] * 24 + ["cat", "dog"])      # 50 words
+    docs = spark.createDataFrame(
+        [(1, short), (2, ok)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.asDict()
+        for r in textqa.gopher_quality_flags(docs).collect()
+    }
+    assert not out[1]["pass_word_count"] and not out[1]["passes"]
+    assert out[2]["pass_word_count"]
+    # mean word len of ["the","and",...,"cat","dog"] = 3.0 boundary
+    assert out[2]["mean_word_len"] == 3.0 and out[2]["pass_mean_word_len"]
+    assert out[2]["passes"]

@@ -672,3 +672,79 @@ def test_incremental_simhash_replay_safe(spark):
     replay = {(r.doc_a, r.doc_b, r.hamming)
               for r in dedup.incremental_simhash_near_dups(new, after).collect()}
     assert replay == first
+
+
+def test_incremental_span_dedup_matches_batch_when_history_precedes(spark):
+    """With history ids below batch ids (so the union's canonical
+    winners all sit in history), the day-2 path over the hash-only
+    block store equals batch span_dedup over the union restricted to
+    the batch."""
+    from ml4logs_spark.operators import dedup
+
+    hist = spark.createDataFrame(
+        [(1, "a b c d u1 u2 u3 u4"), (2, "w1 w2 w3 w4")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "a b c d n1 n2 n3 n4"),      # [a b c d] is historical
+            (11, "n1 n2 n3 n4 z1 z2 z3 z4"),  # shares a block with 10
+            (12, "a b c d"),                   # fully historical -> drops
+        ],
+        "doc_id long, text string",
+    )
+    inc = {
+        r.doc_id: r.text
+        for r in dedup.incremental_span_dedup(
+            new, dedup.block_store(hist, span_tokens=4), span_tokens=4
+        ).collect()
+    }
+    batch = {
+        r.doc_id: r.text
+        for r in dedup.span_dedup(hist.union(new), span_tokens=4)
+        .filter("doc_id >= 10")
+        .collect()
+    }
+    assert inc == batch
+    assert inc[10] == "n1 n2 n3 n4"
+    assert inc[11] == "z1 z2 z3 z4"
+    assert 12 not in inc
+
+
+def test_incremental_span_dedup_replay_safe(spark):
+    """A batch replayed AFTER its blocks were absorbed into the store
+    emits nothing — duplicate spans never re-enter the corpus under
+    at-least-once delivery."""
+    from ml4logs_spark.operators import dedup
+
+    hist = spark.createDataFrame(
+        [(1, "a b c d u1 u2 u3 u4")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "a b c d n1 n2 n3 n4")], "doc_id long, text string"
+    )
+    store = dedup.block_store(hist, span_tokens=4)
+    first = dedup.incremental_span_dedup(new, store, span_tokens=4)
+    assert first.count() == 1
+    # frontier advance: union the batch's own block hashes
+    advanced = store.union(dedup.block_store(new, span_tokens=4)).distinct()
+    replay = dedup.incremental_span_dedup(new, advanced, span_tokens=4)
+    assert replay.count() == 0
+
+
+def test_incremental_span_dedup_null_text(spark):
+    """NULL text folds to '' (repo NULL-text contract): a NULL-text
+    batch doc dedups against a historical empty-text doc."""
+    from ml4logs_spark.operators import dedup
+
+    hist = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, None), (11, "x y")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.text
+        for r in dedup.incremental_span_dedup(
+            new, dedup.block_store(hist, span_tokens=4), span_tokens=4
+        ).collect()
+    }
+    assert out == {11: "x y"}
