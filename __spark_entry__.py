@@ -804,8 +804,10 @@ def _q_curated_chunks(spark, sf_dir):
     # the WHOLE curation pipeline as one Catalyst plan, with the r5
     # in-plan stages ON: source mixing (MIX_WEIGHTS broadcast dim at the
     # scan) -> dedup -> Gopher repetition gate (<=0.1 dup-bigram frac,
-    # ~p99 of the corpus so it genuinely excludes docs here) -> quality
-    # gate -> decontaminate -> PII scrub -> chunk
+    # ~p99 of the corpus so it genuinely excludes docs here) -> Gopher
+    # rule set (word bounds 15/95, mean-word-len >=4.0, >=1 stopword —
+    # each contentful on this corpus) -> quality gate -> decontaminate
+    # -> PII scrub -> chunk
     from ml4logs_spark.operators import curate, textqa
 
     docs = _docs(spark, sf_dir)
@@ -815,6 +817,7 @@ def _q_curated_chunks(spark, sf_dir):
         docs.filter(nib == "0"),
         mix_weights=textqa.MIX_WEIGHTS,
         max_dup_bigram_frac=0.1,
+        gopher=dict(min_words=12, max_words=95, min_stop_hits=1),
     )
 
 

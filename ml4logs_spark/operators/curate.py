@@ -44,6 +44,7 @@ def curate_corpus(
     mix_weights: dict[str, str] | None = None,
     mix_alpha: float | None = None,
     max_dup_bigram_frac: float | None = None,
+    gopher: dict | None = None,
 ) -> DataFrame:
     """documents -> model-ready chunks: mix, dedup, gate, decontaminate,
     scrub, chunk. Returns (doc_id, chunk_idx, chunk_text, n_tokens).
@@ -61,6 +62,14 @@ def curate_corpus(
     from the corpus's own per-source counts — same scan-time predicate
     shape, one extra counting pass for the fit. Mutually exclusive
     with ``mix_weights``.
+
+    ``gopher`` (a kwargs dict for ``textqa.gopher_pass_expr``, ``{}``
+    for the paper defaults) adds the non-repetition Gopher rule set —
+    word-count / mean-word-length / symbol-ratio / alpha-word /
+    stopword rules — as a fused map-side predicate in the same stage
+    as the repetition gate and quality filter; like the repetition
+    gate it scores post-span text, so it measures what would actually
+    be trained on.
 
     ``max_dup_bigram_frac`` adds the Gopher-style repetition gate:
     docs whose ``textqa.dup_bigram_frac_expr`` (1 - distinct bigrams /
@@ -115,6 +124,8 @@ def curate_corpus(
         surv = surv.filter(
             textqa.dup_bigram_frac_expr("text") <= F.lit(max_dup_bigram_frac)
         )
+    if gopher is not None:
+        surv = surv.filter(textqa.gopher_pass_expr(**gopher))
     # keep_cols carries text through the gate in the same map-side
     # select — no join back to the corpus (one less doc_id shuffle)
     good = cache.track(

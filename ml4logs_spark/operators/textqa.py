@@ -365,6 +365,95 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
+def _gopher_signal_exprs(text_col: str = "text") -> dict[str, Column]:
+    """The five Gopher signals as ROUNDED Columns — the single
+    definition shared by ``gopher_quality_flags`` (the report) and
+    ``gopher_pass_expr`` (the curate_corpus gate), so tokenizer or
+    rounding can never drift between them."""
+    toks = _toks_lower(text_col)
+    n = F.size(toks)
+    nz = F.greatest(n, F.lit(1))
+    return {
+        "n_words": n.cast("long"),
+        "mean_word_len": F.round(
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+            )
+            / nz,
+            6,
+        ),
+        "symbol_ratio": F.round(
+            F.regexp_count(
+                F.coalesce(F.col(text_col), F.lit("")),
+                F.lit("#|\\.\\.\\.|…"),
+            )
+            / nz,
+            6,
+        ),
+        "alpha_word_frac": F.round(
+            F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / nz, 6
+        ),
+        "stop_hits": F.size(
+            F.array_intersect(
+                F.array_distinct(toks),
+                F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            )
+        ).cast("long"),
+    }
+
+
+def _gopher_rule_exprs(
+    s: dict[str, Column],
+    *,
+    min_words: int,
+    max_words: int,
+    min_mean_word_len: float,
+    max_mean_word_len: float,
+    max_symbol_ratio: float,
+    min_alpha_word_frac: float,
+    min_stop_hits: int,
+) -> dict[str, Column]:
+    return {
+        "pass_word_count": (s["n_words"] >= min_words)
+        & (s["n_words"] <= max_words),
+        "pass_mean_word_len": (s["mean_word_len"] >= min_mean_word_len)
+        & (s["mean_word_len"] <= max_mean_word_len),
+        "pass_symbol_ratio": s["symbol_ratio"] <= max_symbol_ratio,
+        "pass_alpha_words": s["alpha_word_frac"] >= min_alpha_word_frac,
+        "pass_stopwords": s["stop_hits"] >= min_stop_hits,
+    }
+
+
+def gopher_pass_expr(
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    text_col: str = "text",
+) -> Column:
+    """The overall Gopher-rules conjunction as one map-side boolean
+    Column — the FILTER form ``curate_corpus(gopher=...)`` fuses into
+    its gate stage; same signals and comparisons as the report."""
+    rules = _gopher_rule_exprs(
+        _gopher_signal_exprs(text_col),
+        min_words=min_words,
+        max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_ratio=max_symbol_ratio,
+        min_alpha_word_frac=min_alpha_word_frac,
+        min_stop_hits=min_stop_hits,
+    )
+    out = F.lit(True)
+    for c in rules.values():
+        out = out & c
+    return out
+
+
 def gopher_quality_flags(
     docs: DataFrame,
     *,
@@ -392,62 +481,25 @@ def gopher_quality_flags(
     values so the booleans can never disagree across engines at a
     rounding boundary. Pure Catalyst expressions, no explode, no
     shuffle — at 100 TB this is a free rider on the corpus scan."""
-    toks = _toks_lower(text_col)
-    n = F.size(toks)
-    nz = F.greatest(n, F.lit(1))
-    mean_len = F.round(
-        F.aggregate(
-            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-        )
-        / nz,
-        6,
-    )
-    sym_ratio = F.round(
-        F.regexp_count(
-            F.coalesce(F.col(text_col), F.lit("")),
-            F.lit("#|\\.\\.\\.|…"),
-        )
-        / nz,
-        6,
-    )
-    alpha_frac = F.round(
-        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / nz, 6
-    )
-    stop_hits = F.size(
-        F.array_intersect(
-            F.array_distinct(toks),
-            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
-        )
-    )
+    signals = _gopher_signal_exprs(text_col)
     out = docs.select(
-        "doc_id",
-        n.cast("long").alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        sym_ratio.alias("symbol_ratio"),
-        alpha_frac.alias("alpha_word_frac"),
-        stop_hits.cast("long").alias("stop_hits"),
+        "doc_id", *(c.alias(name) for name, c in signals.items())
     )
-    return out.select(
-        "*",
-        ((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words))
-        .alias("pass_word_count"),
-        (
-            (F.col("mean_word_len") >= min_mean_word_len)
-            & (F.col("mean_word_len") <= max_mean_word_len)
-        ).alias("pass_mean_word_len"),
-        (F.col("symbol_ratio") <= max_symbol_ratio).alias("pass_symbol_ratio"),
-        (F.col("alpha_word_frac") >= min_alpha_word_frac).alias(
-            "pass_alpha_words"
-        ),
-        (F.col("stop_hits") >= min_stop_hits).alias("pass_stopwords"),
-    ).withColumn(
-        "passes",
-        F.col("pass_word_count")
-        & F.col("pass_mean_word_len")
-        & F.col("pass_symbol_ratio")
-        & F.col("pass_alpha_words")
-        & F.col("pass_stopwords"),
+    rules = _gopher_rule_exprs(
+        {name: F.col(name) for name in signals},
+        min_words=min_words,
+        max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_ratio=max_symbol_ratio,
+        min_alpha_word_frac=min_alpha_word_frac,
+        min_stop_hits=min_stop_hits,
     )
+    out = out.select("*", *(c.alias(name) for name, c in rules.items()))
+    passes = F.lit(True)
+    for name in rules:
+        passes = passes & F.col(name)
+    return out.withColumn("passes", passes)
 
 
 def dup_bigram_frac_expr(text_col: str = "text") -> Column:

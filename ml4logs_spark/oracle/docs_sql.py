@@ -558,9 +558,23 @@ DOC_ORACLES: dict[str, str] = {
           SELECT doc_id, text FROM corpus WHERE doc_id IN (
             SELECT min(doc_id) FROM corpus GROUP BY md5(text))
         ), surv AS (
+          -- repetition gate, then the Gopher rule set at the driver
+          -- query's thresholds (words 12..95, mean word len at the
+          -- paper default 3..10, symbol ratio <=0.1, alpha-word frac
+          -- >=0.8, >=1 stopword)
           SELECT doc_id, text FROM
             (SELECT doc_id, text, {_TOKS_LOWER} AS a FROM surv0)
           WHERE {_DUP_BG_FRAC} <= 0.1
+            AND len(a) BETWEEN 12 AND 95
+            AND round(coalesce(list_sum(list_transform(a, t -> len(t))), 0)
+                      * 1.0 / greatest(len(a), 1), 6) BETWEEN 3.0 AND 10.0
+            AND round(len(regexp_extract_all(coalesce(text, ''),
+                                             '#|\\.\\.\\.|…'))
+                      * 1.0 / greatest(len(a), 1), 6) <= 0.1
+            AND round(len(list_filter(a, t -> regexp_matches(t, '[a-z]')))
+                      * 1.0 / greatest(len(a), 1), 6) >= 0.8
+            AND len(list_intersect(list_distinct(a),
+                 ['the','be','to','of','and','that','have','with'])) >= 1
         ), stats AS ({_doc_stats_sql('surv')}
         ), good AS (
           SELECT s.doc_id, s.text FROM surv s

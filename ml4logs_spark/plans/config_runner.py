@@ -232,6 +232,7 @@ def _a_curate(spark, env, step, cfg):
         mix_weights=step.get("mix_weights"),
         mix_alpha=step.get("mix_alpha"),
         max_dup_bigram_frac=step.get("max_dup_bigram_frac"),
+        gopher=step.get("gopher"),
         min_tokens=step.get("min_tokens", 3),
         max_tokens=step.get("max_tokens", 10_000),
         chunk_tokens=step.get("chunk_tokens", 64),

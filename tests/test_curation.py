@@ -670,3 +670,48 @@ def test_gopher_quality_flags_default_bounds(spark):
     # mean word len of ["the","and",...,"cat","dog"] = 3.0 boundary
     assert out[2]["mean_word_len"] == 3.0 and out[2]["pass_mean_word_len"]
     assert out[2]["passes"]
+
+
+def test_curate_corpus_gopher_stage(spark):
+    """curate_corpus(gopher=...) drops rule-failing docs before the
+    quality gate, agrees with the gopher_quality_flags report, and
+    equals the manual composition (filter on the report's `passes`
+    then the rest of the chain)."""
+    from ml4logs_spark.operators import curate, textqa
+
+    good = "the cat and the dog sat on the mat with a hat"
+    no_stop = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"   # zero Gopher stopwords
+    symbols = "the ### cat ... dog … " + "### " * 8  # symbol-heavy
+    docs = _docs(spark, [
+        (0, good, "a"),
+        (1, no_stop, "a"),
+        (2, symbols, "a"),
+    ])
+    bench = _docs(spark, [(99, "zz1 zz2 zz3 zz4", "b")]).drop("source")
+    params = dict(min_words=5, min_mean_word_len=2.0, min_stop_hits=1)
+
+    out = curate.curate_corpus(
+        docs, bench, min_score=0.0, min_tokens=3, gopher=params
+    ).toPandas()
+    assert set(out.doc_id) == {0}
+
+    # agrees with the report on the same params
+    flags = {
+        r.doc_id: r.passes
+        for r in textqa.gopher_quality_flags(docs, **params).collect()
+    }
+    assert flags == {0: True, 1: False, 2: False}
+
+    # equals the manual composition: pre-filter by the report, then
+    # run the chain without the gopher stage
+    pre = docs.join(
+        textqa.gopher_quality_flags(docs, **params)
+        .filter("passes").select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    manual = curate.curate_corpus(
+        pre, bench, min_score=0.0, min_tokens=3
+    ).toPandas()
+    got = out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    want = manual.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    assert got.equals(want)

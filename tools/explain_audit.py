@@ -161,6 +161,21 @@ def main() -> int:
     check("pq_encode: partial+final HashAggregate",
           p.count("HashAggregate") >= 2)
 
+    # 8d''. incremental span dedup: the store probe is an ANTI join on
+    # the hash key (the historical corpus text never enters the plan),
+    # candidate selection is the span_dedup min-aggregate — no
+    # cartesian anything, no window sort.
+    p = plan_of(dedup.incremental_span_dedup(
+        docs, dedup.block_store(docs.limit(10))))
+    check("incremental_span_dedup: anti-join store probe",
+          "LeftAnti" in p)
+    check("incremental_span_dedup: no cartesian product",
+          "CartesianProduct" not in p)
+    check("incremental_span_dedup: no corpus window sort",
+          "Window" not in p)
+    check("incremental_span_dedup: partial+final HashAggregate",
+          p.count("HashAggregate") >= 2)
+
     # 8e. curation ops: quality filter and hash sampling are map-only
     # (filter fuses into the scan); decontamination is a broadcast
     # shingle equi-join, never a cartesian.
@@ -169,6 +184,12 @@ def main() -> int:
     check("quality_filter: map-only (no exchange)", "Exchange" not in p)
     p = plan_of(textqa.hash_sample(docs))
     check("hash_sample: map-only (no exchange)", "Exchange" not in p)
+    # the Gopher rule set rides the scan for free: pure projection,
+    # no explode, no exchange
+    p = plan_of(textqa.gopher_quality_flags(docs))
+    check("gopher_quality_flags: map-only (no exchange)",
+          "Exchange" not in p)
+    check("gopher_quality_flags: no explode", "Generate" not in p)
     p = plan_of(textqa.build_vocab(docs))
     check("build_vocab: partial+final HashAggregate",
           p.count("HashAggregate") >= 2)
