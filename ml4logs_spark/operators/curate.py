@@ -144,3 +144,127 @@ def curate_corpus(
     return textqa.chunk_documents(
         masked, chunk_tokens=chunk_tokens, overlap=overlap
     )
+
+
+def curate_attrition(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    min_score: float = 0.5,
+    min_tokens: int = 3,
+    max_tokens: int = 10_000,
+    mix_weights: dict[str, str] | None = None,
+    max_dup_bigram_frac: float | None = None,
+    gopher: dict | None = None,
+) -> DataFrame:
+    """Per-stage survivor counts for the lazy curation chain — the
+    attrition report a data org reads before committing to gate
+    thresholds: (stage_idx, stage, n_docs) for raw -> mixed ->
+    exact_dedup -> repetition_gate -> gopher_rules -> quality_gate ->
+    decontaminated, where each count is "docs still alive after this
+    stage" under ``curate_corpus``'s exact stage semantics and
+    expressions (the gates share ``dup_bigram_frac_expr`` /
+    ``gopher_pass_expr`` / ``_stats_exprs``, so report and chain can
+    never drift). Stages not enabled repeat the previous count.
+
+    Shape at scale: NOT one count() per stage (that would rescan the
+    corpus seven times). Every gate is a cumulative boolean column in
+    ONE wide projection; the only corpus shuffles are the dedup
+    winner aggregate + its id join-back, plus the broadcast benchmark
+    shingle join for the contamination flag (computed only over
+    quality-alive docs) — then a single 1-row sum aggregate, unpivoted
+    to the stage rows. The iterative stages (near_threshold /
+    span_tokens) are deliberately outside this report: they rewrite
+    doc text rather than just filtering rows."""
+    from ml4logs_spark.operators.textqa import _norm_rate_hex, _stats_exprs
+
+    if mix_weights is not None:
+        norm = {
+            src: _norm_rate_hex(rate_hex, what=f"rate for {src!r}")
+            for src, rate_hex in mix_weights.items()
+        }
+        dim = docs.sparkSession.createDataFrame(
+            list(norm.items()), "source string, _rate_hex string"
+        )
+        key = F.concat_ws(
+            ":", F.col("source").cast("string"), F.col("doc_id").cast("string")
+        )
+        wide = docs.join(F.broadcast(dim), "source", "left")
+        alive_mix = F.col("_rate_hex").isNotNull() & (
+            F.substring(F.md5(key), 1, 4) < F.col("_rate_hex")
+        )
+    else:
+        wide = docs
+        alive_mix = F.lit(True)
+    wide = dedup.with_text_hash(wide).withColumn("_alive_mix", alive_mix)
+
+    winners = (
+        wide.filter("_alive_mix")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("_is_win"))
+    )
+    wide = wide.join(winners, "doc_id", "left").withColumn(
+        "_alive_dedup", F.col("_alive_mix") & F.coalesce("_is_win", F.lit(False))
+    )
+
+    rep_ok = (
+        textqa.dup_bigram_frac_expr("text") <= F.lit(max_dup_bigram_frac)
+        if max_dup_bigram_frac is not None
+        else F.lit(True)
+    )
+    gopher_ok = (
+        textqa.gopher_pass_expr(**gopher) if gopher is not None else F.lit(True)
+    )
+    wide = wide.withColumn("_alive_rep", F.col("_alive_dedup") & rep_ok)
+    wide = wide.withColumn("_alive_gopher", F.col("_alive_rep") & gopher_ok)
+    # quality gate over the same _stats_exprs the filter uses
+    wide = wide.select("*", *_stats_exprs())
+    wide = wide.withColumn(
+        "_alive_quality",
+        F.col("_alive_gopher")
+        & (F.col("quality_score") >= min_score)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens),
+    )
+    # contamination flag only over quality-alive docs (what the chain
+    # decontaminates); tracked persist so the dirty-id job doesn't
+    # replay the scan + dedup shuffle for the final aggregate
+    wide = cache.track(wide)
+    good = wide.filter("_alive_quality").select("doc_id", "text")
+    dirty = dedup.contaminated_ids(good, benchmark).select(
+        "doc_id", F.lit(True).alias("_dirty")
+    )
+    wide = wide.join(dirty, "doc_id", "left").withColumn(
+        "_alive_clean",
+        F.col("_alive_quality") & F.col("_dirty").isNull(),
+    )
+
+    agg = wide.agg(
+        F.count(F.lit(1)).alias("raw"),
+        *[
+            F.sum(F.col(c).cast("long")).alias(name)
+            for c, name in [
+                ("_alive_mix", "mixed"),
+                ("_alive_dedup", "exact_dedup"),
+                ("_alive_rep", "repetition_gate"),
+                ("_alive_gopher", "gopher_rules"),
+                ("_alive_quality", "quality_gate"),
+                ("_alive_clean", "decontaminated"),
+            ]
+        ],
+    )
+    stages = [
+        "raw", "mixed", "exact_dedup", "repetition_gate",
+        "gopher_rules", "quality_gate", "decontaminated",
+    ]
+    pairs = ", ".join(f"'{s}', {s}" for s in stages)
+    return (
+        agg.selectExpr(f"stack({len(stages)}, {pairs}) AS (stage, n_docs)")
+        .withColumn(
+            "stage_idx",
+            F.array_position(
+                F.array(*[F.lit(s) for s in stages]), F.col("stage")
+            ).cast("int"),
+        )
+        .select("stage_idx", "stage", F.coalesce("n_docs", F.lit(0)).alias("n_docs"))
+    )

@@ -1690,3 +1690,67 @@ DOC_ORACLES["incremental_span_dedup"] = f"""
     SELECT doc_id, string_agg(block_text, ' ' ORDER BY block_idx) AS text
     FROM ranked WHERE rn = 1 GROUP BY doc_id
 """
+
+
+# curation attrition mirror (curate.curate_attrition at the driver
+# query's thresholds — MIX_WEIGHTS, repetition <=0.1, Gopher rules at
+# words 12..95 / mean-word-len 3..10 / >=1 stopword, quality gate at
+# the chain defaults): per-stage survivor counts computed as
+# sequential CTEs (cumulative-filter semantics are identical).
+DOC_ORACLES["curate_attrition"] = f"""
+    WITH inp AS (
+      SELECT doc_id, text, source FROM documents
+      WHERE substring(md5(text), 1, 1) <> '0'
+    ), bmark AS (
+      SELECT text FROM documents WHERE substring(md5(text), 1, 1) = '0'
+    ), mixed AS (
+      SELECT i.doc_id, i.text FROM inp i
+      JOIN (VALUES {_MIX_VALUES}) m(source, rate) ON m.source = i.source
+      WHERE substring(md5(i.source || ':' || CAST(i.doc_id AS VARCHAR)),
+                      1, 4) < m.rate
+    ), dd AS (
+      SELECT doc_id, text FROM mixed WHERE doc_id IN (
+        SELECT min(doc_id) FROM mixed GROUP BY md5(text))
+    ), rep AS (
+      SELECT doc_id, text FROM
+        (SELECT doc_id, text, {_TOKS_LOWER} AS a FROM dd)
+      WHERE {_DUP_BG_FRAC} <= 0.1
+    ), gop AS (
+      SELECT doc_id, text FROM
+        (SELECT doc_id, text, {_TOKS_LOWER} AS a FROM rep)
+      WHERE len(a) BETWEEN 12 AND 95
+        AND round(coalesce(list_sum(list_transform(a, t -> len(t))), 0)
+                  * 1.0 / greatest(len(a), 1), 6) BETWEEN 3.0 AND 10.0
+        AND round(len(regexp_extract_all(coalesce(text, ''),
+                                         '#|\\.\\.\\.|…'))
+                  * 1.0 / greatest(len(a), 1), 6) <= 0.1
+        AND round(len(list_filter(a, t -> regexp_matches(t, '[a-z]')))
+                  * 1.0 / greatest(len(a), 1), 6) >= 0.8
+        AND len(list_intersect(list_distinct(a),
+             ['the','be','to','of','and','that','have','with'])) >= 1
+    ), stats AS ({_doc_stats_sql('gop')}
+    ), good AS (
+      SELECT g.doc_id, g.text FROM gop g
+      JOIN stats t ON t.doc_id = g.doc_id
+      WHERE t.quality_score >= 0.5 AND t.n_tokens BETWEEN 3 AND 10000
+    ), bg AS (
+      SELECT DISTINCT unnest({_SHINGLES}) AS gram FROM bmark
+    ), dg AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS gram FROM good
+    ), clean AS (
+      SELECT doc_id FROM good WHERE doc_id NOT IN (
+        SELECT DISTINCT doc_id FROM dg JOIN bg USING (gram))
+    )
+    SELECT CAST(stage_idx AS INT) AS stage_idx, stage,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM (
+      SELECT 1 AS stage_idx, 'raw' AS stage,
+             (SELECT count(*) FROM inp) AS n_docs
+      UNION ALL SELECT 2, 'mixed', (SELECT count(*) FROM mixed)
+      UNION ALL SELECT 3, 'exact_dedup', (SELECT count(*) FROM dd)
+      UNION ALL SELECT 4, 'repetition_gate', (SELECT count(*) FROM rep)
+      UNION ALL SELECT 5, 'gopher_rules', (SELECT count(*) FROM gop)
+      UNION ALL SELECT 6, 'quality_gate', (SELECT count(*) FROM good)
+      UNION ALL SELECT 7, 'decontaminated', (SELECT count(*) FROM clean)
+    )
+"""

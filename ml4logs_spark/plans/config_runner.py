@@ -166,6 +166,29 @@ def _a_span_dedup(spark, env, step, cfg):
     )
 
 
+def _a_curate_attrition(spark, env, step, cfg):
+    from pyspark.sql import functions as F
+
+    from ml4logs_spark.operators import curate
+
+    src = env[step.get("from", "documents")]
+    if "benchmark" in step:
+        bench = env[step["benchmark"]]
+    else:
+        nib = F.substring(F.md5("text"), 1, 1)
+        src, bench = src.filter(nib != "0"), src.filter(nib == "0")
+    return curate.curate_attrition(
+        src,
+        bench,
+        min_score=step.get("min_score", 0.5),
+        min_tokens=step.get("min_tokens", 3),
+        max_tokens=step.get("max_tokens", 10_000),
+        mix_weights=step.get("mix_weights"),
+        max_dup_bigram_frac=step.get("max_dup_bigram_frac"),
+        gopher=step.get("gopher"),
+    )
+
+
 def _a_incremental_span_dedup(spark, env, step, cfg):
     # day-2 span dedup: the FROM frame is the new batch, the state
     # table named by "store" is the historical block-hash dim
@@ -466,6 +489,7 @@ ACTIONS: dict[str, Callable] = {
     "length_histogram": _a_length_histogram,
     "top_ngrams": _a_top_ngrams,
     "curate": _a_curate,
+    "curate_attrition": _a_curate_attrition,
     "pack_sequences": _a_pack_sequences,
     "boilerplate_filter": _a_boilerplate_filter,
     "dataset_split": _a_dataset_split,

@@ -66,6 +66,7 @@ def test_grading_window_holds_only_full_oracle_queries():
         # continuation-session: still never driver-checked
         "pq_codes", "pq_cosine_topk",
         "incremental_span_dedup", "gopher_quality_flags",
+        "curate_attrition",
     )
     once_green = (
         "doc_length_histogram",  # r4 red (oracle HUGEINT artifact, fixed)
@@ -77,8 +78,11 @@ def test_grading_window_holds_only_full_oracle_queries():
     )
     fillers = (
         "lsh_cosine_topk",  # 2/3 green — its one red round (r1) earns a slot
-        "vocab_dim", "curated_chunks", "near_dup_clusters",
+        "curated_chunks", "near_dup_clusters",
         "lang_confusion",
+        # vocab_dim ceded its slot to curate_attrition (two-phase
+        # ranking evidenced by perplexity_buckets, counts stage by
+        # incremental_vocab_counts)
         # ivf_codebook / ivf_cosine_topk / near_dup_survivors /
         # decontaminated ceded their slots to the four continuation
         # additions; mechanisms still evidenced in-window

@@ -715,3 +715,77 @@ def test_curate_corpus_gopher_stage(spark):
     got = out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
     want = manual.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_curate_attrition_matches_manual_stage_counts(spark):
+    """The one-pass cumulative-flag report equals counting each chain
+    stage built from the operators themselves, and its final stage
+    equals the docs that actually come out of curate_corpus."""
+    from ml4logs_spark.operators import curate, dedup, textqa
+
+    good = "the cat and the dog sat on the mat with a hat"
+    docs = _docs(spark, [
+        (0, good, "keep"),
+        (1, good, "keep"),                              # exact dup
+        (2, " ".join(["loop the pair"] * 12), "keep"),  # repetition gate
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", "keep"),  # no stopwords
+        (4, good + " extra tail words", "drop"),        # mixed out
+        (5, "the red fox ran over the old stone bridge today", "keep"),
+    ])
+    bench = _docs(spark, [(99, "red fox ran over the old", "b")]).drop(
+        "source"
+    )
+    weights = {"keep": "ffff"}
+    gop = dict(min_words=5, min_mean_word_len=2.0, min_stop_hits=1)
+
+    rep = {
+        r.stage: r.n_docs
+        for r in curate.curate_attrition(
+            docs, bench, min_score=0.0, min_tokens=3,
+            mix_weights=weights, max_dup_bigram_frac=0.5, gopher=gop,
+        ).collect()
+    }
+
+    mixed = textqa.source_mix_sample(docs, weights)
+    dd = dedup.exact_dedup(mixed)
+    rep_alive = dd.filter(textqa.dup_bigram_frac_expr("text") <= 0.5)
+    gop_alive = rep_alive.filter(textqa.gopher_pass_expr(**gop))
+    quality = textqa.quality_filter(
+        gop_alive, min_score=0.0, min_tokens=3, keep_cols=("text",)
+    ).select("doc_id", "text")
+    clean = dedup.decontaminate(quality, bench)
+    want = {
+        "raw": docs.count(),
+        "mixed": mixed.count(),
+        "exact_dedup": dd.count(),
+        "repetition_gate": rep_alive.count(),
+        "gopher_rules": gop_alive.count(),
+        "quality_gate": quality.count(),
+        "decontaminated": clean.count(),
+    }
+    assert rep == want
+    # every planted failure mode really fires
+    assert want["mixed"] == want["raw"] - 1          # doc 4
+    assert want["exact_dedup"] == want["mixed"] - 1  # doc 1
+    assert want["repetition_gate"] == want["exact_dedup"] - 1  # doc 2
+    assert want["gopher_rules"] == want["repetition_gate"] - 1  # doc 3
+    assert want["decontaminated"] == want["quality_gate"] - 1  # doc 5
+
+    # final stage == docs actually emitted by the chain
+    out_docs = (
+        curate.curate_corpus(
+            docs, bench, min_score=0.0, min_tokens=3,
+            mix_weights=weights, max_dup_bigram_frac=0.5, gopher=gop,
+        )
+        .select("doc_id").distinct().count()
+    )
+    assert rep["decontaminated"] == out_docs
+
+    # stage ordering column is 1-based and monotone in the report
+    idx = {
+        r.stage: r.stage_idx
+        for r in curate.curate_attrition(
+            docs, bench, mix_weights=weights
+        ).collect()
+    }
+    assert idx["raw"] == 1 and idx["decontaminated"] == 7
