@@ -268,3 +268,80 @@ def curate_attrition(
         )
         .select("stage_idx", "stage", F.coalesce("n_docs", F.lit(0)).alias("n_docs"))
     )
+
+
+def curate_transcripts(
+    turns: DataFrame,
+    min_turns: int = 2,
+    max_turns: int = 512,
+    max_role_run: int = 4,
+    min_user_frac: float = 0.1,
+    max_tool_frac: float = 0.6,
+    near_threshold: float | None = None,
+    seq_tokens: int = 2048,
+) -> DataFrame:
+    """The transcript-side curation pipeline as one declarative plan —
+    the SFT analog of ``curate_corpus``: raw turns -> conversation
+    exact dedup -> (optional) conversation near-dedup -> stutter strip
+    (consecutive-duplicate turns) -> conversation quality gate ->
+    training-stream packing. This is the step-by-step composition a
+    user of the reference would script around its per-block feature
+    scripts (`/root/reference/src/__main__.py` dispatch); here Catalyst
+    plans the whole chain at once.
+
+    Stage order is deliberate: dedup runs on RAW text (an ingest-level
+    identity — a stuttered re-ingest of the same conversation must
+    still hash equal to itself before cleaning), while the quality
+    gate runs on CLEANED turns (same post-rewrite principle as the
+    chain's span/repetition gates — the gate scores what would
+    actually be trained on, so a stutter run stripped by cleaning
+    no longer trips ``max_role_run``).
+
+    Returns one row per surviving turn with its conversation's
+    packing assignment attached: (conv_id, turn_idx, role, tool,
+    text, conv_tokens, token_offset, seq_id, seq_pos). ``ts`` is
+    dropped — the training stream consumes order, not wall time
+    (timedeltas are a separate feature stage).
+
+    ``near_threshold`` adds conversation near-duplicate removal (the
+    conv-as-document adapter feeding the proven LSH -> connected
+    components -> min-id survivor path). As in ``curate_corpus`` it is
+    the one inherently-iterative stage, so the default None keeps the
+    chain fully lazy.
+
+    Shape at scale: the conv hash dedup aggregate + its semi-join, the
+    gate aggregate + its semi-join, and the packing prefix sum are the
+    only conv_id shuffles; each reuses the same key so AQE coalesces
+    them, and the text column travels each shuffle exactly once. Two
+    tracked persists break the two diamond nodes (cleaned turns feed
+    gate-agg AND the semi-join; gated turns feed pack-agg AND the
+    final join) — the same rule as ``curate_corpus``'s gated frame.
+    Looping callers free them via ``cache.release_all()``."""
+    from ml4logs_spark.operators import windows
+
+    surv = dedup.conv_dedup_survivors(turns)
+    if near_threshold is not None:
+        surv = cache.track(surv)
+        keep_ids = dedup.near_dup_survivors(
+            dedup.conv_text_docs(surv), near_threshold
+        ).select(F.col("doc_id").alias("conv_id"))
+        surv = surv.join(keep_ids, "conv_id", "left_semi")
+    clean = cache.track(windows.dedup_consecutive_turns(surv))
+    gate = (
+        windows.conv_quality_flags(
+            clean,
+            min_turns=min_turns,
+            max_turns=max_turns,
+            max_role_run=max_role_run,
+            min_user_frac=min_user_frac,
+            max_tool_frac=max_tool_frac,
+        )
+        .filter("passes")
+        .select("conv_id")
+    )
+    kept = cache.track(clean.join(gate, "conv_id", "left_semi"))
+    pack = windows.pack_conversations(kept, seq_tokens=seq_tokens)
+    return kept.join(pack, "conv_id").select(
+        "conv_id", "turn_idx", "role", "tool", "text",
+        "conv_tokens", "token_offset", "seq_id", "seq_pos",
+    )

@@ -196,6 +196,75 @@ def role_transition_counts(turns: DataFrame) -> DataFrame:
     )
 
 
+def conv_quality_flags(
+    turns: DataFrame,
+    min_turns: int = 2,
+    max_turns: int = 512,
+    max_role_run: int = 4,
+    min_user_frac: float = 0.1,
+    max_tool_frac: float = 0.6,
+) -> DataFrame:
+    """Conversation-level SFT quality gate — the transcript analog of
+    the documents table's Gopher rule set: per conversation, turn-count
+    bounds, role-balance bounds (user participation floor, tool-spam
+    ceiling), a monologue ceiling (longest run of consecutive
+    same-role turns), and the opening-role convention (first turn by
+    turn_idx is 'user' or 'system'). Returns the signals (fractions
+    6dp), one boolean per rule, and the overall ``passes`` — the
+    report an SFT pipeline reads before a conversation enters a
+    training mix.
+
+    Rule comparisons use the ROUNDED fractions (cross-engine-boundary
+    discipline). Scale shape: the same ONE conv_id exchange as
+    ``conv_loop_flags`` feeds the lag window, the run-length window,
+    and the final conversation aggregate; window state is O(1) per
+    row, so a giant conversation degrades one task's sort, never
+    memory."""
+    w = w_conv()
+    role = F.coalesce(F.col("role"), F.lit(""))
+    prev = F.lag(role).over(w)
+    boundary = F.when(prev.isNull() | (prev != role), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    with_run = turns.select(
+        "conv_id",
+        "turn_idx",
+        role.alias("_role"),
+        F.sum(boundary).over(w).alias("run_id"),
+    )
+    run_len = F.count(F.lit(1)).over(Window.partitionBy("conv_id", "run_id"))
+    per_turn = with_run.withColumn("run_len", run_len)
+    n = F.count(F.lit(1))
+    agg = per_turn.groupBy("conv_id").agg(
+        n.alias("n_turns"),
+        F.max("run_len").cast("long").alias("max_role_run"),
+        F.round(
+            F.sum((F.col("_role") == "user").cast("long")) / n, 6
+        ).alias("user_frac"),
+        F.round(
+            F.sum((F.col("_role") == "tool").cast("long")) / n, 6
+        ).alias("tool_frac"),
+        F.min_by("_role", "turn_idx").alias("opening_role"),
+    )
+    return agg.select(
+        "*",
+        (
+            (F.col("n_turns") >= min_turns) & (F.col("n_turns") <= max_turns)
+        ).alias("pass_turn_count"),
+        (F.col("max_role_run") <= max_role_run).alias("pass_role_run"),
+        (F.col("user_frac") >= min_user_frac).alias("pass_user_frac"),
+        (F.col("tool_frac") <= max_tool_frac).alias("pass_tool_frac"),
+        F.col("opening_role").isin("user", "system").alias("pass_opening"),
+    ).withColumn(
+        "passes",
+        F.col("pass_turn_count")
+        & F.col("pass_role_run")
+        & F.col("pass_user_frac")
+        & F.col("pass_tool_frac")
+        & F.col("pass_opening"),
+    )
+
+
 def dedup_consecutive_turns(turns: DataFrame) -> DataFrame:
     """Transcript cleaning: drop a turn when it exactly repeats the
     previous turn of the same conversation in (role, tool, text) —

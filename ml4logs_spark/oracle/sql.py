@@ -526,3 +526,138 @@ SELECT conv_id, conv_tokens, token_offset,
        CAST(token_offset % 2048 AS BIGINT) AS seq_pos
 FROM coff
 """)
+
+# conversation-level SFT quality gate (windows.conv_quality_flags at
+# the driver query's thresholds: turns 2..100, role run <=4,
+# user_frac >=0.2, tool_frac <=0.3, opening in (user, system));
+# fractions rounded 6dp on both engines before comparison
+ORACLES["conv_quality_flags"] = _q("""
+, lr AS (
+  SELECT conv_id, turn_idx, r,
+         CAST(sum(CASE WHEN prev IS NULL OR prev <> r THEN 1 ELSE 0 END)
+              OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT)
+           AS run_id
+  FROM (
+    SELECT conv_id, turn_idx, coalesce(role, '') AS r,
+           lag(coalesce(role, ''))
+             OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+    FROM t
+  )
+),
+rl AS (
+  SELECT conv_id, turn_idx, r,
+         count(*) OVER (PARTITION BY conv_id, run_id) AS run_len
+  FROM lr
+),
+ag AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(max(run_len) AS BIGINT) AS max_role_run,
+         round(sum(CASE WHEN r = 'user' THEN 1 ELSE 0 END) * 1.0
+               / count(*), 6) AS user_frac,
+         round(sum(CASE WHEN r = 'tool' THEN 1 ELSE 0 END) * 1.0
+               / count(*), 6) AS tool_frac,
+         min_by(r, turn_idx) AS opening_role
+  FROM rl GROUP BY conv_id
+)
+SELECT *,
+       (pass_turn_count AND pass_role_run AND pass_user_frac
+        AND pass_tool_frac AND pass_opening) AS passes
+FROM (
+  SELECT *,
+         (n_turns >= 2 AND n_turns <= 100) AS pass_turn_count,
+         (max_role_run <= 4) AS pass_role_run,
+         (user_frac >= 0.2) AS pass_user_frac,
+         (tool_frac <= 0.3) AS pass_tool_frac,
+         (opening_role IN ('user', 'system')) AS pass_opening
+  FROM ag
+)
+""")
+
+# full transcript curation chain (curate.curate_transcripts at the
+# driver query's thresholds: turns 2..100, role run <=4, user_frac
+# >=0.2, tool_frac <=0.3, seq_tokens 2048, no near-dup stage): conv
+# exact dedup on RAW text -> stutter strip -> quality gate on CLEANED
+# turns -> conv-granular stream packing. Composes the four verified
+# stage oracles; every surfaced sum()/count() CAST to BIGINT
+ORACLES["curated_transcripts"] = _q("""
+, ch AS (
+  SELECT conv_id,
+         md5(string_agg(
+               concat(length(coalesce(text, '')), ':', coalesce(text, '')),
+               chr(31) ORDER BY turn_idx)) AS h
+  FROM t GROUP BY conv_id
+),
+keepc AS (SELECT min(conv_id) AS conv_id FROM ch GROUP BY h),
+s AS (SELECT t.* FROM t JOIN keepc USING (conv_id)),
+lagged AS (
+  SELECT conv_id, turn_idx, role, text, tool,
+         lag(turn_idx) OVER w AS p_idx,
+         lag(role) OVER w AS p_role,
+         lag(tool) OVER w AS p_tool,
+         lag(text) OVER w AS p_text
+  FROM s WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+clean AS (
+  SELECT conv_id, turn_idx, role, text, tool
+  FROM lagged
+  WHERE NOT (p_idx IS NOT NULL
+             AND role IS NOT DISTINCT FROM p_role
+             AND tool IS NOT DISTINCT FROM p_tool
+             AND text IS NOT DISTINCT FROM p_text)
+),
+qlr AS (
+  SELECT conv_id, turn_idx, r,
+         CAST(sum(CASE WHEN prev IS NULL OR prev <> r THEN 1 ELSE 0 END)
+              OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT)
+           AS run_id
+  FROM (
+    SELECT conv_id, turn_idx, coalesce(role, '') AS r,
+           lag(coalesce(role, ''))
+             OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+    FROM clean
+  )
+),
+qrl AS (
+  SELECT conv_id, turn_idx, r,
+         count(*) OVER (PARTITION BY conv_id, run_id) AS run_len
+  FROM qlr
+),
+qag AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(max(run_len) AS BIGINT) AS max_role_run,
+         round(sum(CASE WHEN r = 'user' THEN 1 ELSE 0 END) * 1.0
+               / count(*), 6) AS user_frac,
+         round(sum(CASE WHEN r = 'tool' THEN 1 ELSE 0 END) * 1.0
+               / count(*), 6) AS tool_frac,
+         min_by(r, turn_idx) AS opening_role
+  FROM qrl GROUP BY conv_id
+),
+gate AS (
+  SELECT conv_id FROM qag
+  WHERE n_turns >= 2 AND n_turns <= 100 AND max_role_run <= 4
+        AND user_frac >= 0.2 AND tool_frac <= 0.3
+        AND opening_role IN ('user', 'system')
+),
+kept AS (SELECT clean.* FROM clean JOIN gate USING (conv_id)),
+csizes AS (
+  SELECT conv_id,
+         CAST(coalesce(sum(len(list_filter(
+           str_split(coalesce(text, ''), ' '), x -> x <> ''))), 0)
+           AS BIGINT) AS conv_tokens
+  FROM kept GROUP BY conv_id
+),
+coff AS (
+  SELECT conv_id, conv_tokens,
+         CAST(coalesce(sum(conv_tokens) OVER
+           (ORDER BY conv_id ROWS BETWEEN UNBOUNDED PRECEDING
+            AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+  FROM csizes
+)
+SELECT k.conv_id, k.turn_idx, k.role, k.tool, k.text,
+       c.conv_tokens, c.token_offset,
+       CAST(c.token_offset // 2048 AS BIGINT) AS seq_id,
+       CAST(c.token_offset % 2048 AS BIGINT) AS seq_pos
+FROM kept k JOIN coff c USING (conv_id)
+""")

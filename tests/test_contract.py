@@ -66,7 +66,8 @@ def test_grading_window_holds_only_full_oracle_queries():
         # continuation-session: still never driver-checked
         "pq_codes", "pq_cosine_topk",
         "incremental_span_dedup", "gopher_quality_flags",
-        "curate_attrition",
+        "curate_attrition", "conv_quality_flags",
+        "curated_transcripts",
     )
     once_green = (
         "doc_length_histogram",  # r4 red (oracle HUGEINT artifact, fixed)
@@ -78,8 +79,12 @@ def test_grading_window_holds_only_full_oracle_queries():
     )
     fillers = (
         "lsh_cosine_topk",  # 2/3 green — its one red round (r1) earns a slot
-        "curated_chunks", "near_dup_clusters",
-        "lang_confusion",
+        "curated_chunks",
+        # near_dup_clusters ceded its slot to curated_transcripts (1x
+        # green r4; connected components stays evidenced in-window via
+        # near_dup_survivors_quality)
+        # lang_confusion ceded its slot to conv_quality_flags (2x
+        # green r3/r4, oracle gate retained)
         # vocab_dim ceded its slot to curate_attrition (two-phase
         # ranking evidenced by perplexity_buckets, counts stage by
         # incremental_vocab_counts)

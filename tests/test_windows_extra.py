@@ -242,3 +242,114 @@ def test_pack_conversations_partition_invariant(spark):
         for p in (1, 3, 16)
     ]
     assert frames[0] == frames[1] == frames[2]
+
+
+def test_conv_quality_flags_hand_computed(spark):
+    """Each SFT-gate rule fires on its planted conversation; the
+    healthy conversation passes everything."""
+    from ml4logs_spark.operators import windows
+
+    rows = [
+        # c1: healthy user/assistant alternation
+        ("c1", 0, "user", "q", None),
+        ("c1", 1, "assistant", "a", "code"),
+        ("c1", 2, "user", "r", None),
+        ("c1", 3, "assistant", "b", None),
+        # c2: assistant monologue, opens with assistant, no user
+        ("c2", 0, "assistant", "a", None),
+        ("c2", 1, "assistant", "b", None),
+        ("c2", 2, "assistant", "c", None),
+        # c3: single turn
+        ("c3", 0, "user", "q", None),
+        # c4: tool spam (3 of 4 turns are tool)
+        ("c4", 0, "user", "q", None),
+        ("c4", 1, "tool", "x", "search"),
+        ("c4", 2, "tool", "y", "search"),
+        ("c4", 3, "tool", "z", "search"),
+    ]
+    out = {
+        r["conv_id"]: r.asDict()
+        for r in windows.conv_quality_flags(
+            _rt(spark, rows),
+            min_turns=2,
+            max_turns=10,
+            max_role_run=2,
+            min_user_frac=0.25,
+            max_tool_frac=0.25,
+        ).collect()
+    }
+    c1 = out["c1"]
+    assert (c1["n_turns"], c1["max_role_run"]) == (4, 1)
+    assert c1["user_frac"] == 0.5 and c1["tool_frac"] == 0.0
+    assert c1["opening_role"] == "user" and c1["passes"]
+
+    c2 = out["c2"]
+    assert c2["max_role_run"] == 3 and not c2["pass_role_run"]
+    assert c2["user_frac"] == 0.0 and not c2["pass_user_frac"]
+    assert c2["opening_role"] == "assistant" and not c2["pass_opening"]
+    assert not c2["passes"]
+
+    c3 = out["c3"]
+    assert not c3["pass_turn_count"] and not c3["passes"]
+    # single user turn still satisfies the other rules
+    assert c3["pass_user_frac"] and c3["pass_opening"]
+
+    c4 = out["c4"]
+    assert c4["tool_frac"] == 0.75 and not c4["pass_tool_frac"]
+    assert c4["max_role_run"] == 3 and not c4["pass_role_run"]
+    assert not c4["passes"]
+
+
+def test_curate_transcripts_chain_hand_computed(spark):
+    """Every stage of the transcript curation chain fires on its
+    planted conversation: exact dedup keeps the lower conv_id, the
+    stutter strip runs BEFORE the gate (so a cleaned conversation
+    passes max_role_run it would raw-fail), the gate drops the
+    assistant monologue, and packing offsets accumulate in conv_id
+    order over survivors only."""
+    from ml4logs_spark import cache
+    from ml4logs_spark.operators import curate
+
+    rows = [
+        # c1: healthy, 2 turns, 2+2=4 tokens
+        ("c1", 0, "user", "hello there", None),
+        ("c1", 1, "assistant", "hi friend", None),
+        # c2: exact duplicate of c1 (same ordered texts) -> dropped
+        ("c2", 0, "user", "hello there", None),
+        ("c2", 1, "assistant", "hi friend", None),
+        # c3: assistant double-submit: raw max_role_run=3 would fail
+        # the gate at max_role_run=2, but the stutter strip collapses
+        # the repeat first -> survives with 3 turns, 1+1+2=4 tokens
+        ("c3", 0, "user", "question", None),
+        ("c3", 1, "assistant", "answer", None),
+        ("c3", 2, "assistant", "answer", None),
+        ("c3", 3, "assistant", "more detail", None),
+        # c4: assistant monologue, opens wrong, no user -> gated out
+        ("c4", 0, "assistant", "a", None),
+        ("c4", 1, "assistant", "b", None),
+    ]
+    cache.release_all()
+    out = (
+        curate.curate_transcripts(
+            _rt(spark, rows),
+            min_turns=2,
+            max_turns=10,
+            max_role_run=2,
+            min_user_frac=0.25,
+            max_tool_frac=0.5,
+            seq_tokens=5,
+        )
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    cache.release_all()
+    assert sorted(out.conv_id.unique()) == ["c1", "c3"]
+    # c3's stuttered turn_idx=2 is stripped; the others survive
+    assert out[out.conv_id == "c3"].turn_idx.tolist() == [0, 1, 3]
+    # packing: c1 at offset 0 (4 tokens), c3 starts at 4 -> seq_id 0
+    # under seq_tokens=5 (first token lands at pos 4)
+    c1 = out[out.conv_id == "c1"].iloc[0]
+    c3 = out[out.conv_id == "c3"].iloc[0]
+    assert (c1.conv_tokens, c1.token_offset, c1.seq_id, c1.seq_pos) == (4, 0, 0, 0)
+    assert (c3.conv_tokens, c3.token_offset, c3.seq_id, c3.seq_pos) == (4, 4, 0, 4)

@@ -454,6 +454,30 @@ def main() -> int:
           p.count("HashAggregate") >= 2 or p.count("ObjectHashAggregate") >= 2
           or p.count("SortAggregate") >= 2)
 
+    # 8g17. transcript curation chain (r5 continuation): dedup ->
+    # stutter strip -> gate -> packing as one plan. No cross products
+    # anywhere; the packing prefix sum keeps the two-phase contract
+    # (range repartition on conv_id, offset window keyed by _pid, the
+    # only SinglePartition stage the #partitions-row totals side); the
+    # two diamond nodes (cleaned turns, gated turns) are tracked
+    # persists so the scan + dedup shuffle never replays.
+    from ml4logs_spark import cache as _cc
+    _cc.release_all()
+    p = plan_of(curate.curate_transcripts(t))
+    _cc.release_all()
+    check("curate_transcripts: no cartesian product",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
+    check("curate_transcripts: diamond nodes cached",
+          "InMemoryTableScan" in p)
+    check("curate_transcripts: packing range repartition on conv_id",
+          "rangepartitioning(conv_id" in p)
+    check("curate_transcripts: offset window partitioned by _pid",
+          "windowspecdefinition(_pid" in p)
+    single_ids = set(_re.findall(
+        r"Exchange SinglePartition[^\[\n]*\[plan_id=(\d+)\]", p))
+    check("curate_transcripts: no single-partition stage over convs",
+          len(single_ids) <= 1, f"SinglePartition plan_ids={sorted(single_ids)}")
+
     # 8g. near-dup clustering: pair generation + every propagation round
     # stays equi-join shaped (the fixpoint loop reuses this same plan)
     p = plan_of(dedup.near_dups(docs))
