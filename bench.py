@@ -738,6 +738,24 @@ def main() -> None:
     timed("timedeltas", lambda: force(
         windows.with_timedeltas(turns).select("conv_id", "turn_idx", "td")))
 
+    # transcript curation chain (SFT prep): conv dedup -> stutter strip
+    # -> quality gate -> stream packing over the full turns table in
+    # one measured action (tracked diamond persists freed after)
+    from ml4logs_spark import cache as _tcache
+    from ml4logs_spark.operators import curate as _tcurate
+
+    _tcache.release_all()
+    t0 = time.perf_counter()
+    n_sft_rows = _tcurate.curate_transcripts(turns).count()
+    sft_wall = time.perf_counter() - t0
+    _tcache.release_all()
+    timings["sft_curate"] = round(sft_wall, 3)
+    sft_out = {
+        "sft_turns_in": n_turns,
+        "sft_rows_out": n_sft_rows,
+        "sft_curate_turns_per_sec": round(n_turns / sft_wall, 1),
+    }
+
     # headline e2e + skew timing, deferred to steady state (see the
     # skew-section comment): the plans are long warm — uniform warmed
     # before the docs sections, skewed right after its table build —
@@ -758,6 +776,7 @@ def main() -> None:
         "cores": cores,
         "load1_at_e2e": load1,
         "skew": skew_out,
+        "sft": sft_out,
         "docs": docs_out,
         "streaming": stream_out,
     }

@@ -458,6 +458,32 @@ def _a_dataset_split(spark, env, step, cfg):
     )
 
 
+def _a_conv_quality(spark, env, step, cfg):
+    return windows.conv_quality_flags(
+        env[step.get("from", "transcripts")],
+        min_turns=step.get("min_turns", 2),
+        max_turns=step.get("max_turns", 512),
+        max_role_run=step.get("max_role_run", 4),
+        min_user_frac=step.get("min_user_frac", 0.1),
+        max_tool_frac=step.get("max_tool_frac", 0.6),
+    )
+
+
+def _a_curate_transcripts(spark, env, step, cfg):
+    from ml4logs_spark.operators import curate
+
+    return curate.curate_transcripts(
+        env[step.get("from", "transcripts")],
+        min_turns=step.get("min_turns", 2),
+        max_turns=step.get("max_turns", 512),
+        max_role_run=step.get("max_role_run", 4),
+        min_user_frac=step.get("min_user_frac", 0.1),
+        max_tool_frac=step.get("max_tool_frac", 0.6),
+        near_threshold=step.get("near_threshold"),
+        seq_tokens=step.get("seq_tokens", 2048),
+    )
+
+
 ACTIONS: dict[str, Callable] = {
     "transcripts": _a_transcripts,
     "template_dim": _a_template_dim,
@@ -507,6 +533,8 @@ ACTIONS: dict[str, Callable] = {
     "lm_score": _a_lm_score,
     "pq_encode": _a_pq_encode,
     "pq_topk": _a_pq_topk,
+    "conv_quality": _a_conv_quality,
+    "curate_transcripts": _a_curate_transcripts,
 }
 
 

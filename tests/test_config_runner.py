@@ -267,3 +267,38 @@ def test_config_temperature_mix_and_knn_actions(spark, tmp_path):
         docs, alpha=0.75
     ).count()
     assert result["knn_label_vote"] == similarity.knn_label_vote(emb, k=5).count()
+
+
+def test_config_transcript_curation_actions(spark, tmp_path):
+    """conv_quality / curate_transcripts actions dispatch and match the
+    direct operator composition (chain == config-wired chain)."""
+    from ml4logs_spark import cache
+    from ml4logs_spark.datagen import transcripts as tx
+    from ml4logs_spark.operators import curate, windows
+
+    cfg = {
+        "input": SF_DIR,
+        "warehouse": str(tmp_path / "whct"),
+        "pipeline": [
+            {"action": "transcripts"},
+            {"action": "conv_quality", "min_user_frac": 0.2, "save": True},
+            {"action": "curate_transcripts", "from": "transcripts",
+             "max_turns": 100, "seq_tokens": 512, "save": True},
+        ],
+    }
+    cache.release_all()
+    result = run_config(spark, cfg)
+    t = tx.transcripts(spark, SF_DIR)
+    assert result["conv_quality"] == windows.conv_quality_flags(
+        t, min_user_frac=0.2
+    ).count()
+    cache.release_all()
+    direct = curate.curate_transcripts(t, max_turns=100, seq_tokens=512)
+    assert result["curate_transcripts"] == direct.count()
+    saved = spark.read.parquet(str(tmp_path / "whct" / "curate_transcripts"))
+    key = ["conv_id", "turn_idx"]
+    a = saved.toPandas().sort_values(key).reset_index(drop=True)
+    b = direct.toPandas().sort_values(key).reset_index(drop=True)
+    assert (a.seq_id.values == b.seq_id.values).all()
+    assert (a.token_offset.values == b.token_offset.values).all()
+    cache.release_all()

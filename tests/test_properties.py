@@ -394,3 +394,58 @@ def test_bigram_novelty_matches_python(spark, texts):
         assert got[i] == exp
         if n:
             assert 0.0 <= got[i][1] <= 1.0
+
+
+@settings(**SLOW)
+@given(
+    convs=st.lists(
+        st.lists(
+            st.sampled_from(["user", "assistant", "system", "tool"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_conv_quality_flags_matches_python_reference(spark, convs):
+    """conv_quality_flags == an independent pure-Python rule
+    evaluation, for arbitrary role sequences (run-length, fractions,
+    opening role, and every pass flag)."""
+    rows = [
+        (f"c{i:03d}", t, role, f"w{t}", None, None)
+        for i, roles in enumerate(convs)
+        for t, role in enumerate(roles)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp"
+    )
+    kw = dict(min_turns=2, max_turns=8, max_role_run=2,
+              min_user_frac=0.3, max_tool_frac=0.25)
+    got = {
+        r["conv_id"]: r.asDict()
+        for r in windows.conv_quality_flags(df, **kw).collect()
+    }
+    for i, roles in enumerate(convs):
+        cid = f"c{i:03d}"
+        n = len(roles)
+        max_run = 1
+        run = 1
+        for a, b in zip(roles, roles[1:]):
+            run = run + 1 if a == b else 1
+            max_run = max(max_run, run)
+        user_frac = round(roles.count("user") / n, 6)
+        tool_frac = round(roles.count("tool") / n, 6)
+        g = got[cid]
+        assert g["n_turns"] == n and g["max_role_run"] == max_run
+        assert g["user_frac"] == user_frac and g["tool_frac"] == tool_frac
+        assert g["opening_role"] == roles[0]
+        expected_passes = (
+            kw["min_turns"] <= n <= kw["max_turns"]
+            and max_run <= kw["max_role_run"]
+            and user_frac >= kw["min_user_frac"]
+            and tool_frac <= kw["max_tool_frac"]
+            and roles[0] in ("user", "system")
+        )
+        assert g["passes"] == expected_passes, (cid, roles, g)
