@@ -956,11 +956,23 @@ def conv_dedup_survivors(turns: DataFrame) -> DataFrame:
     the hash restores turn order deterministically), a hash-keyed
     min-aggregate over conv-count rows, and a semi-join back on
     conv_id. The turn texts travel once."""
+    keep = conv_hashes(turns).groupBy("conv_hash").agg(
+        F.min("conv_id").alias("conv_id")
+    )
+    return turns.join(keep.select("conv_id"), "conv_id", "left_semi")
+
+
+def conv_hashes(turns: DataFrame) -> DataFrame:
+    """(conv_id, conv_hash): the canonical ordered-turn-text content
+    hash shared by batch (``conv_dedup_survivors``) and cross-batch
+    (``incremental_conv_dedup``) conversation dedup — also the
+    fixed-width state row the day-2 path persists per conversation
+    ever seen."""
     # length-prefix framing (len:text) makes the join unambiguous: a
     # bare separator could not distinguish one turn containing the
     # separator byte from two turns around it (tool output can carry
     # control characters), and turn-count alone cannot either
-    canon = turns.groupBy("conv_id").agg(
+    return turns.groupBy("conv_id").agg(
         F.md5(
             F.array_join(
                 F.transform(
@@ -975,8 +987,34 @@ def conv_dedup_survivors(turns: DataFrame) -> DataFrame:
             )
         ).alias("conv_hash")
     )
-    keep = canon.groupBy("conv_hash").agg(F.min("conv_id").alias("conv_id"))
-    return turns.join(keep.select("conv_id"), "conv_id", "left_semi")
+
+
+def incremental_conv_dedup(
+    new_turns: DataFrame, seen_hashes: DataFrame
+) -> DataFrame:
+    """Cross-batch conversation dedup — the day-2 ingest path for the
+    transcripts table (the 6th dedup family with a hash-only state):
+    turns of new conversations whose canonical content hash
+    (``conv_hashes``) is NOT already in ``seen_hashes`` (a
+    (conv_hash) dim maintained by prior runs), deduped within the
+    batch as well (keep the lowest conv_id per hash). Emit
+    ``conv_hashes(out)`` back into the dim to advance the frontier; a
+    replayed batch emits nothing.
+
+    Shape at scale: the state is ONE 32-hex row per distinct
+    conversation ever ingested — historical turn text never rescans.
+    One conv_id shuffle hashes the batch, the anti-join runs on the
+    uniform digest key, and the surviving conv set semi-joins back to
+    the batch's turns. conv_hash is never NULL (md5 over coalesced
+    text), so plain equality is safe for the anti-join."""
+    hashed = conv_hashes(new_turns)
+    fresh = hashed.join(
+        seen_hashes.select(F.col("conv_hash").alias("_seen_hash")),
+        F.col("conv_hash") == F.col("_seen_hash"),
+        "left_anti",
+    )
+    keep = fresh.groupBy("conv_hash").agg(F.min("conv_id").alias("conv_id"))
+    return new_turns.join(keep.select("conv_id"), "conv_id", "left_semi")
 
 
 def conv_text_docs(turns: DataFrame) -> DataFrame:

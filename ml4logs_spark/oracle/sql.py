@@ -661,3 +661,31 @@ SELECT k.conv_id, k.turn_idx, k.role, k.tool, k.text,
        CAST(c.token_offset % 2048 AS BIGINT) AS seq_pos
 FROM kept k JOIN coff c USING (conv_id)
 """)
+
+# day-2 conversation dedup (dedup.incremental_conv_dedup at the driver
+# split: md5(conv_id) first hex 0-7 = history-as-state, 8-f = new
+# batch): new conversations whose canonical ordered-turn-text hash is
+# not in the history's hash dim, deduped in-batch (min conv_id per
+# hash). Green == incremental path equals this batch computation.
+ORACLES["incremental_conv_dedup"] = _q("""
+, hist AS (SELECT * FROM t WHERE substr(md5(conv_id), 1, 1) < '8'),
+nw AS (SELECT * FROM t WHERE substr(md5(conv_id), 1, 1) >= '8'),
+hh AS (
+  SELECT md5(string_agg(
+           concat(length(coalesce(text, '')), ':', coalesce(text, '')),
+           chr(31) ORDER BY turn_idx)) AS h
+  FROM hist GROUP BY conv_id
+),
+nh AS (
+  SELECT conv_id,
+         md5(string_agg(
+           concat(length(coalesce(text, '')), ':', coalesce(text, '')),
+           chr(31) ORDER BY turn_idx)) AS h
+  FROM nw GROUP BY conv_id
+),
+fresh AS (
+  SELECT conv_id, h FROM nh
+  WHERE h NOT IN (SELECT h FROM hh)
+)
+SELECT min(conv_id) AS conv_id FROM fresh GROUP BY h
+""")

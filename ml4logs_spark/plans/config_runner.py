@@ -458,6 +458,24 @@ def _a_dataset_split(spark, env, step, cfg):
     )
 
 
+def _a_incremental_conv_dedup(spark, env, step, cfg):
+    # day-2 conversation dedup: the FROM frame is the new batch of
+    # turns, the state table named by "state" is the historical
+    # conv_hash dim (emit conv_hashes(out) back to advance it)
+    from ml4logs_spark.operators import dedup
+
+    return dedup.incremental_conv_dedup(
+        env[step.get("from", "transcripts")],
+        env[step["state"]],
+    )
+
+
+def _a_conv_hashes(spark, env, step, cfg):
+    from ml4logs_spark.operators import dedup
+
+    return dedup.conv_hashes(env[step.get("from", "transcripts")])
+
+
 def _a_conv_quality(spark, env, step, cfg):
     return windows.conv_quality_flags(
         env[step.get("from", "transcripts")],
@@ -535,6 +553,8 @@ ACTIONS: dict[str, Callable] = {
     "pq_topk": _a_pq_topk,
     "conv_quality": _a_conv_quality,
     "curate_transcripts": _a_curate_transcripts,
+    "conv_hashes": _a_conv_hashes,
+    "incremental_conv_dedup": _a_incremental_conv_dedup,
 }
 
 

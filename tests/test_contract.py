@@ -67,7 +67,7 @@ def test_grading_window_holds_only_full_oracle_queries():
         "pq_codes", "pq_cosine_topk",
         "incremental_span_dedup", "gopher_quality_flags",
         "curate_attrition", "conv_quality_flags",
-        "curated_transcripts",
+        "curated_transcripts", "incremental_conv_dedup",
     )
     once_green = (
         "doc_length_histogram",  # r4 red (oracle HUGEINT artifact, fixed)
@@ -79,7 +79,9 @@ def test_grading_window_holds_only_full_oracle_queries():
     )
     fillers = (
         "lsh_cosine_topk",  # 2/3 green — its one red round (r1) earns a slot
-        "curated_chunks",
+        # curated_chunks ceded its slot to incremental_conv_dedup (2x
+        # green r3/r4; the docs chain's stage semantics stay evidenced
+        # in-window by curate_attrition's shared gate expressions)
         # near_dup_clusters ceded its slot to curated_transcripts (1x
         # green r4; connected components stays evidenced in-window via
         # near_dup_survivors_quality)

@@ -748,3 +748,41 @@ def test_incremental_span_dedup_null_text(spark):
         ).collect()
     }
     assert out == {11: "x y"}
+
+
+def test_incremental_conv_dedup_across_batches(spark):
+    """Day-2 conversation ingest: a re-ingested conversation (same
+    ordered turn texts under a NEW conv_id) drops against the history
+    hash dim, an in-batch duplicate pair keeps its min conv_id, a
+    fresh conversation passes, and a replayed batch emits nothing."""
+    from ml4logs_spark.operators import dedup
+
+    def _t(rows):
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string"
+        )
+
+    hist = _t([("h1", 0, "hello"), ("h1", 1, "world"),
+               ("h2", 0, "solo")])
+    state = dedup.conv_hashes(hist).select("conv_hash")
+    batch = _t([
+        ("n1", 0, "hello"), ("n1", 1, "world"),   # re-ingest of h1 -> drop
+        ("n2", 0, "fresh"), ("n2", 1, "content"), # new -> keep
+        ("n3", 0, "fresh"), ("n3", 1, "content"), # in-batch dup of n2 -> drop
+        ("n4", 0, "hello world"),                 # NOT h1 (framing: 1 turn) -> keep
+    ])
+    out = dedup.incremental_conv_dedup(batch, state)
+    assert sorted(set(r.conv_id for r in out.collect())) == ["n2", "n4"]
+
+    # frontier advance + replay safety: absorb the batch, replay it
+    state2 = state.unionByName(dedup.conv_hashes(out).select("conv_hash"))
+    assert dedup.incremental_conv_dedup(batch, state2).count() == 0
+
+    # incremental == batch (history precedes batch): survivors of the
+    # full corpus restricted to new convs match, since history ids
+    # sort before batch ids here
+    full = dedup.conv_dedup_survivors(hist.unionByName(batch))
+    batch_side = sorted(
+        set(r.conv_id for r in full.collect()) - {"h1", "h2"}
+    )
+    assert batch_side == ["n2", "n4"]

@@ -454,6 +454,23 @@ def main() -> int:
           p.count("HashAggregate") >= 2 or p.count("ObjectHashAggregate") >= 2
           or p.count("SortAggregate") >= 2)
 
+    # 8g16b. day-2 conversation dedup (r5 continuation): the state
+    # probe is an ANTI join on the never-NULL digest key (historical
+    # turn text never enters the plan), the batch hashes in one
+    # partial+final conv_id aggregate — no cross product anywhere.
+    from pyspark.sql import functions as _Fc
+    _cnib = _Fc.substring(_Fc.md5("conv_id"), 1, 1)
+    p = plan_of(dedup.incremental_conv_dedup(
+        t.filter(_cnib >= "8"),
+        dedup.conv_hashes(t.filter(_cnib < "8")).select("conv_hash")))
+    check("incremental_conv_dedup: anti-join state probe",
+          "LeftAnti" in p)
+    check("incremental_conv_dedup: no cartesian product",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
+    check("incremental_conv_dedup: partial+final aggregates",
+          p.count("HashAggregate") >= 2 or p.count("ObjectHashAggregate") >= 2
+          or p.count("SortAggregate") >= 2)
+
     # 8g17. transcript curation chain (r5 continuation): dedup ->
     # stutter strip -> gate -> packing as one plan. No cross products
     # anywhere; the packing prefix sum keeps the two-phase contract
