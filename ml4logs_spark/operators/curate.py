@@ -345,3 +345,131 @@ def curate_transcripts(
         "conv_id", "turn_idx", "role", "tool", "text",
         "conv_tokens", "token_offset", "seq_id", "seq_pos",
     )
+
+
+def curate_transcripts_attrition(
+    turns: DataFrame,
+    min_turns: int = 2,
+    max_turns: int = 512,
+    max_role_run: int = 4,
+    min_user_frac: float = 0.1,
+    max_tool_frac: float = 0.6,
+) -> DataFrame:
+    """Per-stage survivor counts for the transcript curation chain —
+    the threshold-tuning report for ``curate_transcripts``: (stage_idx,
+    stage, n_convs, n_turns) for raw -> exact_dedup -> stutter_strip ->
+    quality_gate, under the chain's exact stage semantics (the gate is
+    evaluated on CLEANED turns, stutter rows drop turns but never
+    conversations, dedup keeps the min conv_id per canonical hash).
+
+    Shape at scale: NOT one count() per stage. One conv_id window pass
+    marks stutter rows and cleaned-sequence role runs, ONE conv-level
+    aggregate folds raw/clean turn counts + the gate signals, the
+    dedup winner flag joins from the conv-count-sized hash dim, and a
+    single 1-row sum unpivots to the stage rows — the corpus text
+    travels its shuffle once. As in ``curate_attrition`` the iterative
+    stage (near_threshold) is deliberately outside the report."""
+    from pyspark.sql import Window
+
+    from ml4logs_spark.operators import windows
+
+    w = windows.w_conv()
+    role = F.coalesce(F.col("role"), F.lit(""))
+    same_prev = (
+        F.lag("turn_idx").over(w).isNotNull()
+        & F.col("role").eqNullSafe(F.lag("role").over(w))
+        & F.col("tool").eqNullSafe(F.lag("tool").over(w))
+        & F.col("text").eqNullSafe(F.lag("text").over(w))
+    )
+    # run boundaries over the CLEANED sequence: a kept row opens a new
+    # run iff the previous KEPT row's role differs — lag over kept rows
+    # only, expressed as last_value(ignorenulls) of the kept-row role
+    marked = turns.select(
+        "conv_id", "turn_idx", role.alias("_role"),
+        same_prev.alias("_dup"),
+    )
+    prev_kept_role = F.last(
+        F.when(~F.col("_dup"), F.col("_role")), ignorenulls=True
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    boundary = (
+        (~F.col("_dup"))
+        & (prev_kept_role.isNull() | (prev_kept_role != F.col("_role")))
+    ).cast("long")
+    with_run = marked.withColumn("_brk", boundary).withColumn(
+        "run_id", F.sum("_brk").over(w)
+    )
+    kept_run_len = F.count(F.when(~F.col("_dup"), F.lit(1))).over(
+        Window.partitionBy("conv_id", "run_id")
+    )
+    per_turn = with_run.withColumn("_rlen", kept_run_len)
+    n_clean = F.sum((~F.col("_dup")).cast("long"))
+    conv = per_turn.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_raw_turns"),
+        n_clean.alias("n_clean_turns"),
+        F.max(F.when(~F.col("_dup"), F.col("_rlen"))).cast("long")
+            .alias("_max_run"),
+        F.round(
+            F.sum(F.when(~F.col("_dup") & (F.col("_role") == "user"), 1)
+                  .otherwise(0)) / n_clean, 6
+        ).alias("_user_frac"),
+        F.round(
+            F.sum(F.when(~F.col("_dup") & (F.col("_role") == "tool"), 1)
+                  .otherwise(0)) / n_clean, 6
+        ).alias("_tool_frac"),
+        F.min_by(F.col("_role"), F.when(~F.col("_dup"), F.col("turn_idx")))
+            .alias("_opening"),
+    )
+    winners = (
+        dedup.conv_hashes(turns)
+        .groupBy("conv_hash")
+        .agg(F.min("conv_id").alias("conv_id"))
+        .select("conv_id", F.lit(True).alias("_is_win"))
+    )
+    wide = conv.join(winners, "conv_id", "left").select(
+        "*",
+        F.coalesce("_is_win", F.lit(False)).alias("_alive_dedup"),
+    )
+    gate_ok = (
+        (F.col("n_clean_turns") >= min_turns)
+        & (F.col("n_clean_turns") <= max_turns)
+        & (F.col("_max_run") <= max_role_run)
+        & (F.col("_user_frac") >= min_user_frac)
+        & (F.col("_tool_frac") <= max_tool_frac)
+        & F.col("_opening").isin("user", "system")
+    )
+    wide = wide.withColumn("_alive_gate", F.col("_alive_dedup") & gate_ok)
+    agg = wide.agg(
+        F.count(F.lit(1)).alias("raw_convs"),
+        F.sum("n_raw_turns").cast("long").alias("raw_turns"),
+        F.sum(F.col("_alive_dedup").cast("long")).alias("dedup_convs"),
+        F.sum(F.when(F.col("_alive_dedup"), F.col("n_raw_turns"))
+              .otherwise(0)).cast("long").alias("dedup_turns"),
+        F.sum(F.when(F.col("_alive_dedup"), F.col("n_clean_turns"))
+              .otherwise(0)).cast("long").alias("clean_turns"),
+        F.sum(F.col("_alive_gate").cast("long")).alias("gate_convs"),
+        F.sum(F.when(F.col("_alive_gate"), F.col("n_clean_turns"))
+              .otherwise(0)).cast("long").alias("gate_turns"),
+    )
+    stages = [
+        ("raw", "raw_convs", "raw_turns"),
+        ("exact_dedup", "dedup_convs", "dedup_turns"),
+        ("stutter_strip", "dedup_convs", "clean_turns"),
+        ("quality_gate", "gate_convs", "gate_turns"),
+    ]
+    pairs = ", ".join(f"'{s}', {c}, {t}" for s, c, t in stages)
+    return (
+        agg.selectExpr(
+            f"stack({len(stages)}, {pairs}) AS (stage, n_convs, n_turns)"
+        )
+        .withColumn(
+            "stage_idx",
+            F.array_position(
+                F.array(*[F.lit(s) for s, _, _ in stages]), F.col("stage")
+            ).cast("int"),
+        )
+        .select(
+            "stage_idx", "stage",
+            F.coalesce("n_convs", F.lit(0)).alias("n_convs"),
+            F.coalesce("n_turns", F.lit(0)).alias("n_turns"),
+        )
+    )

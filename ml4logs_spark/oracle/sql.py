@@ -689,3 +689,91 @@ fresh AS (
 )
 SELECT min(conv_id) AS conv_id FROM fresh GROUP BY h
 """)
+
+# transcript-chain attrition report (curate.curate_transcripts_attrition
+# at the driver thresholds: turns 2..100, role run <=4, user_frac
+# >=0.2, tool_frac <=0.3): per-stage (n_convs, n_turns) for raw ->
+# exact_dedup -> stutter_strip -> quality_gate, mirroring the chain's
+# stage semantics (gate on CLEANED turns); the unpivot is 4 UNION ALL
+# rows off the single-row aggregate
+ORACLES["curate_transcripts_attrition"] = _q("""
+, ch AS (
+  SELECT conv_id,
+         md5(string_agg(
+               concat(length(coalesce(text, '')), ':', coalesce(text, '')),
+               chr(31) ORDER BY turn_idx)) AS h,
+         count(*) AS n_raw
+  FROM t GROUP BY conv_id
+),
+keepc AS (SELECT min(conv_id) AS conv_id FROM ch GROUP BY h),
+lagged AS (
+  SELECT conv_id, turn_idx, coalesce(role, '') AS r,
+         (lag(turn_idx) OVER w IS NOT NULL
+          AND role IS NOT DISTINCT FROM lag(role) OVER w
+          AND tool IS NOT DISTINCT FROM lag(tool) OVER w
+          AND text IS NOT DISTINCT FROM lag(text) OVER w) AS dup
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+clean AS (SELECT conv_id, turn_idx, r FROM lagged WHERE NOT dup),
+qlr AS (
+  SELECT conv_id, turn_idx, r,
+         sum(CASE WHEN prev IS NULL OR prev <> r THEN 1 ELSE 0 END)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS run_id
+  FROM (
+    SELECT conv_id, turn_idx, r,
+           lag(r) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+    FROM clean
+  )
+),
+qrl AS (
+  SELECT conv_id, turn_idx, r,
+         count(*) OVER (PARTITION BY conv_id, run_id) AS run_len
+  FROM qlr
+),
+cagg AS (
+  SELECT conv_id,
+         count(*) AS n_clean,
+         max(run_len) AS max_run,
+         round(sum(CASE WHEN r = 'user' THEN 1 ELSE 0 END) * 1.0
+               / count(*), 6) AS user_frac,
+         round(sum(CASE WHEN r = 'tool' THEN 1 ELSE 0 END) * 1.0
+               / count(*), 6) AS tool_frac,
+         min_by(r, turn_idx) AS opening
+  FROM qrl GROUP BY conv_id
+),
+conv AS (
+  SELECT ch.conv_id, ch.n_raw, cagg.n_clean,
+         (keepc.conv_id IS NOT NULL) AS alive_dedup,
+         ((keepc.conv_id IS NOT NULL)
+          AND cagg.n_clean >= 2 AND cagg.n_clean <= 100
+          AND cagg.max_run <= 4 AND cagg.user_frac >= 0.2
+          AND cagg.tool_frac <= 0.3
+          AND cagg.opening IN ('user', 'system')) AS alive_gate
+  FROM ch
+  JOIN cagg USING (conv_id)
+  LEFT JOIN keepc ON keepc.conv_id = ch.conv_id
+),
+w1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS raw_convs,
+         CAST(sum(n_raw) AS BIGINT) AS raw_turns,
+         CAST(sum(CASE WHEN alive_dedup THEN 1 ELSE 0 END) AS BIGINT)
+           AS dedup_convs,
+         CAST(sum(CASE WHEN alive_dedup THEN n_raw ELSE 0 END) AS BIGINT)
+           AS dedup_turns,
+         CAST(sum(CASE WHEN alive_dedup THEN n_clean ELSE 0 END) AS BIGINT)
+           AS clean_turns,
+         CAST(sum(CASE WHEN alive_gate THEN 1 ELSE 0 END) AS BIGINT)
+           AS gate_convs,
+         CAST(sum(CASE WHEN alive_gate THEN n_clean ELSE 0 END) AS BIGINT)
+           AS gate_turns
+  FROM conv
+)
+SELECT CAST(1 AS INT) AS stage_idx, 'raw' AS stage,
+       raw_convs AS n_convs, raw_turns AS n_turns FROM w1
+UNION ALL
+SELECT CAST(2 AS INT), 'exact_dedup', dedup_convs, dedup_turns FROM w1
+UNION ALL
+SELECT CAST(3 AS INT), 'stutter_strip', dedup_convs, clean_turns FROM w1
+UNION ALL
+SELECT CAST(4 AS INT), 'quality_gate', gate_convs, gate_turns FROM w1
+""")

@@ -470,6 +470,19 @@ def _a_incremental_conv_dedup(spark, env, step, cfg):
     )
 
 
+def _a_curate_transcripts_attrition(spark, env, step, cfg):
+    from ml4logs_spark.operators import curate
+
+    return curate.curate_transcripts_attrition(
+        env[step.get("from", "transcripts")],
+        min_turns=step.get("min_turns", 2),
+        max_turns=step.get("max_turns", 512),
+        max_role_run=step.get("max_role_run", 4),
+        min_user_frac=step.get("min_user_frac", 0.1),
+        max_tool_frac=step.get("max_tool_frac", 0.6),
+    )
+
+
 def _a_conv_hashes(spark, env, step, cfg):
     from ml4logs_spark.operators import dedup
 
@@ -555,6 +568,7 @@ ACTIONS: dict[str, Callable] = {
     "curate_transcripts": _a_curate_transcripts,
     "conv_hashes": _a_conv_hashes,
     "incremental_conv_dedup": _a_incremental_conv_dedup,
+    "curate_transcripts_attrition": _a_curate_transcripts_attrition,
 }
 
 

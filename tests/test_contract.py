@@ -68,6 +68,7 @@ def test_grading_window_holds_only_full_oracle_queries():
         "incremental_span_dedup", "gopher_quality_flags",
         "curate_attrition", "conv_quality_flags",
         "curated_transcripts", "incremental_conv_dedup",
+        "curate_transcripts_attrition",
     )
     once_green = (
         "doc_length_histogram",  # r4 red (oracle HUGEINT artifact, fixed)
@@ -78,7 +79,9 @@ def test_grading_window_holds_only_full_oracle_queries():
         "dense_fit_counts",
     )
     fillers = (
-        "lsh_cosine_topk",  # 2/3 green — its one red round (r1) earns a slot
+        # lsh_cosine_topk ceded its slot to curate_transcripts_attrition
+        # (2/3 green; hyperplane banding stays evidenced in-window by
+        # incremental_embedding_near_dups, re-rank cosine by pq topk)
         # curated_chunks ceded its slot to incremental_conv_dedup (2x
         # green r3/r4; the docs chain's stage semantics stay evidenced
         # in-window by curate_attrition's shared gate expressions)

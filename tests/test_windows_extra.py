@@ -353,3 +353,48 @@ def test_curate_transcripts_chain_hand_computed(spark):
     c3 = out[out.conv_id == "c3"].iloc[0]
     assert (c1.conv_tokens, c1.token_offset, c1.seq_id, c1.seq_pos) == (4, 0, 0, 0)
     assert (c3.conv_tokens, c3.token_offset, c3.seq_id, c3.seq_pos) == (4, 4, 0, 4)
+
+
+def test_curate_transcripts_attrition_matches_composition(spark):
+    """The attrition report's stage counts equal the independently
+    composed operators (dedup -> stutter strip -> gate), on a fixture
+    where every stage drops something."""
+    from ml4logs_spark import cache
+    from ml4logs_spark.operators import curate, dedup, windows
+
+    rows = [
+        ("c1", 0, "user", "hello there", None),
+        ("c1", 1, "assistant", "hi friend", None),
+        ("c2", 0, "user", "hello there", None),    # dup of c1
+        ("c2", 1, "assistant", "hi friend", None),
+        ("c3", 0, "user", "question", None),
+        ("c3", 1, "assistant", "answer", None),
+        ("c3", 2, "assistant", "answer", None),    # stutter row
+        ("c3", 3, "assistant", "more detail", None),
+        ("c4", 0, "assistant", "a", None),          # gated out
+        ("c4", 1, "assistant", "b", None),
+    ]
+    kw = dict(min_turns=2, max_turns=10, max_role_run=2,
+              min_user_frac=0.25, max_tool_frac=0.5)
+    t = _rt(spark, rows)
+    got = {
+        r["stage"]: (r["n_convs"], r["n_turns"])
+        for r in curate.curate_transcripts_attrition(t, **kw).collect()
+    }
+    surv = dedup.conv_dedup_survivors(t)
+    clean = windows.dedup_consecutive_turns(surv)
+    gate = windows.conv_quality_flags(clean, **kw).filter("passes")
+    kept = clean.join(gate.select("conv_id"), "conv_id", "left_semi")
+    assert got["raw"] == (t.select("conv_id").distinct().count(), t.count())
+    assert got["exact_dedup"] == (
+        surv.select("conv_id").distinct().count(), surv.count())
+    assert got["stutter_strip"][1] == clean.count()
+    assert got["quality_gate"] == (
+        kept.select("conv_id").distinct().count(), kept.count())
+    # expected absolute values: c2 deduped, c3 loses a stutter turn,
+    # c4 gated out
+    assert got["raw"] == (4, 10)
+    assert got["exact_dedup"] == (3, 8)
+    assert got["stutter_strip"] == (3, 7)
+    assert got["quality_gate"] == (2, 5)
+    cache.release_all()
