@@ -801,6 +801,22 @@ def _q_conv_quality_flags(spark, sf_dir):
     )
 
 
+def _q_incremental_conv_near_dups(spark, sf_dir):
+    # day-2 conversation near-dup: same md5(conv_id) hex split as
+    # incremental_conv_dedup; history present only as the conv band
+    # table + hashed-shingle store over the conv-as-document adapter
+    t = tx.transcripts(spark, sf_dir)
+    nib = F.substring(F.md5("conv_id"), 1, 1)
+    hist_docs = dedup_op.conv_text_docs(t.filter(nib < F.lit("8")))
+    new = t.filter(nib >= F.lit("8"))
+    return dedup_op.incremental_conv_near_dups(
+        new,
+        dedup_op.lsh_bands(dedup_op.minhash_signatures(hist_docs)),
+        dedup_op.shingle_store(hist_docs),
+        threshold=0.15,
+    )
+
+
 def _q_curate_transcripts_attrition(spark, sf_dir):
     # per-stage survivor counts for the transcript chain, same
     # thresholds as the curated_transcripts driver query
@@ -1174,6 +1190,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window by incremental_embedding_near_dups and the re-rank
         # cosine by pq/quantized topk)
         "lsh_cosine_topk": _q_lsh_cosine_topk,
+        # landed after the final window freeze (the pq_codes precedent):
+        # beyond-window, certified by the oracle gate each round
+        "incremental_conv_near_dups": _q_incremental_conv_near_dups,
         # curated_chunks ceded its slot to incremental_conv_dedup (2x
         # driver-green r3/r4; the docs chain's stage semantics stay
         # evidenced in-window by curate_attrition, which shares the

@@ -1066,3 +1066,30 @@ def conv_near_dups(turns: DataFrame, threshold: float = 0.8) -> DataFrame:
     re-ingested with a few edited turns" case exact conv dedup
     (conv_dedup_survivors) misses. conv_jaccard_pairs thresholded."""
     return conv_jaccard_pairs(turns).filter(F.col("jaccard") >= threshold)
+
+
+def incremental_conv_near_dups(
+    new_turns: DataFrame,
+    seen_bands: DataFrame,
+    seen_store: DataFrame,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Day-2 conversation NEAR-dup: verified cross-batch near-duplicate
+    conversation pairs — the "same conversation re-ingested with a few
+    edited turns" case ``incremental_conv_dedup``'s exact hash misses.
+    The conv-as-document adapter (``conv_text_docs``) feeds the proven
+    ``incremental_near_dup_verified`` core, so the state is the
+    historical conversations' LSH band table
+    (``lsh_bands(minhash_signatures(conv_text_docs(hist)))``) and
+    hashed-shingle store (``shingle_store(conv_text_docs(hist))``) —
+    fixed-width rows, no text: historical turns never rescan, same as
+    the five document-side day-2 families. Returns
+    (conv_a, conv_b, jaccard) with conv_a < conv_b."""
+    new_docs = conv_text_docs(new_turns)
+    return incremental_near_dup_verified(
+        new_docs, seen_bands, seen_store, threshold
+    ).select(
+        F.col("doc_a").alias("conv_a"),
+        F.col("doc_b").alias("conv_b"),
+        "jaccard",
+    )

@@ -777,3 +777,55 @@ SELECT CAST(3 AS INT), 'stutter_strip', dedup_convs, clean_turns FROM w1
 UNION ALL
 SELECT CAST(4 AS INT), 'quality_gate', gate_convs, gate_turns FROM w1
 """)
+
+# day-2 conversation near-dup mirror: same conv adapter + the shared
+# shingle/minhash/band constants as conv_jaccard_pairs, split like
+# incremental_conv_dedup (md5(conv_id) hex: 0-7 history, 8-f new);
+# history participates only via band table + hashed-shingle store
+# semantics (the store hash matches dedup.STORE_HASH_CHARS)
+from ml4logs_spark.operators.dedup import STORE_HASH_CHARS as _STORE_CHARS  # noqa: E402
+
+_CSTORE = (
+    "list_sort(list_distinct(list_transform(shingles, "
+    f"s -> substring(md5(s), 1, {_STORE_CHARS}))))"
+)
+
+ORACLES["incremental_conv_near_dups"] = _q(f"""
+, cd AS (
+  SELECT conv_id AS doc_id,
+         string_agg(coalesce(text, ''), ' ' ORDER BY turn_idx) AS text,
+         substr(md5(conv_id), 1, 1) < '8' AS is_hist
+  FROM t GROUP BY conv_id
+),
+sh_h AS (SELECT doc_id, {_CSH} AS shingles FROM cd WHERE is_hist),
+sh_n AS (SELECT doc_id, {_CSH} AS shingles FROM cd WHERE NOT is_hist),
+sig_h AS (SELECT doc_id, {_CMH} FROM sh_h),
+sig_n AS (SELECT doc_id, {_CMH} FROM sh_n),
+bands_h AS ({_cbands_sql("sig_h")}),
+bands_n AS ({_cbands_sql("sig_n")}),
+cand AS (
+  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+         greatest(a.doc_id, b.doc_id) AS doc_b
+  FROM bands_n a JOIN bands_h b USING (band, h)
+  WHERE a.doc_id <> b.doc_id
+  UNION
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_n a JOIN bands_n b USING (band, h)
+  WHERE a.doc_id < b.doc_id
+),
+store AS (
+  SELECT doc_id, {_CSTORE} AS sh_sig FROM sh_h
+  UNION ALL
+  SELECT doc_id, {_CSTORE} AS sh_sig FROM sh_n
+)
+SELECT c.doc_a AS conv_a, c.doc_b AS conv_b,
+       round(len(list_intersect(sa.sh_sig, sb.sh_sig)) * 1.0
+             / len(list_distinct(list_concat(sa.sh_sig, sb.sh_sig))), 6)
+         AS jaccard
+FROM cand c
+JOIN store sa ON sa.doc_id = c.doc_a
+JOIN store sb ON sb.doc_id = c.doc_b
+WHERE round(len(list_intersect(sa.sh_sig, sb.sh_sig)) * 1.0
+            / len(list_distinct(list_concat(sa.sh_sig, sb.sh_sig))), 6)
+      >= 0.15
+""")

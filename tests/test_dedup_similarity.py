@@ -786,3 +786,60 @@ def test_incremental_conv_dedup_across_batches(spark):
         set(r.conv_id for r in full.collect()) - {"h1", "h2"}
     )
     assert batch_side == ["n2", "n4"]
+
+
+def test_incremental_conv_near_dups_matches_batch(spark):
+    """Day-2 conversation NEAR-dup: the store-based incremental path
+    over the conv-as-document adapter reproduces the batch
+    conv_near_dups pairs that touch the new batch — the "re-ingested
+    conversation with an edited turn" case exact conv hashing misses —
+    and a replayed batch (state already advanced) emits the identical
+    pairs."""
+    from ml4logs_spark.operators import dedup
+
+    words = [f"w{i}" for i in range(30)]
+
+    def _conv(cid, toks):
+        # two turns per conversation, split mid-stream
+        return [(cid, 0, " ".join(toks[:15])), (cid, 1, " ".join(toks[15:]))]
+
+    rows = (
+        _conv("a1", words)                     # history
+        + _conv("a2", words + ["x"])           # new: near-dup of a1
+        + _conv("b1", [f"v{i}" for i in range(30)])  # history, unrelated
+        + _conv("b2", [f"u{i}" for i in range(30)])  # new, unrelated
+    )
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string"
+    )
+    hist = turns.filter(F.col("conv_id").isin("a1", "b1"))
+    new = turns.filter(F.col("conv_id").isin("a2", "b2"))
+
+    batch = {
+        (r.conv_a, r.conv_b, r.jaccard)
+        for r in dedup.conv_near_dups(turns, threshold=0.8).collect()
+        if "2" in r.conv_a or "2" in r.conv_b
+    }
+    hist_docs = dedup.conv_text_docs(hist)
+    bands0 = dedup.lsh_bands(dedup.minhash_signatures(hist_docs))
+    store0 = dedup.shingle_store(hist_docs)
+    inc = {
+        (r.conv_a, r.conv_b, r.jaccard)
+        for r in dedup.incremental_conv_near_dups(
+            new, bands0, store0, threshold=0.8
+        ).collect()
+    }
+    assert inc == batch
+    assert {(a, b) for a, b, _ in inc} == {("a1", "a2")}
+
+    # replay safety: absorb the batch's own state, replay the batch
+    new_docs = dedup.conv_text_docs(new)
+    bands1 = bands0.unionByName(dedup.lsh_bands(dedup.minhash_signatures(new_docs)))
+    store1 = store0.unionByName(dedup.shingle_store(new_docs))
+    replay = {
+        (r.conv_a, r.conv_b, r.jaccard)
+        for r in dedup.incremental_conv_near_dups(
+            new, bands1, store1, threshold=0.8
+        ).collect()
+    }
+    assert replay == inc
