@@ -470,6 +470,30 @@ def _a_incremental_conv_dedup(spark, env, step, cfg):
     )
 
 
+def _a_conv_near_dups(spark, env, step, cfg):
+    from ml4logs_spark.operators import dedup
+
+    return dedup.conv_near_dups(
+        env[step.get("from", "transcripts")],
+        threshold=step.get("threshold", 0.8),
+    )
+
+
+def _a_incremental_conv_near_dups(spark, env, step, cfg):
+    # day-2 conversation NEAR-dup: the FROM frame is the new batch of
+    # turns; "bands" / "store" name the historical conversations' LSH
+    # band table and hashed-shingle store (over conv_text_docs) — emit
+    # the new batch's band/store rows back to advance the frontier
+    from ml4logs_spark.operators import dedup
+
+    return dedup.incremental_conv_near_dups(
+        _turns_slice(env, step),
+        env[step["bands"]],
+        env[step["store"]],
+        threshold=step.get("threshold", 0.8),
+    )
+
+
 def _a_curate_transcripts_attrition(spark, env, step, cfg):
     from ml4logs_spark.operators import curate
 
@@ -487,6 +511,33 @@ def _a_conv_hashes(spark, env, step, cfg):
     from ml4logs_spark.operators import dedup
 
     return dedup.conv_hashes(env[step.get("from", "transcripts")])
+
+
+def _turns_slice(env, step):
+    # shared by the conversation near-dup state/apply actions: an
+    # optional "where" SQL boolean expr slices the turns frame, so one
+    # config can split history vs new batch (e.g. the md5(conv_id)
+    # hex-nibble split) without a separate generic filter step
+    t = env[step.get("from", "transcripts")]
+    return t.filter(F.expr(step["where"])) if step.get("where") else t
+
+
+def _a_conv_bands(spark, env, step, cfg):
+    # LSH band table over the conv-as-document adapter: half of the
+    # day-2 conversation near-dup state (fixed-width rows, no text)
+    from ml4logs_spark.operators import dedup
+
+    return dedup.lsh_bands(
+        dedup.minhash_signatures(dedup.conv_text_docs(_turns_slice(env, step)))
+    )
+
+
+def _a_conv_shingle_store(spark, env, step, cfg):
+    # hashed-shingle store over the conv adapter: the other half of
+    # the day-2 state (exact-Jaccard verification without the text)
+    from ml4logs_spark.operators import dedup
+
+    return dedup.shingle_store(dedup.conv_text_docs(_turns_slice(env, step)))
 
 
 def _a_conv_quality(spark, env, step, cfg):
@@ -567,7 +618,11 @@ ACTIONS: dict[str, Callable] = {
     "conv_quality": _a_conv_quality,
     "curate_transcripts": _a_curate_transcripts,
     "conv_hashes": _a_conv_hashes,
+    "conv_bands": _a_conv_bands,
+    "conv_shingle_store": _a_conv_shingle_store,
     "incremental_conv_dedup": _a_incremental_conv_dedup,
+    "conv_near_dups": _a_conv_near_dups,
+    "incremental_conv_near_dups": _a_incremental_conv_near_dups,
     "curate_transcripts_attrition": _a_curate_transcripts_attrition,
 }
 

@@ -302,3 +302,45 @@ def test_config_transcript_curation_actions(spark, tmp_path):
     assert (a.seq_id.values == b.seq_id.values).all()
     assert (a.token_offset.values == b.token_offset.values).all()
     cache.release_all()
+
+
+def test_config_conv_near_dup_actions(spark, tmp_path):
+    """conv_near_dups / conv_bands / conv_shingle_store /
+    incremental_conv_near_dups dispatch: the config-wired day-2
+    conversation near-dup (history split by the md5(conv_id) hex
+    nibble, state = band table + shingle store) matches the direct
+    operator composition, and the batch action matches
+    dedup.conv_near_dups."""
+    from ml4logs_spark.datagen import transcripts as tx
+    from ml4logs_spark.operators import dedup
+
+    hist_w = "substring(md5(conv_id), 1, 1) < '8'"
+    new_w = "substring(md5(conv_id), 1, 1) >= '8'"
+    cfg = {
+        "input": SF_DIR,
+        "warehouse": str(tmp_path / "whcnd"),
+        "pipeline": [
+            {"action": "transcripts"},
+            {"action": "conv_near_dups", "threshold": 0.15, "save": True},
+            {"action": "conv_bands", "where": hist_w, "out": "hist_bands"},
+            {"action": "conv_shingle_store", "where": hist_w,
+             "out": "hist_store"},
+            {"action": "incremental_conv_near_dups", "where": new_w,
+             "bands": "hist_bands", "store": "hist_store",
+             "threshold": 0.15, "save": True},
+        ],
+    }
+    result = run_config(spark, cfg)
+    t = tx.transcripts(spark, SF_DIR)
+    assert result["conv_near_dups"] == dedup.conv_near_dups(
+        t, threshold=0.15
+    ).count()
+    nib = "substring(md5(conv_id), 1, 1)"
+    hist_docs = dedup.conv_text_docs(t.filter(f"{nib} < '8'"))
+    direct = dedup.incremental_conv_near_dups(
+        t.filter(f"{nib} >= '8'"),
+        dedup.lsh_bands(dedup.minhash_signatures(hist_docs)),
+        dedup.shingle_store(hist_docs),
+        threshold=0.15,
+    )
+    assert result["incremental_conv_near_dups"] == direct.count() > 0
