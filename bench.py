@@ -750,10 +750,32 @@ def main() -> None:
     sft_wall = time.perf_counter() - t0
     _tcache.release_all()
     timings["sft_curate"] = round(sft_wall, 3)
+    # day-2 conversation near-dup: history convs (md5 nibble 0-7)
+    # present ONLY as persisted band + shingle-store state (day-1's
+    # work, built outside timing); timed = the new batch's adapter
+    # aggregation + verified near-dup pass against that state
+    _nib = F.substring(F.md5("conv_id"), 1, 1)
+    _hist_docs = dedup_op.conv_text_docs(turns.filter(_nib < F.lit("8")))
+    _cbands = dedup_op.lsh_bands(
+        dedup_op.minhash_signatures(_hist_docs)).persist()
+    _cstore = dedup_op.shingle_store(_hist_docs).persist()
+    _cbands.count(); _cstore.count()
+    _new_turns = turns.filter(_nib >= F.lit("8"))
+    n_new_convs = _new_turns.select("conv_id").distinct().count()
+    t0 = time.perf_counter()
+    conv_nd_pairs = dedup_op.incremental_conv_near_dups(
+        _new_turns, _cbands, _cstore, threshold=0.15
+    ).count()
+    conv_nd_wall = time.perf_counter() - t0
+    _cbands.unpersist(); _cstore.unpersist()
+    timings["sft_inc_conv_neardup"] = round(conv_nd_wall, 3)
     sft_out = {
         "sft_turns_in": n_turns,
         "sft_rows_out": n_sft_rows,
         "sft_curate_turns_per_sec": round(n_turns / sft_wall, 1),
+        "inc_conv_neardup_new_convs": n_new_convs,
+        "inc_conv_neardup_pairs": conv_nd_pairs,
+        "inc_conv_neardup_convs_per_sec": round(n_new_convs / conv_nd_wall, 1),
     }
 
     # headline e2e + skew timing, deferred to steady state (see the
