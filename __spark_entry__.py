@@ -817,6 +817,48 @@ def _q_incremental_conv_near_dups(spark, sf_dir):
     )
 
 
+def _branched_transcripts(spark, sf_dir):
+    # branch/retry fixture input: conversations whose md5(conv_id)
+    # leads with '0' are re-ingested truncated to their first
+    # ceil(n/2) turns under a '-cut' id — the "agent run retried and
+    # the longer branch subsumes the stub" shape the prefix detector
+    # must recover exactly (the base corpus has no natural prefix
+    # pairs, verified empirically at sf0.01)
+    from pyspark.sql.window import Window
+
+    t = tx.transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    base = t.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        (F.row_number().over(w) - 1).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("conv_id")).alias("n"),
+    )
+    cut = (
+        base.filter(F.substring(F.md5("conv_id"), 1, 1) == F.lit("0"))
+        .filter(F.col("pos") < F.floor((F.col("n") + 1) / 2))
+        .select(
+            F.concat(F.col("conv_id"), F.lit("-cut")).alias("conv_id"),
+            "turn_idx", "role", "text", "tool", "ts",
+        )
+    )
+    return t.unionByName(cut)
+
+
+def _q_conv_prefix_dups(spark, sf_dir):
+    return dedup_op.conv_prefix_dups(_branched_transcripts(spark, sf_dir))
+
+
+def _q_conv_branch_survivors(spark, sf_dir):
+    # turns surviving branch pruning over the same constructed input,
+    # surfaced with the epoch-us timestamp per the driver type rule
+    return dedup_op.conv_branch_survivors(
+        _branched_transcripts(spark, sf_dir)
+    ).select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+
 def _q_curate_transcripts_attrition(spark, sf_dir):
     # per-stage survivor counts for the transcript chain, same
     # thresholds as the curated_transcripts driver query
@@ -1193,6 +1235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # landed after the final window freeze (the pq_codes precedent):
         # beyond-window, certified by the oracle gate each round
         "incremental_conv_near_dups": _q_incremental_conv_near_dups,
+        "conv_prefix_dups": _q_conv_prefix_dups,
+        "conv_branch_survivors": _q_conv_branch_survivors,
         # curated_chunks ceded its slot to incremental_conv_dedup (2x
         # driver-green r3/r4; the docs chain's stage semantics stay
         # evidenced in-window by curate_attrition, which shares the

@@ -1093,3 +1093,146 @@ def incremental_conv_near_dups(
         F.col("doc_b").alias("conv_b"),
         "jaccard",
     )
+
+
+# ---------------------------------------------------------------------------
+# conversation branch (proper-prefix) dedup
+# ---------------------------------------------------------------------------
+
+_PREFIX_TERM_MOD = 1 << 31  # per-term range; sums of 2^32 terms fit in int64
+
+
+def _prefix_terms(turns: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, pos, frame, t1, t2): per-turn positional hash
+    terms for prefix detection. ``frame`` is the same length-prefixed
+    text framing as ``conv_hashes`` (turn identity = text, prefix
+    identity = ordered turn texts); ``t1``/``t2`` are two independently
+    seeded 31-bit hashes of (position, frame), so a RUNNING SUM of them
+    is a positional polynomial prefix hash computable by one streaming
+    window pass — O(1) state per row, never a per-row running array
+    (which would be O(turns^2) bytes on the planted giant
+    conversation)."""
+    from pyspark.sql.window import Window
+
+    t = F.coalesce(F.col("text"), F.lit(""))
+    frame = F.concat_ws(":", F.length(t).cast("string"), t)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return turns.select(
+        "conv_id", "turn_idx", frame.alias("frame")
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "frame",
+        (F.row_number().over(w) - 1).alias("pos"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "frame",
+        "pos",
+        F.pmod(
+            F.xxhash64(F.lit(1), F.col("pos"), F.col("frame")),
+            F.lit(_PREFIX_TERM_MOD),
+        ).alias("t1"),
+        F.pmod(
+            F.xxhash64(F.lit(2), F.col("pos"), F.col("frame")),
+            F.lit(_PREFIX_TERM_MOD),
+        ).alias("t2"),
+    )
+
+
+def conv_prefix_dups(turns: DataFrame, min_shared: int = 1) -> DataFrame:
+    """Conversation branch/retry detection: pairs where one COMPLETE
+    conversation's ordered turn texts are a PROPER prefix of a longer
+    conversation's — the "agent run retried/branched and the longer
+    branch subsumes the short one" case neither exact conv dedup
+    (equal-length only) nor shingle near-dup (order-insensitive bag
+    overlap) targets. Returns (conv_short, conv_long, shared_turns,
+    long_len) with shared_turns == len(conv_short) < long_len.
+
+    Shape at scale: one conv_id window pass computes O(1)-state running
+    prefix hashes (two independent 31-bit positional terms summed —
+    equal prefixes imply equal sums, so true pairs can NEVER be missed);
+    candidates come from an equi-join of complete-conv hashes against
+    proper-prefix positions on (depth, p1, p2) — never all-pairs — and
+    each candidate is then verified EXACTLY turn-by-turn (the LSH ->
+    Jaccard verify pattern), so a ~2^-62 hash collision yields a
+    discarded candidate, not a wrong pair. ``min_shared`` prunes
+    boilerplate-depth candidates (e.g. every conversation opening with
+    the same system prompt) before the join. The reference has no
+    branch dedup (its HDFS blocks are flat: data/hdfs.py:58-66); this
+    extends the conv_dedup family for agent-transcript ingest."""
+    from ml4logs_spark import cache
+    from pyspark.sql.window import Window
+
+    terms = cache.track(_prefix_terms(turns))
+    run = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = terms.select(
+        "conv_id",
+        (F.col("pos") + 1).cast("int").alias("depth"),
+        F.sum("t1").over(run).alias("p1"),
+        F.sum("t2").over(run).alias("p2"),
+    )
+    # depth is strictly increasing per conv, so max(struct) = the
+    # complete-conversation row; groupBy reuses the window's
+    # conv_id partitioning (no extra exchange).
+    full = pref.groupBy("conv_id").agg(
+        F.max(F.struct("depth", "p1", "p2")).alias("s")
+    ).select(
+        "conv_id",
+        F.col("s.depth").alias("depth"),
+        F.col("s.p1").alias("p1"),
+        F.col("s.p2").alias("p2"),
+    )
+    shorts = full.filter(F.col("depth") >= F.lit(min_shared)).select(
+        F.col("conv_id").alias("conv_short"),
+        F.col("depth").alias("shared_turns"),
+        "p1",
+        "p2",
+    )
+    lens = full.select("conv_id", F.col("depth").alias("long_len"))
+    longs = (
+        pref.join(lens, "conv_id")  # co-partitioned on conv_id
+        .filter(F.col("depth") < F.col("long_len"))
+        .filter(F.col("depth") >= F.lit(min_shared))
+        .select(
+            F.col("conv_id").alias("conv_long"),
+            F.col("depth").alias("shared_turns"),
+            "p1",
+            "p2",
+            "long_len",
+        )
+    )
+    cand = shorts.join(longs, ["shared_turns", "p1", "p2"])
+    # exact verification: every one of the first shared_turns frames
+    # must match at the same position; cost bounded by candidates x
+    # prefix length, all equi-joins.
+    af = terms.select(F.col("conv_id").alias("conv_short"), "pos", "frame")
+    bf = terms.select(F.col("conv_id").alias("conv_long"), "pos", "frame")
+    matched = (
+        cand.join(af, "conv_short")
+        .filter(F.col("pos") < F.col("shared_turns"))
+        .join(bf, ["conv_long", "pos", "frame"])
+    )
+    return (
+        matched.groupBy("conv_short", "conv_long", "shared_turns", "long_len")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .filter(F.col("_m") == F.col("shared_turns").cast("long"))
+        .select("conv_short", "conv_long", "shared_turns", "long_len")
+    )
+
+
+def conv_branch_survivors(turns: DataFrame, min_shared: int = 1) -> DataFrame:
+    """Drop every conversation that is a proper prefix of another
+    (the subsumed short branch); keep the longest branch's turns.
+    Anti-join on the pruned conv set — the turns table shuffles once
+    on conv_id, the loser set is conversation-count bounded."""
+    pruned = (
+        conv_prefix_dups(turns, min_shared=min_shared)
+        .select(F.col("conv_short").alias("conv_id"))
+        .distinct()
+    )
+    return turns.join(pruned, "conv_id", "left_anti")

@@ -829,3 +829,54 @@ WHERE round(len(list_intersect(sa.sh_sig, sb.sh_sig)) * 1.0
             / len(list_distinct(list_concat(sa.sh_sig, sb.sh_sig))), 6)
       >= 0.15
 """)
+
+# conversation branch (proper-prefix) dedup, over the constructed
+# branch fixture (md5-nibble-'0' convs re-ingested truncated to
+# ceil(n/2) turns under a '-cut' id). The oracle checks TRUE prefix
+# semantics directly — cumulative length-prefixed frame strings with a
+# boundary separator — deliberately mechanism-independent of the Spark
+# side's positional-hash join, so a hash-path bug cannot hide.
+_BRANCH_AUG = """
+b0 AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS pos,
+         count(*) OVER (PARTITION BY conv_id) AS n
+  FROM t
+),
+aug AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts FROM t
+  UNION ALL
+  SELECT conv_id || '-cut', turn_idx, role, text, tool, ts FROM b0
+  WHERE substring(md5(conv_id), 1, 1) = '0' AND pos < (n + 1) // 2
+),
+fr AS (
+  SELECT conv_id,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS pos,
+         concat(length(coalesce(text, '')), ':', coalesce(text, '')) AS frame
+  FROM aug
+),
+seq AS (
+  SELECT conv_id, string_agg(frame, chr(31) ORDER BY pos) AS s,
+         count(*) AS n
+  FROM fr GROUP BY conv_id
+),
+ppairs AS (
+  SELECT a.conv_id AS conv_short, b2.conv_id AS conv_long,
+         CAST(a.n AS INT) AS shared_turns, CAST(b2.n AS INT) AS long_len
+  FROM seq a JOIN seq b2
+    ON b2.n > a.n
+   AND substring(b2.s, 1, length(a.s) + 1) = a.s || chr(31)
+)
+"""
+
+ORACLES["conv_prefix_dups"] = _q(f"""
+, {_BRANCH_AUG}
+SELECT conv_short, conv_long, shared_turns, long_len FROM ppairs
+""")
+
+ORACLES["conv_branch_survivors"] = _q(f"""
+, {_BRANCH_AUG}
+SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us
+FROM aug
+WHERE conv_id NOT IN (SELECT DISTINCT conv_short FROM ppairs)
+""")

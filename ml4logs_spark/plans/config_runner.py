@@ -494,6 +494,27 @@ def _a_incremental_conv_near_dups(spark, env, step, cfg):
     )
 
 
+def _a_conv_prefix_dups(spark, env, step, cfg):
+    # branch/retry detection: pairs where one complete conversation is
+    # a proper turn-prefix of a longer one; min_shared prunes
+    # boilerplate-depth matches (shared system-prompt openers)
+    from ml4logs_spark.operators import dedup
+
+    return dedup.conv_prefix_dups(
+        env[step.get("from", "transcripts")],
+        min_shared=step.get("min_shared", 1),
+    )
+
+
+def _a_conv_branch_survivors(spark, env, step, cfg):
+    from ml4logs_spark.operators import dedup
+
+    return dedup.conv_branch_survivors(
+        env[step.get("from", "transcripts")],
+        min_shared=step.get("min_shared", 1),
+    )
+
+
 def _a_curate_transcripts_attrition(spark, env, step, cfg):
     from ml4logs_spark.operators import curate
 
@@ -623,6 +644,8 @@ ACTIONS: dict[str, Callable] = {
     "incremental_conv_dedup": _a_incremental_conv_dedup,
     "conv_near_dups": _a_conv_near_dups,
     "incremental_conv_near_dups": _a_incremental_conv_near_dups,
+    "conv_prefix_dups": _a_conv_prefix_dups,
+    "conv_branch_survivors": _a_conv_branch_survivors,
     "curate_transcripts_attrition": _a_curate_transcripts_attrition,
 }
 

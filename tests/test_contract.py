@@ -137,6 +137,8 @@ def test_operators_handle_empty_input(spark):
     assert dedup.simhash64(docs).count() == 0
     assert dedup.simhash_near_dups(docs).count() == 0
     assert dedup.decontaminate(docs, docs).count() == 0
+    assert dedup.conv_prefix_dups(t).count() == 0
+    assert dedup.conv_branch_survivors(t).count() == 0
 
 
 def test_curation_handles_empty_input(spark):

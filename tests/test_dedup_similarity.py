@@ -843,3 +843,70 @@ def test_incremental_conv_near_dups_matches_batch(spark):
         ).collect()
     }
     assert replay == inc
+
+
+def _branch_fixture(spark):
+    rows = []
+
+    def conv(cid, texts):
+        rows.extend((cid, i, t) for i, t in enumerate(texts))
+
+    conv("a", ["s", "x", "y", "z"])   # long branch
+    conv("a-r", ["s", "x"])           # retry stub: proper prefix of a, b
+    conv("b", ["s", "x", "q"])        # diverges from a at depth 2
+    conv("c", ["s"])                  # 1-turn boilerplate opener
+    conv("d", ["u", "v"])             # unrelated
+    conv("e", ["s", "x"])             # exact dup of a-r (equal length)
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string"
+    )
+
+
+def test_conv_prefix_dups_semantics(spark):
+    """Proper-prefix pairs only: the retry stub pairs with every longer
+    branch it opens, equal-length exact dups (a-r vs e) never pair, and
+    min_shared prunes boilerplate-depth pairs."""
+    from ml4logs_spark.operators import dedup
+
+    t = _branch_fixture(spark)
+    out = {tuple(r) for r in dedup.conv_prefix_dups(t).collect()}
+    assert out == {
+        ("a-r", "a", 2, 4), ("a-r", "b", 2, 3),
+        ("e", "a", 2, 4), ("e", "b", 2, 3),
+        ("c", "a", 1, 4), ("c", "a-r", 1, 2),
+        ("c", "b", 1, 3), ("c", "e", 1, 2),
+    }
+    deep = {tuple(r) for r in dedup.conv_prefix_dups(t, min_shared=2).collect()}
+    assert deep == {p for p in out if p[2] >= 2}
+
+
+def test_conv_branch_survivors_keeps_longest_branches(spark):
+    from ml4logs_spark.operators import dedup
+
+    t = _branch_fixture(spark)
+    sv = {r.conv_id for r in dedup.conv_branch_survivors(t).collect()}
+    assert sv == {"a", "b", "d"}
+    # surviving rows are the original turn rows, untouched
+    assert dedup.conv_branch_survivors(t).filter(
+        F.col("conv_id") == "a"
+    ).count() == 4
+
+
+def test_conv_prefix_dups_null_and_empty_text(spark):
+    """NULL text frames like empty text (the repo's NULL-text
+    contract), and a stub of NULL/empty turns still pairs with its
+    longer branch; the length-prefix framing keeps ('ab','') distinct
+    from ('a','b')-style regroupings."""
+    from ml4logs_spark.operators import dedup
+
+    t = spark.createDataFrame(
+        [
+            ("n1", 0, None), ("n1", 1, ""),                  # stub: NULL+empty
+            ("n2", 0, ""), ("n2", 1, None), ("n2", 2, "k"),  # longer branch
+            ("g1", 0, "ab"), ("g1", 1, ""),
+            ("g2", 0, "a"), ("g2", 1, "b"), ("g2", 2, "z"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = {(r.conv_short, r.conv_long) for r in dedup.conv_prefix_dups(t).collect()}
+    assert out == {("n1", "n2")}

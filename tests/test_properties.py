@@ -449,3 +449,33 @@ def test_conv_quality_flags_matches_python_reference(spark, convs):
             and roles[0] in ("user", "system")
         )
         assert g["passes"] == expected_passes, (cid, roles, g)
+
+
+@settings(**SLOW)
+@given(
+    seqs=st.lists(
+        st.lists(st.sampled_from(["p", "q", "r"]), min_size=1, max_size=6),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_conv_prefix_dups_property(spark, seqs):
+    """The positional-hash prefix detector == a brute-force Python
+    proper-prefix check, for arbitrary small-alphabet conversation
+    sets (tiny alphabet maximizes shared prefixes, equal-length dups,
+    and chain cases stub<mid<long)."""
+    from ml4logs_spark.operators import dedup
+
+    rows = [
+        (f"c{i:03d}", t, txt)
+        for i, toks in enumerate(seqs)
+        for t, txt in enumerate(toks)
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {tuple(r) for r in dedup.conv_prefix_dups(t).collect()}
+    want = set()
+    for i, a in enumerate(seqs):
+        for j, b in enumerate(seqs):
+            if i != j and len(a) < len(b) and b[: len(a)] == a:
+                want.add((f"c{i:03d}", f"c{j:03d}", len(a), len(b)))
+    assert got == want

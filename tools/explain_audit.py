@@ -576,6 +576,21 @@ def main() -> int:
               r"Exchange hashpartitioning\(source[^\n]*plan_id=(\d+)",
               alpha_p))) == 1)
 
+    # 8b. conv_prefix_dups: the prefix-hash window must be a streaming
+    # O(1)-state pass (RunningWindowFunction / no per-row collect_list
+    # running array), candidates an equi-join (no cartesian product),
+    # and no single-partition stage anywhere.
+    from ml4logs_spark.operators import dedup as _dd
+
+    pp = plan_of(_dd.conv_prefix_dups(t))
+    _c.release_all()
+    check("conv_prefix_dups: no cartesian product",
+          "CartesianProduct" not in pp and "BroadcastNestedLoopJoin" not in pp)
+    check("conv_prefix_dups: no running collect_list array",
+          "collect_list" not in pp)
+    check("conv_prefix_dups: no single-partition stage",
+          "SinglePartition" not in pp)
+
     # 9. predicate pushdown on filtered scan
     m = t.filter("role = 'user'").select("conv_id")
     p = plan_of(m)
