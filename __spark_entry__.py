@@ -859,6 +859,23 @@ def _q_conv_branch_survivors(spark, sf_dir):
     )
 
 
+def _q_incremental_conv_prefix_dups(spark, sf_dir):
+    # day-2 branch dedup over the same constructed branch fixture,
+    # split like the other day-2 conversation ops on the md5(conv_id)
+    # first hex of the AUGMENTED ids — at '4' (0-3 history, 4-f new)
+    # rather than the usual '8' so the oracle-gate scale (sf0.001,
+    # exactly one branch pair) still exercises a touching pair;
+    # history participates only via the two fixed-width state tables
+    aug = _branched_transcripts(spark, sf_dir)
+    nib = F.substring(F.md5("conv_id"), 1, 1)
+    hist = aug.filter(nib < F.lit("4"))
+    return dedup_op.incremental_conv_prefix_dups(
+        aug.filter(nib >= F.lit("4")),
+        dedup_op.conv_prefix_state(hist),
+        dedup_op.conv_frame_store(hist),
+    )
+
+
 def _q_curate_transcripts_attrition(spark, sf_dir):
     # per-stage survivor counts for the transcript chain, same
     # thresholds as the curated_transcripts driver query
@@ -1237,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_conv_near_dups": _q_incremental_conv_near_dups,
         "conv_prefix_dups": _q_conv_prefix_dups,
         "conv_branch_survivors": _q_conv_branch_survivors,
+        "incremental_conv_prefix_dups": _q_incremental_conv_prefix_dups,
         # curated_chunks ceded its slot to incremental_conv_dedup (2x
         # driver-green r3/r4; the docs chain's stage semantics stay
         # evidenced in-window by curate_attrition, which shares the

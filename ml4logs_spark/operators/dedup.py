@@ -1103,40 +1103,127 @@ _PREFIX_TERM_MOD = 1 << 31  # per-term range; sums of 2^32 terms fit in int64
 
 
 def _prefix_terms(turns: DataFrame) -> DataFrame:
-    """(conv_id, turn_idx, pos, frame, t1, t2): per-turn positional hash
-    terms for prefix detection. ``frame`` is the same length-prefixed
-    text framing as ``conv_hashes`` (turn identity = text, prefix
-    identity = ordered turn texts); ``t1``/``t2`` are two independently
-    seeded 31-bit hashes of (position, frame), so a RUNNING SUM of them
-    is a positional polynomial prefix hash computable by one streaming
-    window pass — O(1) state per row, never a per-row running array
-    (which would be O(turns^2) bytes on the planted giant
-    conversation)."""
+    """(conv_id, pos, frame_hash, t1, t2): per-turn positional hash
+    terms for prefix detection. ``frame_hash`` is md5 of the same
+    length-prefixed text framing as ``conv_hashes`` (turn identity =
+    text, prefix identity = ordered turn texts) — hashed BEFORE the
+    window so the per-conv sort shuffles 32-hex rows, never raw text.
+    ``t1``/``t2`` are two independently seeded 31-bit hashes of
+    (position, frame_hash), so a RUNNING SUM of them is a positional
+    polynomial prefix hash computable by one streaming window pass —
+    O(1) state per row, never a per-row running array (which would be
+    O(turns^2) bytes on the planted giant conversation)."""
     from pyspark.sql.window import Window
 
     t = F.coalesce(F.col("text"), F.lit(""))
     frame = F.concat_ws(":", F.length(t).cast("string"), t)
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     return turns.select(
-        "conv_id", "turn_idx", frame.alias("frame")
+        "conv_id", "turn_idx", F.md5(frame).alias("frame_hash")
     ).select(
         "conv_id",
-        "turn_idx",
-        "frame",
+        "frame_hash",
         (F.row_number().over(w) - 1).alias("pos"),
     ).select(
         "conv_id",
-        "turn_idx",
-        "frame",
+        "frame_hash",
         "pos",
         F.pmod(
-            F.xxhash64(F.lit(1), F.col("pos"), F.col("frame")),
+            F.xxhash64(F.lit(1), F.col("pos"), F.col("frame_hash")),
             F.lit(_PREFIX_TERM_MOD),
         ).alias("t1"),
         F.pmod(
-            F.xxhash64(F.lit(2), F.col("pos"), F.col("frame")),
+            F.xxhash64(F.lit(2), F.col("pos"), F.col("frame_hash")),
             F.lit(_PREFIX_TERM_MOD),
         ).alias("t2"),
+    )
+
+
+def conv_frame_store(turns: DataFrame) -> DataFrame:
+    """(conv_id, pos, frame_hash): per-turn frame-hash store — the
+    verification half of the branch-dedup day-2 state (the shingle
+    store analog). Fixed-width rows, no text; md5 collisions are the
+    same accepted bar as the hashed-shingle store."""
+    return _prefix_terms(turns).select("conv_id", "pos", "frame_hash")
+
+
+def conv_prefix_state(turns: DataFrame) -> DataFrame:
+    """(conv_id, depth, p1, p2): per-depth running prefix hashes — the
+    candidate half of the branch-dedup day-2 state (the band-table
+    analog). depth runs 1..len(conv); the depth==max row is the
+    complete-conversation hash. conv_len is deliberately NOT stored:
+    the pair core derives it as max(depth), so a conversation extended
+    by a later batch merges cleanly (its old rows are a subset of the
+    new ones)."""
+    from pyspark.sql.window import Window
+
+    run = (
+        Window.partitionBy("conv_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _prefix_terms(turns).select(
+        "conv_id",
+        (F.col("pos") + 1).cast("int").alias("depth"),
+        F.sum("t1").over(run).alias("p1"),
+        F.sum("t2").over(run).alias("p2"),
+    )
+
+
+def _branch_pairs_from_state(
+    state: DataFrame,
+    frames: DataFrame,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Proper-prefix pairs from the two state tables. ``state`` =
+    conv_prefix_state rows (possibly a union of batches — exact
+    replays dedupe on all four columns), ``frames`` = conv_frame_store
+    rows. Candidates: equi-join of complete-conv hashes against
+    shallower positions on (depth, p1, p2) — never all-pairs — then
+    EXACT frame-hash verification per candidate (the LSH -> Jaccard
+    verify pattern): a ~2^-62 sum collision is a discarded candidate,
+    not a wrong pair. All joins against ``lens`` reuse the state's
+    conv_id partitioning."""
+    state = state.select("conv_id", "depth", "p1", "p2").distinct()
+    lens = state.groupBy("conv_id").agg(F.max("depth").alias("conv_len"))
+    wide = state.join(lens, "conv_id")
+    shorts = (
+        wide.filter(F.col("depth") == F.col("conv_len"))
+        .filter(F.col("depth") >= F.lit(min_shared))
+        .select(
+            F.col("conv_id").alias("conv_short"),
+            F.col("depth").alias("shared_turns"),
+            "p1",
+            "p2",
+        )
+    )
+    longs = (
+        wide.filter(F.col("depth") < F.col("conv_len"))
+        .filter(F.col("depth") >= F.lit(min_shared))
+        .select(
+            F.col("conv_id").alias("conv_long"),
+            F.col("depth").alias("shared_turns"),
+            "p1",
+            "p2",
+            F.col("conv_len").alias("long_len"),
+        )
+    )
+    cand = shorts.join(longs, ["shared_turns", "p1", "p2"]).filter(
+        F.col("conv_short") != F.col("conv_long")
+    )
+    fr = frames.select("conv_id", "pos", "frame_hash").distinct()
+    af = fr.select(F.col("conv_id").alias("conv_short"), "pos", "frame_hash")
+    bf = fr.select(F.col("conv_id").alias("conv_long"), "pos", "frame_hash")
+    matched = (
+        cand.join(af, "conv_short")
+        .filter(F.col("pos") < F.col("shared_turns"))
+        .join(bf, ["conv_long", "pos", "frame_hash"])
+    )
+    return (
+        matched.groupBy("conv_short", "conv_long", "shared_turns", "long_len")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .filter(F.col("_m") == F.col("shared_turns").cast("long"))
+        .select("conv_short", "conv_long", "shared_turns", "long_len")
     )
 
 
@@ -1149,80 +1236,33 @@ def conv_prefix_dups(turns: DataFrame, min_shared: int = 1) -> DataFrame:
     overlap) targets. Returns (conv_short, conv_long, shared_turns,
     long_len) with shared_turns == len(conv_short) < long_len.
 
-    Shape at scale: one conv_id window pass computes O(1)-state running
-    prefix hashes (two independent 31-bit positional terms summed —
-    equal prefixes imply equal sums, so true pairs can NEVER be missed);
-    candidates come from an equi-join of complete-conv hashes against
-    proper-prefix positions on (depth, p1, p2) — never all-pairs — and
-    each candidate is then verified EXACTLY turn-by-turn (the LSH ->
-    Jaccard verify pattern), so a ~2^-62 hash collision yields a
-    discarded candidate, not a wrong pair. ``min_shared`` prunes
+    Shape at scale: one conv_id window pass over 32-hex frame hashes
+    (raw text never enters the sort) computes O(1)-state running
+    prefix hashes — two independent 31-bit positional terms summed, so
+    equal prefixes imply equal sums and true pairs can NEVER be
+    missed; candidates and exact verification per
+    ``_branch_pairs_from_state``. ``min_shared`` prunes
     boilerplate-depth candidates (e.g. every conversation opening with
     the same system prompt) before the join. The reference has no
     branch dedup (its HDFS blocks are flat: data/hdfs.py:58-66); this
     extends the conv_dedup family for agent-transcript ingest."""
     from ml4logs_spark import cache
-    from pyspark.sql.window import Window
 
     terms = cache.track(_prefix_terms(turns))
+    from pyspark.sql.window import Window
+
     run = (
         Window.partitionBy("conv_id")
-        .orderBy("turn_idx")
+        .orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    pref = terms.select(
+    state = terms.select(
         "conv_id",
         (F.col("pos") + 1).cast("int").alias("depth"),
         F.sum("t1").over(run).alias("p1"),
         F.sum("t2").over(run).alias("p2"),
     )
-    # depth is strictly increasing per conv, so max(struct) = the
-    # complete-conversation row; groupBy reuses the window's
-    # conv_id partitioning (no extra exchange).
-    full = pref.groupBy("conv_id").agg(
-        F.max(F.struct("depth", "p1", "p2")).alias("s")
-    ).select(
-        "conv_id",
-        F.col("s.depth").alias("depth"),
-        F.col("s.p1").alias("p1"),
-        F.col("s.p2").alias("p2"),
-    )
-    shorts = full.filter(F.col("depth") >= F.lit(min_shared)).select(
-        F.col("conv_id").alias("conv_short"),
-        F.col("depth").alias("shared_turns"),
-        "p1",
-        "p2",
-    )
-    lens = full.select("conv_id", F.col("depth").alias("long_len"))
-    longs = (
-        pref.join(lens, "conv_id")  # co-partitioned on conv_id
-        .filter(F.col("depth") < F.col("long_len"))
-        .filter(F.col("depth") >= F.lit(min_shared))
-        .select(
-            F.col("conv_id").alias("conv_long"),
-            F.col("depth").alias("shared_turns"),
-            "p1",
-            "p2",
-            "long_len",
-        )
-    )
-    cand = shorts.join(longs, ["shared_turns", "p1", "p2"])
-    # exact verification: every one of the first shared_turns frames
-    # must match at the same position; cost bounded by candidates x
-    # prefix length, all equi-joins.
-    af = terms.select(F.col("conv_id").alias("conv_short"), "pos", "frame")
-    bf = terms.select(F.col("conv_id").alias("conv_long"), "pos", "frame")
-    matched = (
-        cand.join(af, "conv_short")
-        .filter(F.col("pos") < F.col("shared_turns"))
-        .join(bf, ["conv_long", "pos", "frame"])
-    )
-    return (
-        matched.groupBy("conv_short", "conv_long", "shared_turns", "long_len")
-        .agg(F.count(F.lit(1)).alias("_m"))
-        .filter(F.col("_m") == F.col("shared_turns").cast("long"))
-        .select("conv_short", "conv_long", "shared_turns", "long_len")
-    )
+    return _branch_pairs_from_state(state, terms, min_shared=min_shared)
 
 
 def conv_branch_survivors(turns: DataFrame, min_shared: int = 1) -> DataFrame:
@@ -1236,3 +1276,51 @@ def conv_branch_survivors(turns: DataFrame, min_shared: int = 1) -> DataFrame:
         .distinct()
     )
     return turns.join(pruned, "conv_id", "left_anti")
+
+
+def incremental_conv_prefix_dups(
+    new_turns: DataFrame,
+    seen_state: DataFrame,
+    seen_frames: DataFrame,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Day-2 conversation BRANCH dedup — the 7th incremental dedup
+    family: proper-prefix pairs that TOUCH the new batch, against
+    history present only as the two fixed-width state tables
+    (``conv_prefix_state`` + ``conv_frame_store``) — historical turn
+    text never rescans and history is never re-windowed; its persisted
+    per-depth sums go straight into the candidate equi-join. Catches
+    BOTH directions: a stub arriving after its long branch (new short
+    x historical long) and the realistic day-2 case — the re-run that
+    extends a conversation already ingested (historical short x new
+    long) — plus new x new. Emit the new batch's state/store rows back
+    to advance the frontier; a replayed batch re-emits the identical
+    pairs (idempotent, matching the verified near-dup family).
+    Re-ingesting MORE turns under an EXISTING conv_id merges cleanly
+    (conv_len is derived as max depth), and a conversation never pairs
+    with itself."""
+    new_state = conv_prefix_state(new_turns)
+    new_frames = conv_frame_store(new_turns)
+    new_ids = new_state.select("conv_id").distinct()
+    state = seen_state.select("conv_id", "depth", "p1", "p2").unionByName(
+        new_state
+    )
+    frames = seen_frames.select("conv_id", "pos", "frame_hash").unionByName(
+        new_frames
+    )
+    pairs = _branch_pairs_from_state(state, frames, min_shared=min_shared)
+    ns = new_ids.select(
+        F.col("conv_id").alias("conv_short"), F.lit(True).alias("_sn")
+    )
+    nl = new_ids.select(
+        F.col("conv_id").alias("conv_long"), F.lit(True).alias("_ln")
+    )
+    return (
+        pairs.join(ns, "conv_short", "left")
+        .join(nl, "conv_long", "left")
+        .filter(
+            F.coalesce(F.col("_sn"), F.lit(False))
+            | F.coalesce(F.col("_ln"), F.lit(False))
+        )
+        .select("conv_short", "conv_long", "shared_turns", "long_len")
+    )

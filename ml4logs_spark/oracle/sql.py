@@ -880,3 +880,15 @@ SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us
 FROM aug
 WHERE conv_id NOT IN (SELECT DISTINCT conv_short FROM ppairs)
 """)
+
+# day-2 branch dedup mirror: the full-batch true-prefix pairs over the
+# same augmented fixture, restricted to pairs touching the new side of
+# the md5-nibble split (history < '8' participates only as state in
+# Spark; the restriction is the incremental contract: green means
+# incremental-equals-batch on the touching subset)
+ORACLES["incremental_conv_prefix_dups"] = _q(f"""
+, {_BRANCH_AUG}
+SELECT conv_short, conv_long, shared_turns, long_len FROM ppairs
+WHERE substring(md5(conv_short), 1, 1) >= '4'
+   OR substring(md5(conv_long), 1, 1) >= '4'
+""")

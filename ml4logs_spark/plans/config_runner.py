@@ -515,6 +515,38 @@ def _a_conv_branch_survivors(spark, env, step, cfg):
     )
 
 
+def _a_conv_prefix_state(spark, env, step, cfg):
+    # branch-dedup day-2 state, candidate half (per-depth prefix
+    # hashes); the optional "where" slice expresses the history/new
+    # split in one config, like the near-dup state actions
+    from ml4logs_spark.operators import dedup
+
+    return dedup.conv_prefix_state(_turns_slice(env, step))
+
+
+def _a_conv_frame_store(spark, env, step, cfg):
+    # branch-dedup day-2 state, verification half (per-turn frame
+    # hashes)
+    from ml4logs_spark.operators import dedup
+
+    return dedup.conv_frame_store(_turns_slice(env, step))
+
+
+def _a_incremental_conv_prefix_dups(spark, env, step, cfg):
+    # day-2 branch dedup: FROM = the new batch of turns; "state" /
+    # "frames" name the historical conv_prefix_state and
+    # conv_frame_store tables — emit the batch's own state/store rows
+    # back to advance the frontier
+    from ml4logs_spark.operators import dedup
+
+    return dedup.incremental_conv_prefix_dups(
+        _turns_slice(env, step),
+        env[step["state"]],
+        env[step["frames"]],
+        min_shared=step.get("min_shared", 1),
+    )
+
+
 def _a_curate_transcripts_attrition(spark, env, step, cfg):
     from ml4logs_spark.operators import curate
 
@@ -646,6 +678,9 @@ ACTIONS: dict[str, Callable] = {
     "incremental_conv_near_dups": _a_incremental_conv_near_dups,
     "conv_prefix_dups": _a_conv_prefix_dups,
     "conv_branch_survivors": _a_conv_branch_survivors,
+    "conv_prefix_state": _a_conv_prefix_state,
+    "conv_frame_store": _a_conv_frame_store,
+    "incremental_conv_prefix_dups": _a_incremental_conv_prefix_dups,
     "curate_transcripts_attrition": _a_curate_transcripts_attrition,
 }
 

@@ -910,3 +910,68 @@ def test_conv_prefix_dups_null_and_empty_text(spark):
     )
     out = {(r.conv_short, r.conv_long) for r in dedup.conv_prefix_dups(t).collect()}
     assert out == {("n1", "n2")}
+
+
+def test_incremental_conv_prefix_dups_matches_batch(spark):
+    """Day-2 branch dedup over the two fixed-width state tables equals
+    the batch detector restricted to pairs touching the new batch, in
+    BOTH directions (new stub x historical long, historical stub x new
+    long), and a replayed batch (state already advanced) re-emits the
+    identical pairs."""
+    from ml4logs_spark.operators import dedup
+
+    t = _branch_fixture(spark)
+    hist_ids, new_ids = {"a", "c", "d"}, {"a-r", "b", "e"}
+    hist = t.filter(F.col("conv_id").isin(*hist_ids))
+    new = t.filter(F.col("conv_id").isin(*new_ids))
+
+    batch = {tuple(r) for r in dedup.conv_prefix_dups(t).collect()}
+    want = {p for p in batch if p[0] in new_ids or p[1] in new_ids}
+    # both directions present in the fixture restriction
+    assert any(p[0] in new_ids and p[1] in hist_ids for p in want)
+    assert any(p[0] in hist_ids and p[1] in new_ids for p in want)
+
+    st0 = dedup.conv_prefix_state(hist)
+    fr0 = dedup.conv_frame_store(hist)
+    inc = {
+        tuple(r)
+        for r in dedup.incremental_conv_prefix_dups(new, st0, fr0).collect()
+    }
+    assert inc == want
+
+    # replay safety: absorb the batch's own state, replay the batch
+    st1 = st0.unionByName(dedup.conv_prefix_state(new))
+    fr1 = fr0.unionByName(dedup.conv_frame_store(new))
+    replay = {
+        tuple(r)
+        for r in dedup.incremental_conv_prefix_dups(new, st1, fr1).collect()
+    }
+    assert replay == inc
+
+
+def test_incremental_conv_prefix_dups_extension_merges(spark):
+    """A conversation re-ingested with MORE turns under its existing
+    conv_id merges cleanly (conv_len derives as max depth): it never
+    pairs with itself, and a historical stub that prefixes the
+    EXTENDED run is found — the realistic day-2 case."""
+    from ml4logs_spark.operators import dedup
+
+    hist = spark.createDataFrame(
+        [
+            ("x", 0, "s"), ("x", 1, "m"),           # day-1 run, 2 turns
+            ("stub", 0, "s"), ("stub", 1, "m"), ("stub", 2, "n"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    # day-2: x re-ingested extended to 4 turns (same first 2)
+    new = spark.createDataFrame(
+        [("x", 0, "s"), ("x", 1, "m"), ("x", 2, "n"), ("x", 3, "o")],
+        "conv_id string, turn_idx int, text string",
+    )
+    inc = {
+        tuple(r)
+        for r in dedup.incremental_conv_prefix_dups(
+            new, dedup.conv_prefix_state(hist), dedup.conv_frame_store(hist)
+        ).collect()
+    }
+    assert inc == {("stub", "x", 3, 4)}
