@@ -876,6 +876,14 @@ def _q_incremental_conv_prefix_dups(spark, sf_dir):
     )
 
 
+def _q_tool_latency_stats(spark, sf_dir):
+    return windows.tool_latency_stats(tx.transcripts(spark, sf_dir))
+
+
+def _q_daily_health_rollup(spark, sf_dir):
+    return windows.daily_health_rollup(tx.transcripts(spark, sf_dir))
+
+
 def _q_curate_transcripts_attrition(spark, sf_dir):
     # per-stage survivor counts for the transcript chain, same
     # thresholds as the curated_transcripts driver query
@@ -1255,6 +1263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_prefix_dups": _q_conv_prefix_dups,
         "conv_branch_survivors": _q_conv_branch_survivors,
         "incremental_conv_prefix_dups": _q_incremental_conv_prefix_dups,
+        "tool_latency_stats": _q_tool_latency_stats,
+        "daily_health_rollup": _q_daily_health_rollup,
         # curated_chunks ceded its slot to incremental_conv_dedup (2x
         # driver-green r3/r4; the docs chain's stage semantics stay
         # evidenced in-window by curate_attrition, which shares the

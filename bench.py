@@ -769,6 +769,46 @@ def main() -> None:
     conv_nd_wall = time.perf_counter() - t0
     _cbands.unpersist(); _cstore.unpersist()
     timings["sft_inc_conv_neardup"] = round(conv_nd_wall, 3)
+    # day-2 branch dedup: history present ONLY as the two fixed-width
+    # state tables (per-depth prefix sums + per-turn frame hashes,
+    # day-1's work); timed = the new batch's window pass + candidate
+    # join + exact verification against them. The input is the branch
+    # fixture (nibble-'0' convs re-ingested as half-length '-cut'
+    # stubs, built outside timing) so the timed pass verifies real
+    # positives, not just empty candidate joins.
+    from pyspark.sql.window import Window as _W
+
+    _bw = _W.partitionBy("conv_id").orderBy("turn_idx")
+    _bbase = turns.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        (F.row_number().over(_bw) - 1).alias("_pos"),
+        F.count(F.lit(1)).over(_W.partitionBy("conv_id")).alias("_n"),
+    )
+    _bcut = (
+        _bbase.filter(F.substring(F.md5("conv_id"), 1, 1) == F.lit("0"))
+        .filter(F.col("_pos") < F.floor((F.col("_n") + 1) / 2))
+        .select(
+            F.concat(F.col("conv_id"), F.lit("-cut")).alias("conv_id"),
+            "turn_idx", "role", "text", "tool", "ts",
+        )
+    )
+    _baug = turns.unionByName(_bcut)
+    _pstate = dedup_op.conv_prefix_state(
+        _baug.filter(_nib < F.lit("8"))).persist()
+    _pframes = dedup_op.conv_frame_store(
+        _baug.filter(_nib < F.lit("8"))).persist()
+    _pstate.count(); _pframes.count()
+    _bnew = _baug.filter(_nib >= F.lit("8"))
+    n_bnew_convs = _bnew.select("conv_id").distinct().count()
+    t0 = time.perf_counter()
+    branch_pairs = dedup_op.incremental_conv_prefix_dups(
+        _bnew, _pstate, _pframes
+    ).count()
+    branch_wall = time.perf_counter() - t0
+    _pstate.unpersist(); _pframes.unpersist()
+    from ml4logs_spark import cache as _bcache
+    _bcache.release_all()
+    timings["sft_inc_branch_dedup"] = round(branch_wall, 3)
     sft_out = {
         "sft_turns_in": n_turns,
         "sft_rows_out": n_sft_rows,
@@ -776,6 +816,9 @@ def main() -> None:
         "inc_conv_neardup_new_convs": n_new_convs,
         "inc_conv_neardup_pairs": conv_nd_pairs,
         "inc_conv_neardup_convs_per_sec": round(n_new_convs / conv_nd_wall, 1),
+        "inc_branch_dedup_new_convs": n_bnew_convs,
+        "inc_branch_dedup_pairs": branch_pairs,
+        "inc_branch_dedup_convs_per_sec": round(n_bnew_convs / branch_wall, 1),
     }
 
     # headline e2e + skew timing, deferred to steady state (see the

@@ -278,6 +278,7 @@ def curate_transcripts(
     min_user_frac: float = 0.1,
     max_tool_frac: float = 0.6,
     near_threshold: float | None = None,
+    branch_min_shared: int | None = None,
     seq_tokens: int = 2048,
 ) -> DataFrame:
     """The transcript-side curation pipeline as one declarative plan —
@@ -307,7 +308,12 @@ def curate_transcripts(
     conv-as-document adapter feeding the proven LSH -> connected
     components -> min-id survivor path). As in ``curate_corpus`` it is
     the one inherently-iterative stage, so the default None keeps the
-    chain fully lazy.
+    chain fully lazy. ``branch_min_shared`` adds branch-stub pruning
+    (``conv_branch_survivors``: drop complete conversations that are a
+    proper turn-prefix of a longer one — agent retry stubs) right
+    after exact dedup, on RAW text for the same ingest-level-identity
+    reason; the chain stays lazy (window pass + equi-joins, no
+    iteration).
 
     Shape at scale: the conv hash dedup aggregate + its semi-join, the
     gate aggregate + its semi-join, and the packing prefix sum are the
@@ -320,6 +326,8 @@ def curate_transcripts(
     from ml4logs_spark.operators import windows
 
     surv = dedup.conv_dedup_survivors(turns)
+    if branch_min_shared is not None:
+        surv = dedup.conv_branch_survivors(surv, min_shared=branch_min_shared)
     if near_threshold is not None:
         surv = cache.track(surv)
         keep_ids = dedup.near_dup_survivors(

@@ -350,3 +350,70 @@ def pack_conversations(
         .cast("long")
         .alias("seq_pos"),
     )
+
+
+def tool_latency_stats(turns: DataFrame) -> DataFrame:
+    """Per-tool latency rollup for agent telemetry: for every turn
+    that invoked a tool, the time to the NEXT turn in the conversation
+    (the tool-execution proxy an agent-transcript pipeline watches),
+    aggregated per tool as (tool, n_calls, n_timed, total_latency_us,
+    avg_latency_us, max_latency_us). The lead runs over the FULL turn
+    stream (the next turn is usually not a tool turn), then tool turns
+    are filtered; a conversation's last turn has no successor ->
+    counted in n_calls but not in the latency aggregates (n_timed).
+    All aggregates are exact integer micro-units with `div` integer
+    division (the repo's cross-engine determinism rule — no float
+    averaging).
+
+    Shape at scale: the ONE conv_id window exchange shared by the
+    whole family (lead is O(1) state, giant-conv safe), then a
+    partial+final hash aggregate over tool-count rows."""
+    us = F.unix_micros(F.col("ts"))
+    lat = F.lead(us).over(w_conv()) - us
+    with_lat = turns.select("tool", lat.alias("_lat"))
+    agg = with_lat.filter(F.col("tool").isNotNull()).groupBy("tool").agg(
+        F.count(F.lit(1)).alias("n_calls"),
+        F.count("_lat").alias("n_timed"),
+        F.coalesce(F.sum("_lat"), F.lit(0)).cast("long")
+        .alias("total_latency_us"),
+        F.max("_lat").alias("max_latency_us"),
+    )
+    return agg.select(
+        "tool",
+        "n_calls",
+        "n_timed",
+        "total_latency_us",
+        F.when(
+            F.col("n_timed") > 0,
+            F.expr("total_latency_us div n_timed"),
+        ).alias("avg_latency_us"),
+        "max_latency_us",
+    )
+
+
+def daily_health_rollup(turns: DataFrame) -> DataFrame:
+    """Per-day operational health of the transcript stream: turns,
+    active conversations, error-template rate and tool-call rate —
+    the monitoring rollup a telemetry pipeline publishes per ingest
+    day. Rates are exact micro-unit integers per the determinism rule
+    (rate_ppm = parts-per-million, floor'd identically on both
+    engines).
+
+    Shape at scale: a single partial+final hash aggregate keyed on
+    (day) — day count is bounded, distinct conv_ids per day partial-
+    aggregate map-side."""
+    day = F.date_trunc("day", F.col("ts"))
+    n = F.count(F.lit(1))
+    err = F.sum(F.when(F.col("text").like("error code %"), 1).otherwise(0))
+    tool = F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0))
+    agg = turns.groupBy(F.unix_micros(day).alias("day_us")).agg(
+        n.cast("long").alias("n_turns"),
+        F.countDistinct("conv_id").alias("n_convs"),
+        err.cast("long").alias("n_error_turns"),
+        tool.cast("long").alias("n_tool_turns"),
+    )
+    return agg.select(
+        "day_us", "n_turns", "n_convs", "n_error_turns", "n_tool_turns",
+        F.expr("(n_error_turns * 1000000) div n_turns").alias("error_ppm"),
+        F.expr("(n_tool_turns * 1000000) div n_turns").alias("tool_ppm"),
+    )

@@ -892,3 +892,43 @@ SELECT conv_short, conv_long, shared_turns, long_len FROM ppairs
 WHERE substring(md5(conv_short), 1, 1) >= '4'
    OR substring(md5(conv_long), 1, 1) >= '4'
 """)
+
+# agent-telemetry rollups: tool latency (lead over the FULL turn
+# stream, then tool turns filtered — the next turn is usually not a
+# tool turn) and per-day stream health; all aggregates exact integer
+# micro-units with // integer division (determinism rule: no float
+# averaging)
+ORACLES["tool_latency_stats"] = _q("""
+, wl AS (
+  SELECT tool,
+         lead(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           - epoch_us(ts) AS lat
+  FROM t
+)
+SELECT tool,
+       CAST(count(*) AS BIGINT) AS n_calls,
+       CAST(count(lat) AS BIGINT) AS n_timed,
+       CAST(coalesce(sum(lat), 0) AS BIGINT) AS total_latency_us,
+       CASE WHEN count(lat) > 0
+            THEN CAST(coalesce(sum(lat), 0) // count(lat) AS BIGINT)
+       END AS avg_latency_us,
+       CAST(max(lat) AS BIGINT) AS max_latency_us
+FROM wl WHERE tool IS NOT NULL GROUP BY tool
+""")
+
+ORACLES["daily_health_rollup"] = _q("""
+, dh AS (
+  SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+         CAST(sum(CASE WHEN text LIKE 'error code %' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_error_turns,
+         CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_tool_turns
+  FROM t GROUP BY 1
+)
+SELECT day_us, n_turns, n_convs, n_error_turns, n_tool_turns,
+       CAST((n_error_turns * 1000000) // n_turns AS BIGINT) AS error_ppm,
+       CAST((n_tool_turns * 1000000) // n_turns AS BIGINT) AS tool_ppm
+FROM dh
+""")

@@ -515,6 +515,14 @@ def _a_conv_branch_survivors(spark, env, step, cfg):
     )
 
 
+def _a_tool_latency_stats(spark, env, step, cfg):
+    return windows.tool_latency_stats(env[step.get("from", "transcripts")])
+
+
+def _a_daily_health_rollup(spark, env, step, cfg):
+    return windows.daily_health_rollup(env[step.get("from", "transcripts")])
+
+
 def _a_conv_prefix_state(spark, env, step, cfg):
     # branch-dedup day-2 state, candidate half (per-depth prefix
     # hashes); the optional "where" slice expresses the history/new
@@ -615,6 +623,7 @@ def _a_curate_transcripts(spark, env, step, cfg):
         min_user_frac=step.get("min_user_frac", 0.1),
         max_tool_frac=step.get("max_tool_frac", 0.6),
         near_threshold=step.get("near_threshold"),
+        branch_min_shared=step.get("branch_min_shared"),
         seq_tokens=step.get("seq_tokens", 2048),
     )
 
@@ -678,6 +687,8 @@ ACTIONS: dict[str, Callable] = {
     "incremental_conv_near_dups": _a_incremental_conv_near_dups,
     "conv_prefix_dups": _a_conv_prefix_dups,
     "conv_branch_survivors": _a_conv_branch_survivors,
+    "tool_latency_stats": _a_tool_latency_stats,
+    "daily_health_rollup": _a_daily_health_rollup,
     "conv_prefix_state": _a_conv_prefix_state,
     "conv_frame_store": _a_conv_frame_store,
     "incremental_conv_prefix_dups": _a_incremental_conv_prefix_dups,

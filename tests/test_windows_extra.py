@@ -398,3 +398,86 @@ def test_curate_transcripts_attrition_matches_composition(spark):
     assert got["stutter_strip"] == (3, 7)
     assert got["quality_gate"] == (2, 5)
     cache.release_all()
+
+
+def test_curate_transcripts_branch_stage_is_composition(spark):
+    """branch_min_shared == applying conv_branch_survivors after exact
+    dedup: the retry stub (a proper prefix of a surviving longer
+    branch) is pruned by the chain, and the chain with the stage off
+    keeps it."""
+    from ml4logs_spark import cache
+    from ml4logs_spark.operators import curate, dedup
+
+    rows = [
+        ("long1", 0, "user", "open the file", None),
+        ("long1", 1, "assistant", "file opened fine", None),
+        ("long1", 2, "user", "now close it", None),
+        ("long1", 3, "assistant", "closed it now", None),
+        # retry stub: proper prefix of long1 -> pruned by the stage
+        ("stub1", 0, "user", "open the file", None),
+        ("stub1", 1, "assistant", "file opened fine", None),
+        # unrelated healthy conversation
+        ("solo1", 0, "user", "ping the host", None),
+        ("solo1", 1, "assistant", "pong came back", None),
+    ]
+    t = spark.createDataFrame(
+        [(c, i, r, x, tl, None) for c, i, r, x, tl in rows],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    kw = dict(min_turns=2, max_turns=10, max_role_run=3,
+              min_user_frac=0.1, max_tool_frac=0.9)
+    cache.release_all()
+    with_stage = curate.curate_transcripts(t, branch_min_shared=1, **kw)
+    got = {(r.conv_id, r.turn_idx) for r in with_stage.collect()}
+    cache.release_all()
+    composed = curate.curate_transcripts(
+        dedup.conv_branch_survivors(dedup.conv_dedup_survivors(t)), **kw
+    )
+    want = {(r.conv_id, r.turn_idx) for r in composed.collect()}
+    cache.release_all()
+    assert got == want
+    assert {c for c, _ in got} == {"long1", "solo1"}
+
+    cache.release_all()
+    no_stage = curate.curate_transcripts(t, **kw)
+    assert {r.conv_id for r in no_stage.collect()} == {"long1", "stub1", "solo1"}
+    cache.release_all()
+
+
+def test_tool_latency_stats_hand_computed(spark):
+    """Latency = next turn's ts minus the tool turn's ts, measured over
+    the FULL stream (the next turn need not be a tool turn); a
+    conversation-final tool call counts in n_calls but not n_timed;
+    the average is exact integer division."""
+    from datetime import datetime as dt
+
+    from ml4logs_spark.operators import windows
+
+    rows = [
+        ("c1", 0, "user", "q", None, dt(2024, 3, 1, 0, 0, 0)),
+        ("c1", 1, "tool", "r", "tool_1", dt(2024, 3, 1, 0, 0, 1)),
+        ("c1", 2, "assistant", "a", None, dt(2024, 3, 1, 0, 0, 4)),
+        ("c2", 0, "tool", "r", "tool_1", dt(2024, 3, 1, 0, 0, 0)),
+        ("c2", 1, "tool", "r", "tool_2", dt(2024, 3, 1, 0, 0, 2)),
+        # conversation-final tool call: no successor
+        ("c3", 0, "tool", "r", "tool_2", dt(2024, 3, 1, 0, 0, 0)),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = {r.tool: r.asDict() for r in windows.tool_latency_stats(t).collect()}
+    # tool_1: c1 latency 3s, c2 latency 2s -> avg (5s div 2) = 2.5s -> 2_500_000
+    assert out["tool_1"] == {
+        "tool": "tool_1", "n_calls": 2, "n_timed": 2,
+        "total_latency_us": 5_000_000, "avg_latency_us": 2_500_000,
+        "max_latency_us": 3_000_000,
+    }
+    # tool_2: one untimed final call + none timed in c2? c2 turn1 is final too
+    assert out["tool_2"] == {
+        "tool": "tool_2", "n_calls": 2, "n_timed": 0,
+        "total_latency_us": 0, "avg_latency_us": None,
+        "max_latency_us": None,
+    }
