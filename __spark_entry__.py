@@ -884,6 +884,19 @@ def _q_daily_health_rollup(spark, sf_dir):
     return windows.daily_health_rollup(tx.transcripts(spark, sf_dir))
 
 
+def _q_incremental_daily_health(spark, sf_dir):
+    # day-2 telemetry: history (md5 nibble 0-7) present only as the
+    # mergeable per-(day, conv) count state; the oracle is the
+    # full-corpus rollup, so green == merge-equals-batch
+    t = tx.transcripts(spark, sf_dir)
+    nib = F.substring(F.md5("conv_id"), 1, 1)
+    merged = windows.merge_daily_health_state(
+        windows.daily_health_state(t.filter(nib < F.lit("8"))),
+        windows.daily_health_state(t.filter(nib >= F.lit("8"))),
+    )
+    return windows.daily_health_from_state(merged)
+
+
 def _q_curate_transcripts_attrition(spark, sf_dir):
     # per-stage survivor counts for the transcript chain, same
     # thresholds as the curated_transcripts driver query
@@ -1265,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_conv_prefix_dups": _q_incremental_conv_prefix_dups,
         "tool_latency_stats": _q_tool_latency_stats,
         "daily_health_rollup": _q_daily_health_rollup,
+        "incremental_daily_health": _q_incremental_daily_health,
         # curated_chunks ceded its slot to incremental_conv_dedup (2x
         # driver-green r3/r4; the docs chain's stage semantics stay
         # evidenced in-window by curate_attrition, which shares the

@@ -417,3 +417,60 @@ def daily_health_rollup(turns: DataFrame) -> DataFrame:
         F.expr("(n_error_turns * 1000000) div n_turns").alias("error_ppm"),
         F.expr("(n_tool_turns * 1000000) div n_turns").alias("tool_ppm"),
     )
+
+
+def daily_health_state(turns: DataFrame) -> DataFrame:
+    """(day_us, conv_id, n_turns, n_error_turns, n_tool_turns): the
+    mergeable per-(day, conversation) partial counts behind
+    ``daily_health_rollup`` — the telemetry day-2 state (the mergeable
+    vocab-counts precedent): counts are additive under
+    ``merge_daily_health_state``, and the per-day distinct-conv count
+    falls out as the merged row count per day, so day N+1 only ever
+    aggregates its own batch. Fixed-width rows, no text; state size is
+    bounded by active (day, conv) pairs."""
+    day = F.date_trunc("day", F.col("ts"))
+    return turns.groupBy(
+        F.unix_micros(day).alias("day_us"), "conv_id"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(
+            F.when(F.col("text").like("error code %"), 1).otherwise(0)
+        ).cast("long").alias("n_error_turns"),
+        F.sum(
+            F.when(F.col("tool").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_tool_turns"),
+    )
+
+
+def merge_daily_health_state(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Additive merge of two daily-health states (replays are NOT
+    idempotent by construction — the caller's ingest dedup owns
+    exactly-once, same as the vocab-count state contract)."""
+    cols = ["day_us", "conv_id"]
+    return (
+        a.unionByName(b)
+        .groupBy(cols)
+        .agg(
+            F.sum("n_turns").cast("long").alias("n_turns"),
+            F.sum("n_error_turns").cast("long").alias("n_error_turns"),
+            F.sum("n_tool_turns").cast("long").alias("n_tool_turns"),
+        )
+    )
+
+
+def daily_health_from_state(state: DataFrame) -> DataFrame:
+    """Publish the per-day rollup from (possibly merged) state —
+    identical output to ``daily_health_rollup`` over the union of the
+    ingested batches (pytest-pinned): n_convs is the per-day state row
+    count, rates are the same exact integer ppm."""
+    agg = state.groupBy("day_us").agg(
+        F.sum("n_turns").cast("long").alias("n_turns"),
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.sum("n_error_turns").cast("long").alias("n_error_turns"),
+        F.sum("n_tool_turns").cast("long").alias("n_tool_turns"),
+    )
+    return agg.select(
+        "day_us", "n_turns", "n_convs", "n_error_turns", "n_tool_turns",
+        F.expr("(n_error_turns * 1000000) div n_turns").alias("error_ppm"),
+        F.expr("(n_tool_turns * 1000000) div n_turns").alias("tool_ppm"),
+    )

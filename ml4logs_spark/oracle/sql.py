@@ -932,3 +932,8 @@ SELECT day_us, n_turns, n_convs, n_error_turns, n_tool_turns,
        CAST((n_tool_turns * 1000000) // n_turns AS BIGINT) AS tool_ppm
 FROM dh
 """)
+
+# day-2 telemetry mirror: the full-corpus rollup — the Spark side
+# merges two per-(day, conv) count states split on the md5 nibble, so
+# green == merge-equals-batch (the mergeable vocab-counts contract)
+ORACLES["incremental_daily_health"] = ORACLES["daily_health_rollup"]

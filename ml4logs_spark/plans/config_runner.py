@@ -523,6 +523,22 @@ def _a_daily_health_rollup(spark, env, step, cfg):
     return windows.daily_health_rollup(env[step.get("from", "transcripts")])
 
 
+def _a_daily_health_state(spark, env, step, cfg):
+    # mergeable per-(day, conv) counts — the telemetry day-2 state;
+    # the optional "where" slice expresses the history/new split
+    return windows.daily_health_state(_turns_slice(env, step))
+
+
+def _a_merge_daily_health_state(spark, env, step, cfg):
+    return windows.merge_daily_health_state(env[step["a"]], env[step["b"]])
+
+
+def _a_daily_health_from_state(spark, env, step, cfg):
+    return windows.daily_health_from_state(
+        env[step.get("from", "daily_health_state")]
+    )
+
+
 def _a_conv_prefix_state(spark, env, step, cfg):
     # branch-dedup day-2 state, candidate half (per-depth prefix
     # hashes); the optional "where" slice expresses the history/new
@@ -689,6 +705,9 @@ ACTIONS: dict[str, Callable] = {
     "conv_branch_survivors": _a_conv_branch_survivors,
     "tool_latency_stats": _a_tool_latency_stats,
     "daily_health_rollup": _a_daily_health_rollup,
+    "daily_health_state": _a_daily_health_state,
+    "merge_daily_health_state": _a_merge_daily_health_state,
+    "daily_health_from_state": _a_daily_health_from_state,
     "conv_prefix_state": _a_conv_prefix_state,
     "conv_frame_store": _a_conv_frame_store,
     "incremental_conv_prefix_dups": _a_incremental_conv_prefix_dups,

@@ -481,3 +481,51 @@ def test_tool_latency_stats_hand_computed(spark):
         "total_latency_us": 0, "avg_latency_us": None,
         "max_latency_us": None,
     }
+
+
+def test_daily_health_state_merge_equals_batch(spark):
+    """Publishing from a merged per-(day, conv) state == the direct
+    rollup over the union, including a conversation spanning days and
+    a conversation split ACROSS the two batches on the same day (the
+    distinct-conv count must not double)."""
+    from datetime import datetime as dt
+
+    from ml4logs_spark.operators import windows
+
+    def row(c, i, txt, tl, d, h):
+        return (c, i, "user", txt, tl, dt(2024, 3, d, h, 0, 0))
+
+    a = spark.createDataFrame(
+        [
+            row("c1", 0, "hello", None, 1, 1),
+            row("c1", 1, "error code 7 while processing x payload", None, 1, 2),
+            row("c2", 0, "spans days", "tool_1", 1, 23),
+            row("c2", 1, "next day", None, 2, 1),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    b = spark.createDataFrame(
+        [
+            # c1 continues on day 1 in the second batch: same (day, conv)
+            row("c1", 2, "more on day one", "tool_2", 1, 5),
+            row("c3", 0, "fresh conv", None, 2, 3),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    merged = windows.merge_daily_health_state(
+        windows.daily_health_state(a), windows.daily_health_state(b)
+    )
+    got = {
+        r.day_us: r.asDict()
+        for r in windows.daily_health_from_state(merged).collect()
+    }
+    want = {
+        r.day_us: r.asDict()
+        for r in windows.daily_health_rollup(a.unionByName(b)).collect()
+    }
+    assert got == want
+    day1 = [v for v in got.values() if v["n_turns"] == 4][0]
+    assert day1["n_convs"] == 2  # c1 split across batches counts once
+    assert day1["error_ppm"] == 250000
