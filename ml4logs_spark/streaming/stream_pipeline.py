@@ -80,3 +80,38 @@ def run_to_memory(counts: DataFrame, name: str = "stream_counts"):
     )
     q.awaitTermination()
     return q
+
+
+def streaming_daily_health(
+    stream: DataFrame,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming variant of the per-day health rollup
+    (operators/windows.py daily_health_rollup): event-time 1-day
+    windows with a watermark bounding state, per-day turns /
+    error-ppm / tool-ppm exactly as the batch op, conversations as
+    ``approx_convs`` (HLL — exact distinct is unsupported in
+    streaming aggregations; the exact count lives in the batch and
+    day-2 state paths). Late turns beyond the watermark drop; at
+    scale this is the live ops dashboard feed while
+    daily_health_state remains the ledger of record."""
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.approx_count_distinct("conv_id").alias("approx_convs"),
+            F.sum(
+                F.when(F.col("text").like("error code %"), 1).otherwise(0)
+            ).cast("long").alias("n_error_turns"),
+            F.sum(
+                F.when(F.col("tool").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_tool_turns"),
+        )
+    )
+    return agg.select(
+        F.unix_micros(F.col("w.start")).alias("day_us"),
+        "n_turns", "approx_convs", "n_error_turns", "n_tool_turns",
+        F.expr("(n_error_turns * 1000000) div n_turns").alias("error_ppm"),
+        F.expr("(n_tool_turns * 1000000) div n_turns").alias("tool_ppm"),
+    )

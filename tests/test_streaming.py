@@ -284,3 +284,31 @@ def test_stream_quality_gate_and_mix_sample_match_batch(spark, tmp_path):
     assert len(a) == len(b) > 0
     assert (a.doc_id == b.doc_id).all() and (a.source == b.source).all()
     assert set(a.source) <= {"s0", "s1"}
+
+
+def test_streaming_daily_health_matches_batch(spark, turns, tmp_path):
+    """Once the stream drains, the streaming health rollup's exact
+    columns (turns, error/tool counts and ppm rates) equal the batch
+    daily_health_rollup per day, and the HLL conv estimate is within
+    its documented error of the exact count."""
+    from ml4logs_spark.operators import windows
+    from ml4logs_spark.streaming import stream_pipeline as sp
+
+    in_dir = str(tmp_path / "health_in")
+    turns.repartition(8).write.parquet(in_dir)
+
+    health = sp.streaming_daily_health(sp.stream_transcripts(spark, in_dir))
+    q = sp.run_to_memory(health, name="t_stream_health")
+    got = spark.table("t_stream_health").toPandas().set_index("day_us")
+    q.stop()
+
+    batch = windows.daily_health_rollup(turns).toPandas().set_index("day_us")
+    assert set(got.index) == set(batch.index)
+    for day, b in batch.iterrows():
+        g = got.loc[day]
+        for c in ("n_turns", "n_error_turns", "n_tool_turns",
+                  "error_ppm", "tool_ppm"):
+            assert g[c] == b[c], (day, c)
+        assert abs(g["approx_convs"] - b["n_convs"]) <= max(
+            2, 0.1 * b["n_convs"]
+        )
