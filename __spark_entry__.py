@@ -884,6 +884,10 @@ def _q_daily_health_rollup(spark, sf_dir):
     return windows.daily_health_rollup(tx.transcripts(spark, sf_dir))
 
 
+def _q_tool_latency_percentiles(spark, sf_dir):
+    return windows.tool_latency_percentiles(tx.transcripts(spark, sf_dir))
+
+
 def _q_incremental_daily_health(spark, sf_dir):
     # day-2 telemetry: history (md5 nibble 0-7) present only as the
     # mergeable per-(day, conv) count state; the oracle is the
@@ -1279,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_latency_stats": _q_tool_latency_stats,
         "daily_health_rollup": _q_daily_health_rollup,
         "incremental_daily_health": _q_incremental_daily_health,
+        "tool_latency_percentiles": _q_tool_latency_percentiles,
         # curated_chunks ceded its slot to incremental_conv_dedup (2x
         # driver-green r3/r4; the docs chain's stage semantics stay
         # evidenced in-window by curate_attrition, which shares the

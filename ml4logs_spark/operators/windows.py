@@ -474,3 +474,78 @@ def daily_health_from_state(state: DataFrame) -> DataFrame:
         F.expr("(n_error_turns * 1000000) div n_turns").alias("error_ppm"),
         F.expr("(n_tool_turns * 1000000) div n_turns").alias("tool_ppm"),
     )
+
+
+def tool_latency_percentiles(
+    turns: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.95),
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exact per-tool latency percentiles: (tool, q_pct, n_timed,
+    latency_us) where latency_us is the ceil(q*n)-th smallest timed
+    latency (type-1 lower quantile — deterministic integers, so the
+    DuckDB oracle matches bit-for-bit; the rank is computed in integer
+    arithmetic, (n*p + 99) div 100, never float ceil). approx
+    percentile sketches are the wrong contract for an oracle-gated
+    engine; this is the exact path, and it still scales:
+
+    Never a per-tool global sort — the shared two-phase ranking core
+    (operators/twophase.py, the build_vocab / ppl-tier shape)
+    range-partitions on (tool, latency) so one tool's billions of
+    timed calls rank in parallel partition-local windows; the only
+    non-parallel stage is the prefix sum over #partitions x #tools
+    rows. Ties rank arbitrarily but the VALUE at any tie rank is
+    identical, so the output is deterministic."""
+    from ml4logs_spark.operators import twophase
+
+    pcts = []
+    for q in qs:
+        p = int(round(q * 100))
+        if abs(q * 100 - p) > 1e-9:
+            raise ValueError(f"qs must be whole percents, got {q}")
+        pcts.append(p)
+    us = F.unix_micros(F.col("ts"))
+    lat = F.lead(us).over(w_conv()) - us
+    timed = (
+        turns.select("tool", lat.alias("_lat"))
+        .filter(F.col("tool").isNotNull() & F.col("_lat").isNotNull())
+    )
+    parts = n_parts or turns.sparkSession.sparkContext.defaultParallelism
+    ranged = twophase.ranged(timed, ["tool", "_lat"], parts)
+    w_local = Window.partitionBy("_pid", "tool").orderBy("_lat")
+    local = ranged.withColumn("_local", F.row_number().over(w_local))
+    bases = twophase.bases(ranged, F.count(F.lit(1)), ("tool",))
+    targets = (
+        ranged.groupBy("tool")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "tool",
+            F.col("_n").alias("n_timed"),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(p).alias("q_pct"),
+                        F.expr(f"CAST((_n * {p} + 99) DIV 100 AS LONG)")
+                        .alias("_r"),
+                    )
+                    for p in pcts
+                ])
+            ).alias("_t"),
+        )
+        .select(
+            "tool", F.col("_t.q_pct").alias("q_pct"),
+            F.col("_t._r").alias("_r"), "n_timed",
+        )
+    )
+    return (
+        local.join(F.broadcast(bases), ["_pid", "tool"])
+        .withColumn("_rank", (F.col("_base") + F.col("_local")).cast("long"))
+        .join(
+            F.broadcast(targets),
+            (F.col("_rank") == F.col("_r")) & (local["tool"] == targets["tool"]),
+        )
+        .select(
+            local["tool"], "q_pct", "n_timed",
+            F.col("_lat").cast("long").alias("latency_us"),
+        )
+    )

@@ -937,3 +937,26 @@ FROM dh
 # merges two per-(day, conv) count states split on the md5 nibble, so
 # green == merge-equals-batch (the mergeable vocab-counts contract)
 ORACLES["incremental_daily_health"] = ORACLES["daily_health_rollup"]
+
+# exact per-tool latency percentiles: type-1 lower quantile at the
+# (n*p + 99) // 100 rank — integer math on both engines, never float
+# ceil; ties rank arbitrarily but the value at any tie rank is
+# identical
+ORACLES["tool_latency_percentiles"] = _q("""
+, wl AS (
+  SELECT tool,
+         lead(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           - epoch_us(ts) AS lat
+  FROM t
+),
+tl AS (
+  SELECT tool, lat,
+         row_number() OVER (PARTITION BY tool ORDER BY lat) AS r,
+         count(*) OVER (PARTITION BY tool) AS n
+  FROM wl WHERE tool IS NOT NULL AND lat IS NOT NULL
+)
+SELECT tool, q.q_pct, CAST(n AS BIGINT) AS n_timed,
+       CAST(lat AS BIGINT) AS latency_us
+FROM tl, (VALUES (50), (95)) q(q_pct)
+WHERE r = (n * q.q_pct + 99) // 100
+""")

@@ -523,6 +523,13 @@ def _a_daily_health_rollup(spark, env, step, cfg):
     return windows.daily_health_rollup(env[step.get("from", "transcripts")])
 
 
+def _a_tool_latency_percentiles(spark, env, step, cfg):
+    return windows.tool_latency_percentiles(
+        env[step.get("from", "transcripts")],
+        qs=tuple(step.get("qs", (0.5, 0.95))),
+    )
+
+
 def _a_daily_health_state(spark, env, step, cfg):
     # mergeable per-(day, conv) counts — the telemetry day-2 state;
     # the optional "where" slice expresses the history/new split
@@ -705,6 +712,7 @@ ACTIONS: dict[str, Callable] = {
     "conv_branch_survivors": _a_conv_branch_survivors,
     "tool_latency_stats": _a_tool_latency_stats,
     "daily_health_rollup": _a_daily_health_rollup,
+    "tool_latency_percentiles": _a_tool_latency_percentiles,
     "daily_health_state": _a_daily_health_state,
     "merge_daily_health_state": _a_merge_daily_health_state,
     "daily_health_from_state": _a_daily_health_from_state,

@@ -529,3 +529,40 @@ def test_daily_health_state_merge_equals_batch(spark):
     day1 = [v for v in got.values() if v["n_turns"] == 4][0]
     assert day1["n_convs"] == 2  # c1 split across batches counts once
     assert day1["error_ppm"] == 250000
+
+
+def test_tool_latency_percentiles_hand_computed(spark):
+    """Type-1 lower quantile at integer rank (n*p + 99) div 100: p50 of
+    five latencies {1..5}s is the 3rd smallest, p95 the 5th; a
+    single-call tool returns its one latency for every percentile;
+    tools with only untimed (conversation-final) calls are absent."""
+    from datetime import datetime as dt
+
+    from ml4logs_spark import cache
+    from ml4logs_spark.operators import windows
+
+    rows = []
+    for i, l in enumerate([1, 2, 3, 4, 5]):
+        rows += [
+            (f"a{i}", 0, "tool", "x", "tool_a", dt(2024, 3, 1, 0, 0, 0)),
+            (f"a{i}", 1, "user", "y", None, dt(2024, 3, 1, 0, 0, l)),
+        ]
+    rows += [
+        ("b0", 0, "tool", "x", "tool_b", dt(2024, 3, 1, 0, 0, 0)),
+        ("b0", 1, "user", "y", None, dt(2024, 3, 1, 0, 0, 7)),
+        ("c0", 0, "tool", "x", "tool_c", dt(2024, 3, 1, 0, 0, 0)),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    cache.release_all()
+    got = sorted(tuple(r) for r in windows.tool_latency_percentiles(t).collect())
+    cache.release_all()
+    assert got == [
+        ("tool_a", 50, 5, 3_000_000),
+        ("tool_a", 95, 5, 5_000_000),
+        ("tool_b", 50, 1, 7_000_000),
+        ("tool_b", 95, 1, 7_000_000),
+    ]

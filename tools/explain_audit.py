@@ -591,6 +591,21 @@ def main() -> int:
     check("conv_prefix_dups: no single-partition stage",
           "SinglePartition" not in pp)
 
+    # 8c. tool_latency_percentiles: the grouped two-phase ranking must
+    # never collapse the latency sort to one partition (the per-group
+    # prefix window partitions by tool), and the targets/bases ride
+    # back as broadcasts.
+    from ml4logs_spark.operators import windows as _tw
+
+    lp = plan_of(_tw.tool_latency_percentiles(t))
+    _c.release_all()
+    check("tool_latency_percentiles: no single-partition stage",
+          "SinglePartition" not in lp)
+    check("tool_latency_percentiles: broadcast rank joins",
+          lp.count("BroadcastHashJoin") >= 2)
+    check("tool_latency_percentiles: range partitioning on (tool, lat)",
+          "rangepartitioning(tool" in lp)
+
     # 9. predicate pushdown on filtered scan
     m = t.filter("role = 'user'").select("conv_id")
     p = plan_of(m)
