@@ -888,6 +888,24 @@ def _q_tool_latency_percentiles(spark, sf_dir):
     return windows.tool_latency_percentiles(tx.transcripts(spark, sf_dir))
 
 
+def _q_tool_latency_histogram(spark, sf_dir):
+    return windows.tool_latency_histogram_state(tx.transcripts(spark, sf_dir))
+
+
+def _q_histogram_latency_percentiles(spark, sf_dir):
+    # bounded-state percentile path, exercised through its day-2
+    # shape: two md5-nibble split histograms merged, then published;
+    # the oracle publishes over the full corpus, so green ==
+    # merge-equals-batch
+    t = tx.transcripts(spark, sf_dir)
+    nib = F.substring(F.md5("conv_id"), 1, 1)
+    merged = windows.merge_tool_latency_histograms(
+        windows.tool_latency_histogram_state(t.filter(nib < F.lit("8"))),
+        windows.tool_latency_histogram_state(t.filter(nib >= F.lit("8"))),
+    )
+    return windows.latency_percentiles_from_histogram(merged)
+
+
 def _q_incremental_daily_health(spark, sf_dir):
     # day-2 telemetry: history (md5 nibble 0-7) present only as the
     # mergeable per-(day, conv) count state; the oracle is the
@@ -1284,6 +1302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_health_rollup": _q_daily_health_rollup,
         "incremental_daily_health": _q_incremental_daily_health,
         "tool_latency_percentiles": _q_tool_latency_percentiles,
+        "tool_latency_histogram": _q_tool_latency_histogram,
+        "histogram_latency_percentiles": _q_histogram_latency_percentiles,
         # curated_chunks ceded its slot to incremental_conv_dedup (2x
         # driver-green r3/r4; the docs chain's stage semantics stay
         # evidenced in-window by curate_attrition, which shares the

@@ -549,3 +549,97 @@ def tool_latency_percentiles(
             F.col("_lat").cast("long").alias("latency_us"),
         )
     )
+
+
+def tool_latency_histogram_state(turns: DataFrame) -> DataFrame:
+    """(tool, bucket_lo, n): per-tool latency counts in power-of-2
+    microsecond buckets (the doc_length_histogram idiom; zero/negative
+    latencies land in bucket_lo 0) — the BOUNDED-state percentile path
+    next to the exact ranking pass: ~64 rows per tool, additive under
+    ``merge_tool_latency_histograms``, so day-2 ingest and dashboards
+    track latency drift without ever re-ranking history. One partial+
+    final hash aggregate; map-side combine collapses everything before
+    the shuffle."""
+    us = F.unix_micros(F.col("ts"))
+    lat = F.lead(us).over(w_conv()) - us
+    timed = turns.select("tool", lat.alias("_lat")).filter(
+        F.col("tool").isNotNull() & F.col("_lat").isNotNull()
+    )
+    # integer-exact highest-set-bit bucket (1 << (bits-1)) — never the
+    # float log2/pow/floor chain, whose 1-ulp engine differences can
+    # straddle a bucket boundary (repo determinism gotcha)
+    bucket_lo = (
+        F.when(F.col("_lat") <= 0, F.lit(0))
+        .otherwise(
+            F.expr("shiftleft(CAST(1 AS BIGINT), length(bin(_lat)) - 1)")
+        )
+        .cast("long")
+    )
+    return (
+        timed.select("tool", bucket_lo.alias("bucket_lo"))
+        .groupBy("tool", "bucket_lo")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def merge_tool_latency_histograms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Additive merge of two latency-histogram states (the mergeable
+    vocab/health-count contract: the caller's ingest dedup owns
+    exactly-once)."""
+    return (
+        a.unionByName(b)
+        .groupBy("tool", "bucket_lo")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def latency_percentiles_from_histogram(
+    state: DataFrame, qs: tuple[float, ...] = (0.5, 0.95)
+) -> DataFrame:
+    """(tool, q_pct, n_timed, bucket_lo): the power-of-2 bucket
+    containing the type-1 quantile rank — same integer rank formula as
+    the exact path ((n*p + 99) div 100), resolved against cumulative
+    bucket counts, so the answer is a deterministic LOWER BOUND within
+    2x of the exact percentile (the documented histogram resolution).
+    Deterministic integers on both engines -> fully oracle-able even
+    though it approximates the exact path. The cumulative window runs
+    over <=64 buckets per tool — trivially parallel per tool, state
+    bounded regardless of call volume."""
+    cum = state.select(
+        "tool", "bucket_lo", "n",
+        F.sum("n").over(
+            Window.partitionBy("tool").orderBy("bucket_lo")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_cum"),
+        F.sum("n").over(Window.partitionBy("tool")).alias("n_timed"),
+    )
+    pcts = []
+    for q in qs:
+        p = int(round(q * 100))
+        if abs(q * 100 - p) > 1e-9:
+            raise ValueError(f"qs must be whole percents, got {q}")
+        pcts.append(p)
+    q_rows = cum.select(
+        "tool", "bucket_lo", "_cum", "n_timed",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(p).alias("q_pct"),
+                    F.expr(f"CAST((n_timed * {p} + 99) DIV 100 AS LONG)")
+                    .alias("_r"),
+                )
+                for p in pcts
+            ])
+        ).alias("_t"),
+    ).select(
+        "tool", "bucket_lo", "_cum", "n_timed",
+        F.col("_t.q_pct").alias("q_pct"), F.col("_t._r").alias("_r"),
+    )
+    # the FIRST bucket whose cumulative count reaches the rank
+    hit = q_rows.filter(F.col("_cum") >= F.col("_r"))
+    w_first = Window.partitionBy("tool", "q_pct").orderBy("bucket_lo")
+    return (
+        hit.withColumn("_rn", F.row_number().over(w_first))
+        .filter(F.col("_rn") == 1)
+        .select("tool", "q_pct", "n_timed", "bucket_lo")
+    )

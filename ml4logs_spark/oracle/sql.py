@@ -960,3 +960,52 @@ SELECT tool, q.q_pct, CAST(n AS BIGINT) AS n_timed,
 FROM tl, (VALUES (50), (95)) q(q_pct)
 WHERE r = (n * q.q_pct + 99) // 100
 """)
+
+# bounded-state latency percentiles: power-of-2 microsecond buckets via
+# the integer-exact highest-set-bit (1 << (bits-1)) — never the float
+# log2/pow/floor chain — cumulative counts resolved at the same
+# (n*p + 99) // 100 rank as the exact path. The Spark side merges two
+# md5-nibble split states before publishing, so green ==
+# merge-equals-batch.
+_LAT_HIST = """
+wl AS (
+  SELECT tool,
+         lead(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           - epoch_us(ts) AS lat
+  FROM t
+),
+hs AS (
+  SELECT tool,
+         CASE WHEN lat <= 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(1 AS BIGINT) << (length(bin(lat)) - 1) END
+           AS bucket_lo,
+         CAST(count(*) AS BIGINT) AS n
+  FROM wl WHERE tool IS NOT NULL AND lat IS NOT NULL
+  GROUP BY 1, 2
+)
+"""
+
+ORACLES["tool_latency_histogram"] = _q(f"""
+, {_LAT_HIST}
+SELECT tool, bucket_lo, n FROM hs
+""")
+
+ORACLES["histogram_latency_percentiles"] = _q(f"""
+, {_LAT_HIST},
+cum AS (
+  SELECT tool, bucket_lo, n,
+         sum(n) OVER (PARTITION BY tool ORDER BY bucket_lo) AS c,
+         sum(n) OVER (PARTITION BY tool) AS nt
+  FROM hs
+),
+qx AS (
+  SELECT cum.tool, cum.bucket_lo, q.q_pct,
+         CAST(cum.nt AS BIGINT) AS n_timed,
+         row_number() OVER (
+           PARTITION BY cum.tool, q.q_pct ORDER BY cum.bucket_lo
+         ) AS rn
+  FROM cum, (VALUES (50), (95)) q(q_pct)
+  WHERE cum.c >= (cum.nt * q.q_pct + 99) // 100
+)
+SELECT tool, q_pct, n_timed, bucket_lo FROM qx WHERE rn = 1
+""")

@@ -530,6 +530,23 @@ def _a_tool_latency_percentiles(spark, env, step, cfg):
     )
 
 
+def _a_tool_latency_histogram(spark, env, step, cfg):
+    # bounded-state latency histogram — the day-2/dashboard percentile
+    # state; "where" slices the turns frame for history/new splits
+    return windows.tool_latency_histogram_state(_turns_slice(env, step))
+
+
+def _a_merge_latency_histograms(spark, env, step, cfg):
+    return windows.merge_tool_latency_histograms(env[step["a"]], env[step["b"]])
+
+
+def _a_latency_percentiles_from_histogram(spark, env, step, cfg):
+    return windows.latency_percentiles_from_histogram(
+        env[step.get("from", "tool_latency_histogram")],
+        qs=tuple(step.get("qs", (0.5, 0.95))),
+    )
+
+
 def _a_daily_health_state(spark, env, step, cfg):
     # mergeable per-(day, conv) counts — the telemetry day-2 state;
     # the optional "where" slice expresses the history/new split
@@ -713,6 +730,9 @@ ACTIONS: dict[str, Callable] = {
     "tool_latency_stats": _a_tool_latency_stats,
     "daily_health_rollup": _a_daily_health_rollup,
     "tool_latency_percentiles": _a_tool_latency_percentiles,
+    "tool_latency_histogram": _a_tool_latency_histogram,
+    "merge_latency_histograms": _a_merge_latency_histograms,
+    "latency_percentiles_from_histogram": _a_latency_percentiles_from_histogram,
     "daily_health_state": _a_daily_health_state,
     "merge_daily_health_state": _a_merge_daily_health_state,
     "daily_health_from_state": _a_daily_health_from_state,

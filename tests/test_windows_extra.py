@@ -566,3 +566,62 @@ def test_tool_latency_percentiles_hand_computed(spark):
         ("tool_b", 50, 1, 7_000_000),
         ("tool_b", 95, 1, 7_000_000),
     ]
+
+
+def test_latency_histogram_state_and_percentiles(spark):
+    """Power-of-2 buckets are integer-exact (1,2,3 -> buckets 1,2,2;
+    zero latency -> bucket 0), merge is additive, and the published
+    bucket is a lower bound within 2x of the exact percentile (same
+    rank formula as the exact path)."""
+    from datetime import datetime as dt, timedelta
+
+    from ml4logs_spark import cache
+    from ml4logs_spark.operators import windows
+
+    def conv(cid, tool, lat_us):
+        t0 = dt(2024, 3, 1)
+        return [
+            (cid, 0, "tool", "x", tool, t0),
+            (cid, 1, "user", "y", None, t0 + timedelta(microseconds=lat_us)),
+        ]
+
+    # tool_a latencies (us): 1, 2, 3, 8, 1000 -> buckets 1, 2, 2, 8, 512
+    rows = []
+    for i, l in enumerate([1, 2, 3, 8, 1000]):
+        rows += conv(f"a{i}", "tool_a", l)
+    rows += conv("z0", "tool_z", 0)  # zero latency -> bucket 0
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    hist = {
+        (r.tool, r.bucket_lo): r.n
+        for r in windows.tool_latency_histogram_state(t).collect()
+    }
+    assert hist == {
+        ("tool_a", 1): 1, ("tool_a", 2): 2, ("tool_a", 8): 1,
+        ("tool_a", 512): 1, ("tool_z", 0): 1,
+    }
+
+    # split/merge == batch, and publish picks the rank-3 bucket for p50
+    nib_a = t.filter(F.col("conv_id").startswith("a0") | F.col("conv_id").startswith("a1"))
+    nib_b = t.subtract(nib_a)
+    merged = windows.merge_tool_latency_histograms(
+        windows.tool_latency_histogram_state(nib_a),
+        windows.tool_latency_histogram_state(nib_b),
+    )
+    assert {
+        (r.tool, r.bucket_lo): r.n for r in merged.collect()
+    } == hist
+    out = {
+        (r.tool, r.q_pct): (r.n_timed, r.bucket_lo)
+        for r in windows.latency_percentiles_from_histogram(merged).collect()
+    }
+    # exact p50 of {1,2,3,8,1000} = 3 -> bucket 2 (lower bound within 2x);
+    # exact p95 = 1000 -> bucket 512
+    assert out == {
+        ("tool_a", 50): (5, 2), ("tool_a", 95): (5, 512),
+        ("tool_z", 50): (1, 0), ("tool_z", 95): (1, 0),
+    }
+    cache.release_all()
