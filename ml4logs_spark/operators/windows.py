@@ -562,21 +562,34 @@ def tool_latency_histogram_state(turns: DataFrame) -> DataFrame:
     the shuffle."""
     us = F.unix_micros(F.col("ts"))
     lat = F.lead(us).over(w_conv()) - us
-    timed = turns.select("tool", lat.alias("_lat")).filter(
-        F.col("tool").isNotNull() & F.col("_lat").isNotNull()
+    timed = turns.select("tool", lat.alias("lat_us")).filter(
+        F.col("tool").isNotNull() & F.col("lat_us").isNotNull()
     )
-    # integer-exact highest-set-bit bucket (1 << (bits-1)) — never the
-    # float log2/pow/floor chain, whose 1-ulp engine differences can
-    # straddle a bucket boundary (repo determinism gotcha)
-    bucket_lo = (
-        F.when(F.col("_lat") <= 0, F.lit(0))
+    return histogram_from_latencies(timed)
+
+
+def latency_bucket_lo(col: str = "lat_us"):
+    """Power-of-2 bucket floor for a microsecond latency column:
+    integer-exact highest-set-bit (1 << (bits-1)) — never the float
+    log2/pow/floor chain, whose 1-ulp engine differences can straddle
+    a bucket boundary (repo determinism gotcha). Zero/negative
+    latencies land in bucket_lo 0."""
+    return (
+        F.when(F.col(col) <= 0, F.lit(0))
         .otherwise(
-            F.expr("shiftleft(CAST(1 AS BIGINT), length(bin(_lat)) - 1)")
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), length(bin({col})) - 1)")
         )
         .cast("long")
     )
+
+
+def histogram_from_latencies(lats: DataFrame) -> DataFrame:
+    """(tool, bucket_lo, n) from already-extracted (tool, lat_us) rows —
+    the shared aggregation tail of the batch path above and the
+    streaming ingest (streaming/latency.py), so both bucket with the
+    same integer-exact expression."""
     return (
-        timed.select("tool", bucket_lo.alias("bucket_lo"))
+        lats.select("tool", latency_bucket_lo("lat_us").alias("bucket_lo"))
         .groupBy("tool", "bucket_lo")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
