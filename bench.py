@@ -83,6 +83,43 @@ def _stream_bench(spark, turns) -> dict:
         "restart_overlap_rows": out_rows - in_rows,
         "exactly_once_pass": out_rows == in_rows,
     }
+
+    # live latency path: stateful per-conv pairing + histogram ledger.
+    # Input is range-split by turn_idx (a conversation's turns arrive
+    # in order but across micro-batches — the Kafka-partitioned-by-
+    # conv_id delivery model), so the one-row-per-conv pairing state is
+    # genuinely exercised; the ledger's timed-call total must equal the
+    # batch histogram's (stream-equals-batch, checked every bench run).
+    from ml4logs_spark.operators import windows as _w
+    from ml4logs_spark.streaming import latency
+
+    lat_in = os.path.join(base, "lat_in")
+    turns.repartitionByRange(8, "turn_idx").write.parquet(lat_in)
+    sp.stamp_file_order(lat_in)
+    t0 = time.perf_counter()
+    q = latency.run_latency_ingest(
+        sp.stream_transcripts(spark, lat_in),
+        state_dir=os.path.join(base, "lat_state"),
+        checkpoint_dir=os.path.join(base, "lat_ckpt"),
+    )
+    q.awaitTermination()
+    lat_wall = round(time.perf_counter() - t0, 3)
+    ledger = {
+        (r.tool, r.bucket_lo): r.n
+        for r in latency.read_latency_state(
+            spark, os.path.join(base, "lat_state")
+        ).collect()
+    }
+    batch_hist = {
+        (r.tool, r.bucket_lo): r.n
+        for r in _w.tool_latency_histogram_state(turns).collect()
+    }
+    result.update({
+        "latency_stream_wall_sec": lat_wall,
+        "latency_stream_rows_per_sec": round(in_rows / lat_wall, 1),
+        "latency_ledger_timed_calls": sum(ledger.values()),
+        "latency_ledger_matches_batch": ledger == batch_hist,
+    })
     shutil.rmtree(base, ignore_errors=True)
     return result
 

@@ -10,6 +10,10 @@ windowed streaming aggregations.
 
 from __future__ import annotations
 
+import os
+import time
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -24,6 +28,28 @@ TRANSCRIPT_SCHEMA = T.StructType([
     T.StructField("tool", T.StringType()),
     T.StructField("ts", T.TimestampType()),
 ])
+
+
+def stamp_file_order(in_dir: str) -> None:
+    """Give a freshly-written parquet directory a deterministic
+    file-source delivery order: part files get strictly increasing
+    mtimes in filename order (range partition i writes part-0000i, so
+    filename order IS turn-range order after ``repartitionByRange``).
+
+    FileStreamSource batches files by modification time, with ties
+    falling back to listing order — parallel write tasks finish in
+    arbitrary sub-second order, so without stamping, a multi-batch
+    drain can deliver later turn ranges BEFORE earlier ones and any
+    per-key ordered-arrival operator (sessionizer, latency pairing)
+    reconstructs the wrong sequence. Tiny test inputs dodge this only
+    because their writes tie within one mtime millisecond. Production
+    sources (Kafka partitioned by conv_id, Iceberg CDC) are per-key
+    ordered queues, so this is purely the file-source harness's
+    delivery contract, not an operator requirement."""
+    files = sorted(p for p in Path(in_dir).glob("part-*") if p.is_file())
+    base = int(time.time()) - len(files) - 2
+    for i, p in enumerate(files):
+        os.utime(p, (base + i, base + i))
 
 
 def stream_transcripts(spark: SparkSession, in_dir: str) -> DataFrame:

@@ -25,6 +25,7 @@ def test_stream_latencies_match_batch_lead(spark, turns, tmp_path):
     # order files by turn ranges so per-conv pairing state genuinely
     # spans micro-batches (same harness as the sessionizer test)
     turns.repartitionByRange(6, "turn_idx").write.parquet(in_dir)
+    sp.stamp_file_order(in_dir)
 
     out = latency.stream_tool_latencies(sp.stream_transcripts(spark, in_dir))
     q = (
@@ -54,6 +55,7 @@ def test_latency_ingest_ledger_matches_batch_histogram(spark, turns, tmp_path):
 
     in_dir = str(tmp_path / "stream_in")
     turns.repartitionByRange(6, "turn_idx").write.parquet(in_dir)
+    sp.stamp_file_order(in_dir)
 
     q = latency.run_latency_ingest(
         sp.stream_transcripts(spark, in_dir),

@@ -13,6 +13,7 @@ def test_stateful_sessions_match_batch(spark, turns, tmp_path):
     in_dir = str(tmp_path / "stream_in")
     # order files by turn ranges so per-conv state genuinely spans batches
     turns.repartitionByRange(6, "turn_idx").write.parquet(in_dir)
+    sp.stamp_file_order(in_dir)
 
     stream = sp.stream_transcripts(spark, in_dir)
     out = sessionize.stream_sessions(stream, gap_seconds=3600)

@@ -606,6 +606,23 @@ def main() -> int:
     check("tool_latency_percentiles: range partitioning on (tool, lat)",
           "rangepartitioning(tool" in lp)
 
+    # 8d. tool_latency_histogram_state: the bounded-state path must be
+    # the lead() window (one conv_id exchange) plus ONE partial+final
+    # hash aggregate — no extra shuffle, no single-partition stage —
+    # and the publish stays window-over-tool (tiny per-tool frames),
+    # never a global collapse.
+    hp = plan_of(_tw.tool_latency_histogram_state(t))
+    check("latency_histogram: no single-partition stage",
+          "SinglePartition" not in hp)
+    check("latency_histogram: exactly 2 exchanges (window + agg)",
+          len(_xids(hp) | set(re.findall(
+              r"Exchange (?:hash|range)partitioning\([^\[]*\[plan_id=(\d+)\]",
+              hp))) == 2, hp[:400])
+    pubp = plan_of(_tw.latency_percentiles_from_histogram(
+        _tw.tool_latency_histogram_state(t)))
+    check("latency_histogram publish: no single-partition stage",
+          "SinglePartition" not in pubp)
+
     # 9. predicate pushdown on filtered scan
     m = t.filter("role = 'user'").select("conv_id")
     p = plan_of(m)
