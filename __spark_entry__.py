@@ -884,6 +884,10 @@ def _q_daily_health_rollup(spark, sf_dir):
     return windows.daily_health_rollup(tx.transcripts(spark, sf_dir))
 
 
+def _q_daily_health_drift(spark, sf_dir):
+    return windows.daily_health_drift(tx.transcripts(spark, sf_dir))
+
+
 def _q_tool_latency_percentiles(spark, sf_dir):
     return windows.tool_latency_percentiles(tx.transcripts(spark, sf_dir))
 
@@ -1304,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_latency_percentiles": _q_tool_latency_percentiles,
         "tool_latency_histogram": _q_tool_latency_histogram,
         "histogram_latency_percentiles": _q_histogram_latency_percentiles,
+        "daily_health_drift": _q_daily_health_drift,
         # curated_chunks ceded its slot to incremental_conv_dedup (2x
         # driver-green r3/r4; the docs chain's stage semantics stay
         # evidenced in-window by curate_attrition, which shares the

@@ -476,6 +476,38 @@ def daily_health_from_state(state: DataFrame) -> DataFrame:
     )
 
 
+def daily_health_drift(turns: DataFrame, jump_pct: int = 50) -> DataFrame:
+    """(day_us, n_turns, error_ppm, prev_error_ppm, error_ppm_delta,
+    error_jump): day-over-day drift on the daily health rollup — the
+    "did the error rate spike overnight" ops check that pages someone.
+
+    The lag runs over the ALREADY-AGGREGATED per-day frame (bounded by
+    calendar days — a century is ~36.5k rows), so the unpartitioned
+    ordered window is a deliberate tiny-frame publish like the
+    histogram percentile pass, not a corpus sort: the corpus itself
+    aggregates exactly once inside ``daily_health_rollup``. The jump
+    flag is pure integer arithmetic — current*100 >=
+    previous*(100+jump_pct) AND current > previous (the second clause
+    keeps flat-zero days from flagging) — emitted as 0/1 BIGINT per
+    the dialect rule; day one has a NULL baseline and flag 0."""
+    roll = daily_health_rollup(turns)
+    prev = F.lag("error_ppm").over(Window.orderBy("day_us"))
+    out = roll.select(
+        "day_us", "n_turns", "error_ppm", prev.alias("prev_error_ppm")
+    )
+    jump = (
+        (F.col("error_ppm") * 100
+         >= F.col("prev_error_ppm") * (100 + jump_pct))
+        & (F.col("error_ppm") > F.col("prev_error_ppm"))
+    )
+    return out.select(
+        "day_us", "n_turns", "error_ppm", "prev_error_ppm",
+        (F.col("error_ppm") - F.col("prev_error_ppm"))
+        .cast("long").alias("error_ppm_delta"),
+        F.coalesce(jump, F.lit(False)).cast("long").alias("error_jump"),
+    )
+
+
 def tool_latency_percentiles(
     turns: DataFrame,
     qs: tuple[float, ...] = (0.5, 0.95),

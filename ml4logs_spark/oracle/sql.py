@@ -1009,3 +1009,34 @@ qx AS (
 )
 SELECT tool, q_pct, n_timed, bucket_lo FROM qx WHERE rn = 1
 """)
+
+# day-over-day health drift: lag over the per-day rollup (tiny frame),
+# integer ppm arithmetic throughout, jump flag emitted as 0/1 BIGINT per
+# the dialect rule (current*100 >= prev*150 AND current > prev at the
+# default jump_pct=50; the strict clause keeps flat-zero days unflagged)
+ORACLES["daily_health_drift"] = _q("""
+, dh AS (
+  SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(CASE WHEN text LIKE 'error code %' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_error_turns
+  FROM t GROUP BY 1
+),
+r AS (
+  SELECT day_us, n_turns,
+         CAST((n_error_turns * 1000000) // n_turns AS BIGINT) AS error_ppm
+  FROM dh
+),
+lg AS (
+  SELECT day_us, n_turns, error_ppm,
+         lag(error_ppm) OVER (ORDER BY day_us) AS prev_error_ppm
+  FROM r
+)
+SELECT day_us, n_turns, error_ppm,
+       CAST(prev_error_ppm AS BIGINT) AS prev_error_ppm,
+       CAST(error_ppm - prev_error_ppm AS BIGINT) AS error_ppm_delta,
+       CAST(COALESCE(error_ppm * 100 >= prev_error_ppm * 150
+                     AND error_ppm > prev_error_ppm, FALSE) AS BIGINT)
+         AS error_jump
+FROM lg
+""")

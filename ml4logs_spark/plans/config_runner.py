@@ -530,6 +530,13 @@ def _a_tool_latency_percentiles(spark, env, step, cfg):
     )
 
 
+def _a_daily_health_drift(spark, env, step, cfg):
+    # day-over-day error-rate drift with the integer jump flag
+    return windows.daily_health_drift(
+        _turns_slice(env, step), jump_pct=int(step.get("jump_pct", 50))
+    )
+
+
 def _a_tool_latency_histogram(spark, env, step, cfg):
     # bounded-state latency histogram — the day-2/dashboard percentile
     # state; "where" slices the turns frame for history/new splits
@@ -730,6 +737,7 @@ ACTIONS: dict[str, Callable] = {
     "tool_latency_stats": _a_tool_latency_stats,
     "daily_health_rollup": _a_daily_health_rollup,
     "tool_latency_percentiles": _a_tool_latency_percentiles,
+    "daily_health_drift": _a_daily_health_drift,
     "tool_latency_histogram": _a_tool_latency_histogram,
     "merge_latency_histograms": _a_merge_latency_histograms,
     "latency_percentiles_from_histogram": _a_latency_percentiles_from_histogram,

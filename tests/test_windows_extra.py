@@ -625,3 +625,48 @@ def test_latency_histogram_state_and_percentiles(spark):
         ("tool_z", 50): (1, 0), ("tool_z", 95): (1, 0),
     }
     cache.release_all()
+
+
+def test_daily_health_drift_hand_computed(spark):
+    """Day-over-day drift: ppm deltas are exact integers, the jump
+    flag fires only on a >=50% rise (0/1 BIGINT), day one has a NULL
+    baseline, and flat-zero days never flag."""
+    from datetime import datetime as dt, timezone
+
+    from ml4logs_spark.operators import windows
+
+    rows = []
+
+    def day(d, n, nerr, tag):
+        for i in range(n):
+            txt = f"error code {i}" if i < nerr else f"ok {i}"
+            rows.append(
+                (f"c{tag}", i, "user", txt, None, dt(2024, 3, d, 12, 0, i))
+            )
+
+    day(1, 4, 1, "a")   # 250000 ppm, no baseline
+    day(2, 4, 2, "b")   # 500000 ppm: +100% -> jump
+    day(3, 5, 1, "c")   # 200000 ppm: drop -> no jump
+    day(4, 4, 0, "d")   # 0 ppm
+    day(5, 4, 0, "e")   # flat zero -> no jump
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {
+        r.day_us: (r.n_turns, r.error_ppm, r.prev_error_ppm,
+                   r.error_ppm_delta, r.error_jump)
+        for r in windows.daily_health_drift(t).collect()
+    }
+
+    def us(d):
+        return int(dt(2024, 3, d, tzinfo=timezone.utc).timestamp() * 1e6)
+
+    assert got == {
+        us(1): (4, 250000, None, None, 0),
+        us(2): (4, 500000, 250000, 250000, 1),
+        us(3): (5, 200000, 500000, -300000, 0),
+        us(4): (4, 0, 200000, -200000, 0),
+        us(5): (4, 0, 0, 0, 0),
+    }
