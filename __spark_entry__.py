@@ -910,6 +910,17 @@ def _q_histogram_latency_percentiles(spark, sf_dir):
     return windows.latency_percentiles_from_histogram(merged)
 
 
+def _q_latency_drift(spark, sf_dir):
+    # "yesterday vs today" via the md5-nibble split: drift computed
+    # entirely on the two bounded histogram states
+    t = tx.transcripts(spark, sf_dir)
+    nib = F.substring(F.md5("conv_id"), 1, 1)
+    return windows.latency_drift_from_histograms(
+        windows.tool_latency_histogram_state(t.filter(nib < F.lit("8"))),
+        windows.tool_latency_histogram_state(t.filter(nib >= F.lit("8"))),
+    )
+
+
 def _q_incremental_daily_health(spark, sf_dir):
     # day-2 telemetry: history (md5 nibble 0-7) present only as the
     # mergeable per-(day, conv) count state; the oracle is the
@@ -1309,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_latency_histogram": _q_tool_latency_histogram,
         "histogram_latency_percentiles": _q_histogram_latency_percentiles,
         "daily_health_drift": _q_daily_health_drift,
+        "latency_drift": _q_latency_drift,
         # curated_chunks ceded its slot to incremental_conv_dedup (2x
         # driver-green r3/r4; the docs chain's stage semantics stay
         # evidenced in-window by curate_attrition, which shares the

@@ -476,6 +476,44 @@ def daily_health_from_state(state: DataFrame) -> DataFrame:
     )
 
 
+def latency_drift_from_histograms(
+    hist_a: DataFrame, hist_b: DataFrame, qs: tuple[float, ...] = (0.5, 0.95)
+) -> DataFrame:
+    """(tool, q_pct, bucket_lo_a, bucket_lo_b, bucket_shift, drifted):
+    per-tool percentile drift between two latency-histogram states
+    (yesterday's ledger vs today's) — the latency analog of
+    ``daily_health_drift``, computed ENTIRELY on the bounded ~64-rows-
+    per-tool states, so the day-over-day comparison never re-ranks or
+    even touches raw history. ``bucket_shift`` counts power-of-2 steps
+    (integer bit-length difference of the published bucket floors) and
+    ``drifted`` (0/1 BIGINT) fires when the percentile moved at least
+    one bucket, i.e. ~2x either way — the paging threshold the 2x
+    histogram resolution supports honestly. Inner join: a tool must
+    appear in both states to have a drift (new/retired tools are the
+    rollup's business, not the drift check's)."""
+
+    def _idx(c: str):
+        return (
+            F.when(F.col(c) <= 0, F.lit(0))
+            .otherwise(F.expr(f"length(bin({c}))"))
+            .cast("long")
+        )
+
+    a = latency_percentiles_from_histogram(hist_a, qs=qs).select(
+        "tool", "q_pct", F.col("bucket_lo").alias("bucket_lo_a")
+    )
+    b = latency_percentiles_from_histogram(hist_b, qs=qs).select(
+        "tool", "q_pct", F.col("bucket_lo").alias("bucket_lo_b")
+    )
+    return a.join(b, ["tool", "q_pct"]).select(
+        "tool", "q_pct", "bucket_lo_a", "bucket_lo_b",
+        (_idx("bucket_lo_b") - _idx("bucket_lo_a"))
+        .cast("long").alias("bucket_shift"),
+        (_idx("bucket_lo_b") != _idx("bucket_lo_a"))
+        .cast("long").alias("drifted"),
+    )
+
+
 def daily_health_drift(turns: DataFrame, jump_pct: int = 50) -> DataFrame:
     """(day_us, n_turns, error_ppm, prev_error_ppm, error_ppm_delta,
     error_jump): day-over-day drift on the daily health rollup — the

@@ -1040,3 +1040,58 @@ SELECT day_us, n_turns, error_ppm,
          AS error_jump
 FROM lg
 """)
+
+# per-tool percentile drift between the two md5-nibble split histogram
+# states (the "yesterday vs today" day-2 shape): same power-of-2 bucket
+# + (n*p + 99) // 100 rank machinery as the histogram oracles, published
+# per split, then bit-length bucket_shift and the 0/1 drifted flag.
+# Inner join: a tool must appear in both states.
+ORACLES["latency_drift"] = _q("""
+, wl AS (
+  SELECT conv_id, tool,
+         lead(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           - epoch_us(ts) AS lat
+  FROM t
+),
+hx AS (
+  SELECT substring(md5(conv_id), 1, 1) >= '8' AS is_b, tool,
+         CASE WHEN lat <= 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(1 AS BIGINT) << (length(bin(lat)) - 1) END
+           AS bucket_lo,
+         CAST(count(*) AS BIGINT) AS n
+  FROM wl WHERE tool IS NOT NULL AND lat IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT is_b, tool, bucket_lo, n,
+         sum(n) OVER (PARTITION BY is_b, tool ORDER BY bucket_lo) AS c,
+         sum(n) OVER (PARTITION BY is_b, tool) AS nt
+  FROM hx
+),
+qx AS (
+  SELECT is_b, cum.tool, q.q_pct, cum.bucket_lo,
+         row_number() OVER (
+           PARTITION BY is_b, cum.tool, q.q_pct ORDER BY cum.bucket_lo
+         ) AS rn
+  FROM cum, (VALUES (50), (95)) q(q_pct)
+  WHERE cum.c >= (cum.nt * q.q_pct + 99) // 100
+),
+pa AS (SELECT tool, q_pct, bucket_lo AS bucket_lo_a
+       FROM qx WHERE NOT is_b AND rn = 1),
+pb AS (SELECT tool, q_pct, bucket_lo AS bucket_lo_b
+       FROM qx WHERE is_b AND rn = 1)
+SELECT tool, q_pct,
+       CAST(bucket_lo_a AS BIGINT) AS bucket_lo_a,
+       CAST(bucket_lo_b AS BIGINT) AS bucket_lo_b,
+       CAST((CASE WHEN bucket_lo_b <= 0 THEN 0
+                  ELSE length(bin(bucket_lo_b)) END)
+          - (CASE WHEN bucket_lo_a <= 0 THEN 0
+                  ELSE length(bin(bucket_lo_a)) END) AS BIGINT)
+         AS bucket_shift,
+       CAST((CASE WHEN bucket_lo_b <= 0 THEN 0
+                  ELSE length(bin(bucket_lo_b)) END)
+         != (CASE WHEN bucket_lo_a <= 0 THEN 0
+                  ELSE length(bin(bucket_lo_a)) END) AS BIGINT)
+         AS drifted
+FROM pa JOIN pb USING (tool, q_pct)
+""")

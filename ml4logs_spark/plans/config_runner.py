@@ -547,6 +547,15 @@ def _a_merge_latency_histograms(spark, env, step, cfg):
     return windows.merge_tool_latency_histograms(env[step["a"]], env[step["b"]])
 
 
+def _a_latency_drift(spark, env, step, cfg):
+    # percentile drift between two bounded histogram states (a=then,
+    # b=now)
+    return windows.latency_drift_from_histograms(
+        env[step["a"]], env[step["b"]],
+        qs=tuple(step.get("qs", (0.5, 0.95))),
+    )
+
+
 def _a_latency_percentiles_from_histogram(spark, env, step, cfg):
     return windows.latency_percentiles_from_histogram(
         env[step.get("from", "tool_latency_histogram")],
@@ -741,6 +750,7 @@ ACTIONS: dict[str, Callable] = {
     "tool_latency_histogram": _a_tool_latency_histogram,
     "merge_latency_histograms": _a_merge_latency_histograms,
     "latency_percentiles_from_histogram": _a_latency_percentiles_from_histogram,
+    "latency_drift": _a_latency_drift,
     "daily_health_state": _a_daily_health_state,
     "merge_daily_health_state": _a_merge_daily_health_state,
     "daily_health_from_state": _a_daily_health_from_state,

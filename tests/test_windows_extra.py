@@ -670,3 +670,28 @@ def test_daily_health_drift_hand_computed(spark):
         us(4): (4, 0, 200000, -200000, 0),
         us(5): (4, 0, 0, 0, 0),
     }
+
+
+def test_latency_drift_from_histograms_hand_computed(spark):
+    """Drift math on two hand-built states: bit-length bucket_shift
+    (8 -> 32 = +2 steps, drifted), equal buckets don't flag, the zero
+    bucket indexes as 0, and tools missing from either state drop
+    (inner join)."""
+    from ml4logs_spark.operators import windows
+
+    schema = "tool string, bucket_lo long, n long"
+    a = spark.createDataFrame(
+        [("tool_a", 8, 10), ("tool_b", 0, 4), ("tool_c", 2, 1)], schema
+    )
+    b = spark.createDataFrame(
+        [("tool_a", 32, 10), ("tool_b", 0, 7), ("tool_d", 4, 2)], schema
+    )
+    got = {
+        (r.tool, r.q_pct): (r.bucket_lo_a, r.bucket_lo_b,
+                            r.bucket_shift, r.drifted)
+        for r in windows.latency_drift_from_histograms(a, b).collect()
+    }
+    assert got == {
+        ("tool_a", 50): (8, 32, 2, 1), ("tool_a", 95): (8, 32, 2, 1),
+        ("tool_b", 50): (0, 0, 0, 0), ("tool_b", 95): (0, 0, 0, 0),
+    }

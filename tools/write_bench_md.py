@@ -86,6 +86,11 @@ in the same wall time on 4x the executors). Weak scaling is supporting
 context for the 100 TB growth model; the stated criterion is the strong
 number above.
 """
+        if weak.get("weak_scaling_rounds"):
+            md += (
+                f"Rounds: {weak['weak_scaling_rounds']}; estimator: "
+                f"{weak.get('estimator', 'single run')}.\n"
+            )
     sus_p = BENCH / "sustained.json"
     sus = json.loads(sus_p.read_text()) if sus_p.exists() else None
     if sus:
