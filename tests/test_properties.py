@@ -479,3 +479,52 @@ def test_conv_prefix_dups_property(spark, seqs):
             if i != j and len(a) < len(b) and b[: len(a)] == a:
                 want.add((f"c{i:03d}", f"c{j:03d}", len(a), len(b)))
     assert got == want
+
+
+@settings(**SLOW)
+@given(
+    lats=st.lists(
+        st.integers(min_value=-1000, max_value=2**40),
+        min_size=1, max_size=60,
+    ),
+    qs=st.lists(
+        st.sampled_from([1, 5, 25, 50, 75, 95, 99, 100]),
+        min_size=1, max_size=3, unique=True,
+    ),
+)
+def test_latency_histogram_bucket_and_percentile_property(spark, lats, qs):
+    """The integer bucket floor equals Python's 1 << (bit_length-1)
+    (0 for non-positive latencies), and the published percentile bucket
+    equals a pure-Python reference: the bucket of the (n*p + 99) // 100
+    -th smallest latency under type-1 semantics."""
+    from ml4logs_spark.operators import windows
+
+    def py_bucket(v):
+        return 0 if v <= 0 else 1 << (v.bit_length() - 1)
+
+    df = spark.createDataFrame(
+        [("t", int(v)) for v in lats], "tool string, lat_us long"
+    )
+    hist = windows.histogram_from_latencies(df)
+    got_hist = {(r.bucket_lo): r.n for r in hist.collect()}
+    want_hist = {}
+    for v in lats:
+        b = py_bucket(v)
+        want_hist[b] = want_hist.get(b, 0) + 1
+    assert got_hist == want_hist
+
+    got = {
+        r.q_pct: (r.n_timed, r.bucket_lo)
+        for r in windows.latency_percentiles_from_histogram(
+            hist, qs=tuple(p / 100 for p in qs)
+        ).collect()
+    }
+    n = len(lats)
+    # reference: rank into the sorted BUCKET multiset (the histogram
+    # forgets within-bucket order, but bucketing is monotone, so the
+    # r-th smallest bucket == bucket of the r-th smallest latency)
+    buckets_sorted = sorted(py_bucket(v) for v in lats)
+    want = {
+        p: (n, buckets_sorted[(n * p + 99) // 100 - 1]) for p in qs
+    }
+    assert got == want
