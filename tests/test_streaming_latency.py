@@ -100,3 +100,64 @@ def test_latency_ingest_ledger_matches_batch_histogram(spark, turns, tmp_path):
         after.reset_index(drop=True), want.reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_extract_latencies_split_invariance_property():
+    """Pure-Python property (no Spark): for ANY conversation and ANY
+    split of its turns into ordered micro-batches (including empty and
+    single-row chunks), the stateful extractor emits exactly the batch
+    pairing — each turn with a tool closes against its successor, the
+    final turn never emits."""
+    import itertools
+
+    import pandas as pd
+
+    from ml4logs_spark.streaming.latency import _extract_latencies
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+    def run_split(rows, cuts):
+        state = FakeState()
+        out = []
+        bounds = [0, *cuts, len(rows)]
+        for lo, hi in itertools.pairwise(bounds):
+            chunk = rows[lo:hi]
+            if not chunk:
+                continue
+            pdf = pd.DataFrame(
+                chunk, columns=["turn_idx", "tool", "ts"]
+            ).astype({"ts": "datetime64[ns]"})
+            out.extend(
+                o for o in _extract_latencies(("c",), [pdf], state)
+            )
+        if not out:
+            return []
+        cat = pd.concat(out, ignore_index=True)
+        return list(zip(cat.turn_idx, cat.tool, cat.lat_us))
+
+    base = pd.Timestamp("2024-03-01")
+    # mixed tool/non-tool turns with irregular gaps incl. a 0-gap pair
+    rows = [
+        (0, "a", base),
+        (1, None, base + pd.Timedelta(microseconds=7)),
+        (2, "b", base + pd.Timedelta(microseconds=7)),
+        (3, "a", base + pd.Timedelta(microseconds=1000)),
+        (4, None, base + pd.Timedelta(microseconds=1003)),
+        (5, "c", base + pd.Timedelta(microseconds=9999)),
+    ]
+    want = [(0, "a", 7), (2, "b", 993), (3, "a", 3)]  # 5 never closes
+
+    # every split of the 6 turns into up to 3 cut points
+    for k in range(3):
+        for cuts in itertools.combinations(range(1, len(rows)), k):
+            assert run_split(rows, list(cuts)) == want, f"cuts={cuts}"
