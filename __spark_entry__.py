@@ -910,6 +910,14 @@ def _q_histogram_latency_percentiles(spark, sf_dir):
     return windows.latency_percentiles_from_histogram(merged)
 
 
+def _q_slowest_tool_calls(spark, sf_dir):
+    return windows.slowest_tool_calls(tx.transcripts(spark, sf_dir))
+
+
+def _q_time_to_first_tool(spark, sf_dir):
+    return windows.time_to_first_tool(tx.transcripts(spark, sf_dir))
+
+
 def _q_latency_drift(spark, sf_dir):
     # "yesterday vs today" via the md5-nibble split: drift computed
     # entirely on the two bounded histogram states
@@ -1321,6 +1329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_latency_percentiles": _q_histogram_latency_percentiles,
         "daily_health_drift": _q_daily_health_drift,
         "latency_drift": _q_latency_drift,
+        "slowest_tool_calls": _q_slowest_tool_calls,
+        "time_to_first_tool": _q_time_to_first_tool,
         # curated_chunks ceded its slot to incremental_conv_dedup (2x
         # driver-green r3/r4; the docs chain's stage semantics stay
         # evidenced in-window by curate_attrition, which shares the

@@ -476,6 +476,43 @@ def daily_health_from_state(state: DataFrame) -> DataFrame:
     )
 
 
+def slowest_tool_calls(turns: DataFrame, k: int = 20) -> DataFrame:
+    """(conv_id, turn_idx, tool, latency_us): the k slowest tool calls
+    corpus-wide — the "what do I look at first" triage query. Total
+    order (latency desc, conv_id, turn_idx) makes the k-set
+    deterministic under ties. Catalyst plans orderBy+limit as
+    TakeOrderedAndProject: per-partition top-k heaps + a k-row merge on
+    the driver — never a global sort, so the plan is the same at 10^12
+    turns."""
+    us = F.unix_micros(F.col("ts"))
+    lat = F.lead(us).over(w_conv()) - us
+    timed = turns.select(
+        "conv_id", "turn_idx", "tool", lat.alias("latency_us")
+    ).filter(F.col("tool").isNotNull() & F.col("latency_us").isNotNull())
+    return timed.orderBy(
+        F.desc("latency_us"), "conv_id", "turn_idx"
+    ).limit(k)
+
+
+def time_to_first_tool(turns: DataFrame) -> DataFrame:
+    """(conv_id, n_turns, us_to_first_tool): how long each conversation
+    runs before its first tool call (by event time; NULL when the
+    conversation never calls a tool) — the agent-behavior funnel stat.
+    One partial+final hash aggregate on conv_id; the conditional min
+    partial-aggregates map-side like any other."""
+    us = F.unix_micros(F.col("ts"))
+    agg = turns.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.min(us).alias("_start_us"),
+        F.min(F.when(F.col("tool").isNotNull(), us)).alias("_first_tool_us"),
+    )
+    return agg.select(
+        "conv_id", "n_turns",
+        (F.col("_first_tool_us") - F.col("_start_us"))
+        .cast("long").alias("us_to_first_tool"),
+    )
+
+
 def latency_drift_from_histograms(
     hist_a: DataFrame, hist_b: DataFrame, qs: tuple[float, ...] = (0.5, 0.95)
 ) -> DataFrame:

@@ -1095,3 +1095,28 @@ SELECT tool, q_pct,
          AS drifted
 FROM pa JOIN pb USING (tool, q_pct)
 """)
+
+# top-k slowest tool calls: total order (latency desc, conv_id,
+# turn_idx) makes the k-set deterministic under ties on both engines
+ORACLES["slowest_tool_calls"] = _q("""
+, wl AS (
+  SELECT conv_id, turn_idx, tool,
+         lead(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           - epoch_us(ts) AS latency_us
+  FROM t
+)
+SELECT conv_id, turn_idx, tool, CAST(latency_us AS BIGINT) AS latency_us
+FROM wl WHERE tool IS NOT NULL AND latency_us IS NOT NULL
+ORDER BY latency_us DESC, conv_id, turn_idx
+LIMIT 20
+""")
+
+# time to first tool call per conversation (by event time; NULL when
+# the conversation never calls a tool)
+ORACLES["time_to_first_tool"] = _q("""
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(min(CASE WHEN tool IS NOT NULL THEN epoch_us(ts) END)
+            - min(epoch_us(ts)) AS BIGINT) AS us_to_first_tool
+FROM t GROUP BY conv_id
+""")

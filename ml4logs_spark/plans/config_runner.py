@@ -530,6 +530,16 @@ def _a_tool_latency_percentiles(spark, env, step, cfg):
     )
 
 
+def _a_slowest_tool_calls(spark, env, step, cfg):
+    return windows.slowest_tool_calls(
+        _turns_slice(env, step), k=int(step.get("k", 20))
+    )
+
+
+def _a_time_to_first_tool(spark, env, step, cfg):
+    return windows.time_to_first_tool(_turns_slice(env, step))
+
+
 def _a_daily_health_drift(spark, env, step, cfg):
     # day-over-day error-rate drift with the integer jump flag
     return windows.daily_health_drift(
@@ -747,6 +757,8 @@ ACTIONS: dict[str, Callable] = {
     "daily_health_rollup": _a_daily_health_rollup,
     "tool_latency_percentiles": _a_tool_latency_percentiles,
     "daily_health_drift": _a_daily_health_drift,
+    "slowest_tool_calls": _a_slowest_tool_calls,
+    "time_to_first_tool": _a_time_to_first_tool,
     "tool_latency_histogram": _a_tool_latency_histogram,
     "merge_latency_histograms": _a_merge_latency_histograms,
     "latency_percentiles_from_histogram": _a_latency_percentiles_from_histogram,

@@ -695,3 +695,46 @@ def test_latency_drift_from_histograms_hand_computed(spark):
         ("tool_a", 50): (8, 32, 2, 1), ("tool_a", 95): (8, 32, 2, 1),
         ("tool_b", 50): (0, 0, 0, 0), ("tool_b", 95): (0, 0, 0, 0),
     }
+
+
+def test_slowest_and_first_tool_hand_computed(spark):
+    """Top-k triage keeps the deterministic tie-broken k-set; the
+    funnel stat is NULL for tool-free conversations and 0 when the
+    first turn already calls a tool."""
+    from datetime import datetime as dt, timedelta
+
+    from ml4logs_spark.operators import windows
+
+    t0 = dt(2024, 3, 1)
+
+    def turn(cid, i, tool, off_us):
+        return (cid, i, "u", "x", tool, t0 + timedelta(microseconds=off_us))
+
+    rows = [
+        # conv a: tool at turn 0 (latency 5), tool at turn 1 (latency 3)
+        turn("a", 0, "t1", 0), turn("a", 1, "t2", 5), turn("a", 2, None, 8),
+        # conv b: tie with a's slowest (latency 5) -> tie-break on conv_id
+        turn("b", 0, "t1", 0), turn("b", 1, None, 5),
+        # conv c: never calls a tool
+        turn("c", 0, None, 0), turn("c", 1, None, 9),
+        # conv d: first tool at turn 1, 7us after conv start
+        turn("d", 0, None, 0), turn("d", 1, "t3", 7), turn("d", 2, None, 11),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    top = [
+        (r.conv_id, r.turn_idx, r.tool, r.latency_us)
+        for r in windows.slowest_tool_calls(t, k=3).collect()
+    ]
+    assert top == [("a", 0, "t1", 5), ("b", 0, "t1", 5), ("d", 1, "t3", 4)]
+
+    first = {
+        r.conv_id: (r.n_turns, r.us_to_first_tool)
+        for r in windows.time_to_first_tool(t).collect()
+    }
+    assert first == {
+        "a": (3, 0), "b": (2, 0), "c": (2, None), "d": (3, 7),
+    }

@@ -623,6 +623,15 @@ def main() -> int:
     check("latency_histogram publish: no single-partition stage",
           "SinglePartition" not in pubp)
 
+    # 8e. slowest_tool_calls: orderBy+limit must plan as
+    # TakeOrderedAndProject (per-partition top-k heaps + k-row driver
+    # merge), never a global range-partitioned sort on the metric.
+    sp_ = plan_of(_tw.slowest_tool_calls(t))
+    check("slowest_tool_calls: TakeOrderedAndProject",
+          "TakeOrderedAndProject" in sp_)
+    check("slowest_tool_calls: no global sort on latency",
+          "rangepartitioning(latency_us" not in sp_)
+
     # 9. predicate pushdown on filtered scan
     m = t.filter("role = 'user'").select("conv_id")
     p = plan_of(m)
