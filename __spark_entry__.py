@@ -918,6 +918,14 @@ def _q_time_to_first_tool(spark, sf_dir):
     return windows.time_to_first_tool(tx.transcripts(spark, sf_dir))
 
 
+def _q_tool_transition_counts(spark, sf_dir):
+    return windows.tool_transition_counts(tx.transcripts(spark, sf_dir))
+
+
+def _q_conv_endings(spark, sf_dir):
+    return windows.conv_endings(tx.transcripts(spark, sf_dir))
+
+
 def _q_latency_drift(spark, sf_dir):
     # "yesterday vs today" via the md5-nibble split: drift computed
     # entirely on the two bounded histogram states
@@ -1331,6 +1339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latency_drift": _q_latency_drift,
         "slowest_tool_calls": _q_slowest_tool_calls,
         "time_to_first_tool": _q_time_to_first_tool,
+        "tool_transition_counts": _q_tool_transition_counts,
+        "conv_endings": _q_conv_endings,
         # curated_chunks ceded its slot to incremental_conv_dedup (2x
         # driver-green r3/r4; the docs chain's stage semantics stay
         # evidenced in-window by curate_attrition, which shares the

@@ -196,6 +196,42 @@ def role_transition_counts(turns: DataFrame) -> DataFrame:
     )
 
 
+def tool_transition_counts(turns: DataFrame) -> DataFrame:
+    """(tool_a, tool_b, n): corpus-wide counts of tool -> next-tool
+    transitions within conversations, skipping intervening non-tool
+    turns — the handoff matrix ("which tool follows which") next to
+    ``role_transition_counts``'s dialog matrix. The lead window runs
+    over the tool-filtered frame, so the pair is consecutive IN THE
+    TOOL SUBSEQUENCE; same scale shape as the role matrix: one conv
+    window exchange, then a tiny keyed aggregate that collapses
+    map-side."""
+    tools = turns.filter(F.col("tool").isNotNull())
+    nxt = F.lead("tool").over(w_conv())
+    return (
+        tools.select(F.col("tool").alias("tool_a"), nxt.alias("tool_b"))
+        .filter(F.col("tool_b").isNotNull())
+        .groupBy("tool_a", "tool_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def conv_endings(turns: DataFrame) -> DataFrame:
+    """(conv_id, last_turn_idx, ends_on_error): does each conversation
+    END on an error-template turn (0/1 BIGINT) — the "abandoned after
+    a failure" outcome flag. Deterministic: turn_idx is unique within
+    a conversation, so the descending row_number picks exactly one
+    last turn; one conv window exchange, map-only afterward."""
+    w_desc = Window.partitionBy("conv_id").orderBy(F.desc("turn_idx"))
+    last = turns.withColumn("_rn", F.row_number().over(w_desc)).filter(
+        F.col("_rn") == 1
+    )
+    return last.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("last_turn_idx"),
+        F.col("text").like("error code %").cast("long").alias("ends_on_error"),
+    )
+
+
 def conv_quality_flags(
     turns: DataFrame,
     min_turns: int = 2,

@@ -1120,3 +1120,28 @@ SELECT conv_id,
             - min(epoch_us(ts)) AS BIGINT) AS us_to_first_tool
 FROM t GROUP BY conv_id
 """)
+
+# tool handoff matrix: transitions in the TOOL SUBSEQUENCE (non-tool
+# turns skipped before the window, matching the Spark filter-then-lead)
+ORACLES["tool_transition_counts"] = _q("""
+SELECT tool_a, tool_b, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT tool AS tool_a,
+         lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS tool_b
+  FROM t WHERE tool IS NOT NULL
+) WHERE tool_b IS NOT NULL
+GROUP BY tool_a, tool_b
+""")
+
+# conversation ending flag: the single last turn per conv (turn_idx is
+# unique within a conversation), 0/1 BIGINT error flag
+ORACLES["conv_endings"] = _q("""
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS last_turn_idx,
+       CAST(text LIKE 'error code %' AS BIGINT) AS ends_on_error
+FROM (
+  SELECT conv_id, turn_idx, text,
+         row_number() OVER (
+           PARTITION BY conv_id ORDER BY turn_idx DESC
+         ) AS rn
+  FROM t
+) WHERE rn = 1
+""")

@@ -530,6 +530,14 @@ def _a_tool_latency_percentiles(spark, env, step, cfg):
     )
 
 
+def _a_tool_transition_counts(spark, env, step, cfg):
+    return windows.tool_transition_counts(_turns_slice(env, step))
+
+
+def _a_conv_endings(spark, env, step, cfg):
+    return windows.conv_endings(_turns_slice(env, step))
+
+
 def _a_slowest_tool_calls(spark, env, step, cfg):
     return windows.slowest_tool_calls(
         _turns_slice(env, step), k=int(step.get("k", 20))
@@ -758,6 +766,8 @@ ACTIONS: dict[str, Callable] = {
     "tool_latency_percentiles": _a_tool_latency_percentiles,
     "daily_health_drift": _a_daily_health_drift,
     "slowest_tool_calls": _a_slowest_tool_calls,
+    "tool_transition_counts": _a_tool_transition_counts,
+    "conv_endings": _a_conv_endings,
     "time_to_first_tool": _a_time_to_first_tool,
     "tool_latency_histogram": _a_tool_latency_histogram,
     "merge_latency_histograms": _a_merge_latency_histograms,

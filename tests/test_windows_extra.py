@@ -738,3 +738,41 @@ def test_slowest_and_first_tool_hand_computed(spark):
     assert first == {
         "a": (3, 0), "b": (2, 0), "c": (2, None), "d": (3, 7),
     }
+
+
+def test_tool_transitions_and_endings_hand_computed(spark):
+    """Tool transitions skip intervening non-tool turns (subsequence
+    pairs, not adjacent-turn pairs); the ending flag picks exactly the
+    max-turn_idx row."""
+    from datetime import datetime as dt, timedelta
+
+    from ml4logs_spark.operators import windows
+
+    t0 = dt(2024, 3, 1)
+    rows = [
+        # conv a: t1 -> (user) -> t2 -> t1 ; ends on an error turn
+        ("a", 0, "tool", "x", "t1", t0),
+        ("a", 1, "user", "y", None, t0 + timedelta(seconds=1)),
+        ("a", 2, "tool", "x", "t2", t0 + timedelta(seconds=2)),
+        ("a", 3, "tool", "x", "t1", t0 + timedelta(seconds=3)),
+        ("a", 4, "assistant", "error code 7", None, t0 + timedelta(seconds=4)),
+        # conv b: single tool call, clean ending
+        ("b", 0, "tool", "x", "t1", t0),
+        ("b", 1, "assistant", "done", None, t0 + timedelta(seconds=1)),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    trans = {
+        (r.tool_a, r.tool_b): r.n
+        for r in windows.tool_transition_counts(t).collect()
+    }
+    assert trans == {("t1", "t2"): 1, ("t2", "t1"): 1}
+
+    ends = {
+        r.conv_id: (r.last_turn_idx, r.ends_on_error)
+        for r in windows.conv_endings(t).collect()
+    }
+    assert ends == {"a": (4, 1), "b": (1, 0)}
