@@ -918,6 +918,10 @@ def _q_time_to_first_tool(spark, sf_dir):
     return windows.time_to_first_tool(tx.transcripts(spark, sf_dir))
 
 
+def _q_tool_retry_runs(spark, sf_dir):
+    return windows.tool_retry_runs(tx.transcripts(spark, sf_dir))
+
+
 def _q_tool_transition_counts(spark, sf_dir):
     return windows.tool_transition_counts(tx.transcripts(spark, sf_dir))
 
@@ -1341,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_to_first_tool": _q_time_to_first_tool,
         "tool_transition_counts": _q_tool_transition_counts,
         "conv_endings": _q_conv_endings,
+        "tool_retry_runs": _q_tool_retry_runs,
         # curated_chunks ceded its slot to incremental_conv_dedup (2x
         # driver-green r3/r4; the docs chain's stage semantics stay
         # evidenced in-window by curate_attrition, which shares the

@@ -215,6 +215,33 @@ def tool_transition_counts(turns: DataFrame) -> DataFrame:
     )
 
 
+def tool_retry_runs(turns: DataFrame, min_run: int = 2) -> DataFrame:
+    """(conv_id, tool, max_run): the longest consecutive run of the
+    SAME tool in each conversation's tool subsequence — the retry-storm
+    detector (an agent hammering one tool back-to-back), reported only
+    where max_run >= min_run. Gaps-and-islands on ONE window partition
+    key: lag(tool) marks run starts, a running sum numbers the islands
+    (O(1)-state running window, same conv_id exchange as every other
+    conv op), then two tiny keyed aggregates."""
+    tools = turns.filter(F.col("tool").isNotNull())
+    prev = F.lag("tool").over(w_conv())
+    new_run = F.when(
+        prev.isNull() | (F.col("tool") != prev), F.lit(1)
+    ).otherwise(F.lit(0))
+    grp = F.sum(new_run).over(
+        w_conv().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = tools.select("conv_id", "tool", grp.alias("_grp"))
+    runs = isl.groupBy("conv_id", "tool", "_grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        runs.groupBy("conv_id", "tool")
+        .agg(F.max("run_len").cast("long").alias("max_run"))
+        .filter(F.col("max_run") >= min_run)
+    )
+
+
 def conv_endings(turns: DataFrame) -> DataFrame:
     """(conv_id, last_turn_idx, ends_on_error): does each conversation
     END on an error-template turn (0/1 BIGINT) — the "abandoned after

@@ -1145,3 +1145,31 @@ FROM (
   FROM t
 ) WHERE rn = 1
 """)
+
+# retry-storm detector: gaps-and-islands over the tool subsequence
+# (lag marks run starts, running sum numbers islands), max run per
+# (conv, tool), reported at min_run >= 2
+ORACLES["tool_retry_runs"] = _q("""
+, tl AS (
+  SELECT conv_id, tool, turn_idx,
+         CASE WHEN lag(tool) OVER w IS NULL
+                OR tool <> lag(tool) OVER w THEN 1 ELSE 0 END AS new_run
+  FROM t WHERE tool IS NOT NULL
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+isl AS (
+  SELECT conv_id, tool,
+         sum(new_run) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS grp
+  FROM tl
+),
+runs AS (
+  SELECT conv_id, tool, grp, count(*) AS run_len
+  FROM isl GROUP BY conv_id, tool, grp
+)
+SELECT conv_id, tool, CAST(max(run_len) AS BIGINT) AS max_run
+FROM runs GROUP BY conv_id, tool
+HAVING max(run_len) >= 2
+""")

@@ -530,6 +530,12 @@ def _a_tool_latency_percentiles(spark, env, step, cfg):
     )
 
 
+def _a_tool_retry_runs(spark, env, step, cfg):
+    return windows.tool_retry_runs(
+        _turns_slice(env, step), min_run=int(step.get("min_run", 2))
+    )
+
+
 def _a_tool_transition_counts(spark, env, step, cfg):
     return windows.tool_transition_counts(_turns_slice(env, step))
 
@@ -767,6 +773,7 @@ ACTIONS: dict[str, Callable] = {
     "daily_health_drift": _a_daily_health_drift,
     "slowest_tool_calls": _a_slowest_tool_calls,
     "tool_transition_counts": _a_tool_transition_counts,
+    "tool_retry_runs": _a_tool_retry_runs,
     "conv_endings": _a_conv_endings,
     "time_to_first_tool": _a_time_to_first_tool,
     "tool_latency_histogram": _a_tool_latency_histogram,

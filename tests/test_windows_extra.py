@@ -776,3 +776,38 @@ def test_tool_transitions_and_endings_hand_computed(spark):
         for r in windows.conv_endings(t).collect()
     }
     assert ends == {"a": (4, 1), "b": (1, 0)}
+
+
+def test_tool_retry_runs_hand_computed(spark):
+    """Runs count consecutive same-tool calls in the tool subsequence
+    (intervening non-tool turns don't break a run); min_run=2 drops
+    single calls; a re-visit after a different tool starts a NEW run."""
+    from datetime import datetime as dt, timedelta
+
+    from ml4logs_spark.operators import windows
+
+    t0 = dt(2024, 3, 1)
+    rows = [
+        # conv a tool seq: t1 t1 (user) t1 t2 t1 -> runs t1:3, t2:1, t1:1
+        ("a", 0, "tool", "x", "t1", t0),
+        ("a", 1, "tool", "x", "t1", t0 + timedelta(seconds=1)),
+        ("a", 2, "user", "y", None, t0 + timedelta(seconds=2)),
+        ("a", 3, "tool", "x", "t1", t0 + timedelta(seconds=3)),
+        ("a", 4, "tool", "x", "t2", t0 + timedelta(seconds=4)),
+        ("a", 5, "tool", "x", "t1", t0 + timedelta(seconds=5)),
+        # conv b: t3 t3 -> run of 2
+        ("b", 0, "tool", "x", "t3", t0),
+        ("b", 1, "tool", "x", "t3", t0 + timedelta(seconds=1)),
+        # conv c: single call only -> filtered by min_run
+        ("c", 0, "tool", "x", "t1", t0),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {
+        (r.conv_id, r.tool): r.max_run
+        for r in windows.tool_retry_runs(t).collect()
+    }
+    assert got == {("a", "t1"): 3, ("b", "t3"): 2}
