@@ -918,6 +918,14 @@ def _q_time_to_first_tool(spark, sf_dir):
     return windows.time_to_first_tool(tx.transcripts(spark, sf_dir))
 
 
+def _q_tool_error_attribution(spark, sf_dir):
+    return windows.tool_error_attribution(tx.transcripts(spark, sf_dir))
+
+
+def _q_conv_ending_rollup(spark, sf_dir):
+    return windows.conv_ending_rollup(tx.transcripts(spark, sf_dir))
+
+
 def _q_tool_retry_runs(spark, sf_dir):
     return windows.tool_retry_runs(tx.transcripts(spark, sf_dir))
 
@@ -1346,6 +1354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_transition_counts": _q_tool_transition_counts,
         "conv_endings": _q_conv_endings,
         "tool_retry_runs": _q_tool_retry_runs,
+        "tool_error_attribution": _q_tool_error_attribution,
+        "conv_ending_rollup": _q_conv_ending_rollup,
         # curated_chunks ceded its slot to incremental_conv_dedup (2x
         # driver-green r3/r4; the docs chain's stage semantics stay
         # evidenced in-window by curate_attrition, which shares the

@@ -215,6 +215,57 @@ def tool_transition_counts(turns: DataFrame) -> DataFrame:
     )
 
 
+def tool_error_attribution(turns: DataFrame) -> DataFrame:
+    """(tool, n_calls, n_followed_by_error, error_follow_ppm): for each
+    tool, how often its call is IMMEDIATELY followed by an error turn
+    in the same conversation — the "which tool precedes failures"
+    attribution table. One lead window on the usual conv_id exchange,
+    then a per-tool aggregate that collapses map-side; the ppm rate is
+    exact integer arithmetic per the dialect rule."""
+    nxt_err = (
+        F.lead(F.col("text").like("error code %")).over(w_conv())
+    )
+    calls = turns.select("tool", nxt_err.alias("_err")).filter(
+        F.col("tool").isNotNull()
+    )
+    agg = calls.groupBy("tool").agg(
+        F.count(F.lit(1)).cast("long").alias("n_calls"),
+        F.sum(F.when(F.col("_err"), 1).otherwise(0))
+        .cast("long").alias("n_followed_by_error"),
+    )
+    return agg.select(
+        "tool", "n_calls", "n_followed_by_error",
+        F.expr("(n_followed_by_error * 1000000) div n_calls")
+        .alias("error_follow_ppm"),
+    )
+
+
+def conv_ending_rollup(turns: DataFrame) -> DataFrame:
+    """(day_us, n_convs_ended, n_error_ended, error_end_ppm): per-day
+    count of conversations whose LAST turn lands on that day, and how
+    many of them end on an error turn — the daily "abandoned after a
+    failure" rate behind ``conv_endings``. Same descending row_number
+    pick (conv_id exchange), then a bounded per-day aggregate; feeds
+    the same drift pattern as ``daily_health_drift``."""
+    w_desc = Window.partitionBy("conv_id").orderBy(F.desc("turn_idx"))
+    last = turns.withColumn("_rn", F.row_number().over(w_desc)).filter(
+        F.col("_rn") == 1
+    )
+    agg = last.groupBy(
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs_ended"),
+        F.sum(
+            F.when(F.col("text").like("error code %"), 1).otherwise(0)
+        ).cast("long").alias("n_error_ended"),
+    )
+    return agg.select(
+        "day_us", "n_convs_ended", "n_error_ended",
+        F.expr("(n_error_ended * 1000000) div n_convs_ended")
+        .alias("error_end_ppm"),
+    )
+
+
 def tool_retry_runs(turns: DataFrame, min_run: int = 2) -> DataFrame:
     """(conv_id, tool, max_run): the longest consecutive run of the
     SAME tool in each conversation's tool subsequence — the retry-storm

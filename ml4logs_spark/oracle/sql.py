@@ -1173,3 +1173,47 @@ SELECT conv_id, tool, CAST(max(run_len) AS BIGINT) AS max_run
 FROM runs GROUP BY conv_id, tool
 HAVING max(run_len) >= 2
 """)
+
+# per-tool failure attribution: tool call immediately followed by an
+# error turn in the same conversation; exact integer ppm
+ORACLES["tool_error_attribution"] = _q("""
+, wl AS (
+  SELECT tool,
+         lead(text LIKE 'error code %')
+           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt_err
+  FROM t
+),
+ag AS (
+  SELECT tool, CAST(count(*) AS BIGINT) AS n_calls,
+         CAST(sum(CASE WHEN nxt_err THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_followed_by_error
+  FROM wl WHERE tool IS NOT NULL GROUP BY tool
+)
+SELECT tool, n_calls, n_followed_by_error,
+       CAST((n_followed_by_error * 1000000) // n_calls AS BIGINT)
+         AS error_follow_ppm
+FROM ag
+""")
+
+# per-day error-ending rate: conversations whose unique last turn lands
+# on the day, and how many of those last turns are error turns
+ORACLES["conv_ending_rollup"] = _q("""
+, le AS (
+  SELECT conv_id, text, ts,
+         row_number() OVER (
+           PARTITION BY conv_id ORDER BY turn_idx DESC
+         ) AS rn
+  FROM t
+),
+ag AS (
+  SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+         CAST(count(*) AS BIGINT) AS n_convs_ended,
+         CAST(sum(CASE WHEN text LIKE 'error code %' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_error_ended
+  FROM le WHERE rn = 1 GROUP BY 1
+)
+SELECT day_us, n_convs_ended, n_error_ended,
+       CAST((n_error_ended * 1000000) // n_convs_ended AS BIGINT)
+         AS error_end_ppm
+FROM ag
+""")

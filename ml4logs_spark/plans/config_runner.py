@@ -530,6 +530,14 @@ def _a_tool_latency_percentiles(spark, env, step, cfg):
     )
 
 
+def _a_tool_error_attribution(spark, env, step, cfg):
+    return windows.tool_error_attribution(_turns_slice(env, step))
+
+
+def _a_conv_ending_rollup(spark, env, step, cfg):
+    return windows.conv_ending_rollup(_turns_slice(env, step))
+
+
 def _a_tool_retry_runs(spark, env, step, cfg):
     return windows.tool_retry_runs(
         _turns_slice(env, step), min_run=int(step.get("min_run", 2))
@@ -774,6 +782,8 @@ ACTIONS: dict[str, Callable] = {
     "slowest_tool_calls": _a_slowest_tool_calls,
     "tool_transition_counts": _a_tool_transition_counts,
     "tool_retry_runs": _a_tool_retry_runs,
+    "tool_error_attribution": _a_tool_error_attribution,
+    "conv_ending_rollup": _a_conv_ending_rollup,
     "conv_endings": _a_conv_endings,
     "time_to_first_tool": _a_time_to_first_tool,
     "tool_latency_histogram": _a_tool_latency_histogram,

@@ -811,3 +811,52 @@ def test_tool_retry_runs_hand_computed(spark):
         for r in windows.tool_retry_runs(t).collect()
     }
     assert got == {("a", "t1"): 3, ("b", "t3"): 2}
+
+
+def test_error_attribution_and_ending_rollup_hand_computed(spark):
+    """Attribution counts only the IMMEDIATE next turn (the last turn
+    of a conversation attributes to nothing); the ending rollup buckets
+    each conversation once, on its last turn's day."""
+    from datetime import datetime as dt, timedelta
+
+    from ml4logs_spark.operators import windows
+
+    d1, d2 = dt(2024, 3, 1, 10), dt(2024, 3, 2, 10)
+    rows = [
+        # conv a (ends day 1, on an error): t1 -> error, t2 -> ok
+        ("a", 0, "tool", "x", "t1", d1),
+        ("a", 1, "assistant", "error code 3", None, d1 + timedelta(seconds=1)),
+        ("a", 2, "tool", "x", "t2", d1 + timedelta(seconds=2)),
+        ("a", 3, "assistant", "error code 9", None, d1 + timedelta(seconds=3)),
+        # conv b (spans into day 2, clean ending): t1 -> ok; trailing t2
+        ("b", 0, "tool", "x", "t1", d1),
+        ("b", 1, "assistant", "fine", None, d1 + timedelta(seconds=1)),
+        ("b", 2, "tool", "x", "t2", d2),  # last turn: attributes nothing
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    attr = {
+        r.tool: (r.n_calls, r.n_followed_by_error, r.error_follow_ppm)
+        for r in windows.tool_error_attribution(t).collect()
+    }
+    assert attr == {
+        "t1": (2, 1, 500000),   # a:0 -> error, b:0 -> fine
+        "t2": (2, 1, 500000),   # a:2 -> error, b:2 -> (nothing)
+    }
+
+    from datetime import timezone
+
+    def us(d):
+        return int(d.replace(tzinfo=timezone.utc).timestamp() * 1e6)
+
+    roll = {
+        r.day_us: (r.n_convs_ended, r.n_error_ended, r.error_end_ppm)
+        for r in windows.conv_ending_rollup(t).collect()
+    }
+    assert roll == {
+        us(dt(2024, 3, 1)): (1, 1, 1000000),  # conv a
+        us(dt(2024, 3, 2)): (1, 0, 0),        # conv b
+    }
