@@ -775,6 +775,30 @@ def main() -> None:
     timed("timedeltas", lambda: force(
         windows.with_timedeltas(turns).select("conv_id", "turn_idx", "td")))
 
+    # the full agent-telemetry pack in one measured component: exact
+    # percentiles, histogram state + publish, health rollup + drift,
+    # triage (top-k, funnel, handoffs, retry storms), attribution and
+    # ending rollup — all pure Catalyst aggregates/windows over the
+    # bucketed turns table; the wall evidences that the whole ops
+    # dashboard costs a few e2e-equivalents, not a new pipeline
+    def _telemetry_pack():
+        for f in (
+            windows.tool_latency_percentiles,
+            windows.tool_latency_histogram_state,
+            windows.daily_health_rollup,
+            windows.daily_health_drift,
+            windows.slowest_tool_calls,
+            windows.time_to_first_tool,
+            windows.tool_transition_counts,
+            windows.tool_retry_runs,
+            windows.tool_error_attribution,
+            windows.conv_endings,
+            windows.conv_ending_rollup,
+        ):
+            force(f(turns))
+
+    timed("telemetry_pack", _telemetry_pack)
+
     # transcript curation chain (SFT prep): conv dedup -> stutter strip
     # -> quality gate -> stream packing over the full turns table in
     # one measured action (tracked diamond persists freed after)
