@@ -918,6 +918,18 @@ def _q_time_to_first_tool(spark, sf_dir):
     return windows.time_to_first_tool(tx.transcripts(spark, sf_dir))
 
 
+def _q_incremental_slowest_tool_calls(spark, sf_dir):
+    # day-2 triage: top-k is a mergeable semilattice under the total
+    # order, so merging the two md5-nibble split k-sets must equal the
+    # batch k-set — the oracle runs the full-corpus query
+    t = tx.transcripts(spark, sf_dir)
+    nib = F.substring(F.md5("conv_id"), 1, 1)
+    return windows.merge_slowest_tool_calls(
+        windows.slowest_tool_calls(t.filter(nib < F.lit("8"))),
+        windows.slowest_tool_calls(t.filter(nib >= F.lit("8"))),
+    )
+
+
 def _q_tool_error_attribution(spark, sf_dir):
     return windows.tool_error_attribution(tx.transcripts(spark, sf_dir))
 
@@ -1355,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_endings": _q_conv_endings,
         "tool_retry_runs": _q_tool_retry_runs,
         "tool_error_attribution": _q_tool_error_attribution,
+        "incremental_slowest_tool_calls": _q_incremental_slowest_tool_calls,
         "conv_ending_rollup": _q_conv_ending_rollup,
         # curated_chunks ceded its slot to incremental_conv_dedup (2x
         # driver-green r3/r4; the docs chain's stage semantics stay

@@ -608,6 +608,19 @@ def slowest_tool_calls(turns: DataFrame, k: int = 20) -> DataFrame:
     ).limit(k)
 
 
+def merge_slowest_tool_calls(
+    a: DataFrame, b: DataFrame, k: int = 20
+) -> DataFrame:
+    """Exact merge of two ``slowest_tool_calls`` states: top-k under a
+    total order is a mergeable semilattice, so the k-set of the union
+    of two per-batch k-sets IS the corpus k-set — day-2 triage keeps
+    one k-row state per ledger and never re-windows history. Same
+    TakeOrderedAndProject shape over 2k rows."""
+    return a.unionByName(b).orderBy(
+        F.desc("latency_us"), "conv_id", "turn_idx"
+    ).limit(k)
+
+
 def time_to_first_tool(turns: DataFrame) -> DataFrame:
     """(conv_id, n_turns, us_to_first_tool): how long each conversation
     runs before its first tool call (by event time; NULL when the

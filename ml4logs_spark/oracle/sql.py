@@ -1217,3 +1217,9 @@ SELECT day_us, n_convs_ended, n_error_ended,
          AS error_end_ppm
 FROM ag
 """)
+
+
+# day-2 triage mirror: the Spark side merges the two md5-nibble split
+# top-k states; top-k under the total order is mergeable, so green ==
+# merge-equals-batch against the full-corpus query
+ORACLES["incremental_slowest_tool_calls"] = ORACLES["slowest_tool_calls"]

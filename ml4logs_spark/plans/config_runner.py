@@ -530,6 +530,12 @@ def _a_tool_latency_percentiles(spark, env, step, cfg):
     )
 
 
+def _a_merge_slowest_tool_calls(spark, env, step, cfg):
+    return windows.merge_slowest_tool_calls(
+        env[step["a"]], env[step["b"]], k=int(step.get("k", 20))
+    )
+
+
 def _a_tool_error_attribution(spark, env, step, cfg):
     return windows.tool_error_attribution(_turns_slice(env, step))
 
@@ -783,6 +789,7 @@ ACTIONS: dict[str, Callable] = {
     "tool_transition_counts": _a_tool_transition_counts,
     "tool_retry_runs": _a_tool_retry_runs,
     "tool_error_attribution": _a_tool_error_attribution,
+    "merge_slowest_tool_calls": _a_merge_slowest_tool_calls,
     "conv_ending_rollup": _a_conv_ending_rollup,
     "conv_endings": _a_conv_endings,
     "time_to_first_tool": _a_time_to_first_tool,

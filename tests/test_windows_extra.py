@@ -860,3 +860,22 @@ def test_error_attribution_and_ending_rollup_hand_computed(spark):
         us(dt(2024, 3, 1)): (1, 1, 1000000),  # conv a
         us(dt(2024, 3, 2)): (1, 0, 0),        # conv b
     }
+
+
+def test_merge_slowest_tool_calls_equals_batch(spark, turns):
+    """Top-k is mergeable: the k-set of the union of two split k-sets
+    equals the batch k-set, row for row (total order breaks ties)."""
+    from pyspark.sql import functions as F
+
+    from ml4logs_spark.operators import windows
+
+    nib = F.substring(F.md5("conv_id"), 1, 1)
+    merged = windows.merge_slowest_tool_calls(
+        windows.slowest_tool_calls(turns.filter(nib < F.lit("8")), k=7),
+        windows.slowest_tool_calls(turns.filter(nib >= F.lit("8")), k=7),
+        k=7,
+    ).collect()
+    batch = windows.slowest_tool_calls(turns, k=7).collect()
+    key = lambda r: (-r.latency_us, r.conv_id, r.turn_idx)
+    assert [key(r) for r in merged] == [key(r) for r in batch]
+    assert len(batch) == 7
