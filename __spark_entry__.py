@@ -938,6 +938,10 @@ def _q_conv_ending_rollup(spark, sf_dir):
     return windows.conv_ending_rollup(tx.transcripts(spark, sf_dir))
 
 
+def _q_conv_ending_drift(spark, sf_dir):
+    return windows.conv_ending_drift(tx.transcripts(spark, sf_dir))
+
+
 def _q_tool_retry_runs(spark, sf_dir):
     return windows.tool_retry_runs(tx.transcripts(spark, sf_dir))
 
@@ -1369,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_error_attribution": _q_tool_error_attribution,
         "incremental_slowest_tool_calls": _q_incremental_slowest_tool_calls,
         "conv_ending_rollup": _q_conv_ending_rollup,
+        "conv_ending_drift": _q_conv_ending_drift,
         # curated_chunks ceded its slot to incremental_conv_dedup (2x
         # driver-green r3/r4; the docs chain's stage semantics stay
         # evidenced in-window by curate_attrition, which shares the

@@ -692,21 +692,52 @@ def daily_health_drift(turns: DataFrame, jump_pct: int = 50) -> DataFrame:
     previous*(100+jump_pct) AND current > previous (the second clause
     keeps flat-zero days from flagging) — emitted as 0/1 BIGINT per
     the dialect rule; day one has a NULL baseline and flag 0."""
-    roll = daily_health_rollup(turns)
-    prev = F.lag("error_ppm").over(Window.orderBy("day_us"))
-    out = roll.select(
-        "day_us", "n_turns", "error_ppm", prev.alias("prev_error_ppm")
+    return ppm_drift(
+        daily_health_rollup(turns),
+        ppm_col="error_ppm", n_col="n_turns", prefix="error",
+        jump_pct=jump_pct,
     )
+
+
+def ppm_drift(
+    daily: DataFrame,
+    ppm_col: str,
+    n_col: str,
+    prefix: str,
+    jump_pct: int = 50,
+) -> DataFrame:
+    """Generic day-over-day drift publish over any already-aggregated
+    (day_us, <n_col>, <ppm_col>) frame: lag, exact integer delta, and
+    the 0/1 jump flag (current*100 >= previous*(100+jump_pct) AND
+    current > previous). Output columns: day_us, <n_col>, <ppm_col>,
+    prev_<ppm_col>, <ppm_col>_delta, <prefix>_jump. Shared by
+    ``daily_health_drift`` and ``conv_ending_drift`` — one drift
+    contract, many rollups."""
+    prev_col = f"prev_{ppm_col}"
+    prev = F.lag(ppm_col).over(Window.orderBy("day_us"))
+    out = daily.select("day_us", n_col, ppm_col, prev.alias(prev_col))
     jump = (
-        (F.col("error_ppm") * 100
-         >= F.col("prev_error_ppm") * (100 + jump_pct))
-        & (F.col("error_ppm") > F.col("prev_error_ppm"))
+        (F.col(ppm_col) * 100 >= F.col(prev_col) * (100 + jump_pct))
+        & (F.col(ppm_col) > F.col(prev_col))
     )
     return out.select(
-        "day_us", "n_turns", "error_ppm", "prev_error_ppm",
-        (F.col("error_ppm") - F.col("prev_error_ppm"))
-        .cast("long").alias("error_ppm_delta"),
-        F.coalesce(jump, F.lit(False)).cast("long").alias("error_jump"),
+        "day_us", n_col, ppm_col, prev_col,
+        (F.col(ppm_col) - F.col(prev_col))
+        .cast("long").alias(f"{ppm_col}_delta"),
+        F.coalesce(jump, F.lit(False)).cast("long").alias(f"{prefix}_jump"),
+    )
+
+
+def conv_ending_drift(turns: DataFrame, jump_pct: int = 50) -> DataFrame:
+    """(day_us, n_convs_ended, error_end_ppm, prev_error_end_ppm,
+    error_end_ppm_delta, error_end_jump): day-over-day drift of the
+    abandoned-after-failure rate — ``ppm_drift`` over
+    ``conv_ending_rollup``, the same publish contract as
+    ``daily_health_drift``."""
+    return ppm_drift(
+        conv_ending_rollup(turns),
+        ppm_col="error_end_ppm", n_col="n_convs_ended",
+        prefix="error_end", jump_pct=jump_pct,
     )
 
 

@@ -1223,3 +1223,41 @@ FROM ag
 # top-k states; top-k under the total order is mergeable, so green ==
 # merge-equals-batch against the full-corpus query
 ORACLES["incremental_slowest_tool_calls"] = ORACLES["slowest_tool_calls"]
+
+# drift of the abandoned-after-failure rate: lag over the per-day
+# ending rollup, same integer jump rule as daily_health_drift
+ORACLES["conv_ending_drift"] = _q("""
+, le AS (
+  SELECT conv_id, text, ts,
+         row_number() OVER (
+           PARTITION BY conv_id ORDER BY turn_idx DESC
+         ) AS rn
+  FROM t
+),
+ag AS (
+  SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+         CAST(count(*) AS BIGINT) AS n_convs_ended,
+         CAST(sum(CASE WHEN text LIKE 'error code %' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_error_ended
+  FROM le WHERE rn = 1 GROUP BY 1
+),
+r AS (
+  SELECT day_us, n_convs_ended,
+         CAST((n_error_ended * 1000000) // n_convs_ended AS BIGINT)
+           AS error_end_ppm
+  FROM ag
+),
+lg AS (
+  SELECT day_us, n_convs_ended, error_end_ppm,
+         lag(error_end_ppm) OVER (ORDER BY day_us) AS prev_error_end_ppm
+  FROM r
+)
+SELECT day_us, n_convs_ended, error_end_ppm,
+       CAST(prev_error_end_ppm AS BIGINT) AS prev_error_end_ppm,
+       CAST(error_end_ppm - prev_error_end_ppm AS BIGINT)
+         AS error_end_ppm_delta,
+       CAST(COALESCE(error_end_ppm * 100 >= prev_error_end_ppm * 150
+                     AND error_end_ppm > prev_error_end_ppm, FALSE)
+            AS BIGINT) AS error_end_jump
+FROM lg
+""")

@@ -544,6 +544,12 @@ def _a_conv_ending_rollup(spark, env, step, cfg):
     return windows.conv_ending_rollup(_turns_slice(env, step))
 
 
+def _a_conv_ending_drift(spark, env, step, cfg):
+    return windows.conv_ending_drift(
+        _turns_slice(env, step), jump_pct=int(step.get("jump_pct", 50))
+    )
+
+
 def _a_tool_retry_runs(spark, env, step, cfg):
     return windows.tool_retry_runs(
         _turns_slice(env, step), min_run=int(step.get("min_run", 2))
@@ -791,6 +797,7 @@ ACTIONS: dict[str, Callable] = {
     "tool_error_attribution": _a_tool_error_attribution,
     "merge_slowest_tool_calls": _a_merge_slowest_tool_calls,
     "conv_ending_rollup": _a_conv_ending_rollup,
+    "conv_ending_drift": _a_conv_ending_drift,
     "conv_endings": _a_conv_endings,
     "time_to_first_tool": _a_time_to_first_tool,
     "tool_latency_histogram": _a_tool_latency_histogram,
