@@ -942,6 +942,17 @@ def _q_conv_ending_drift(spark, sf_dir):
     return windows.conv_ending_drift(tx.transcripts(spark, sf_dir))
 
 
+def _q_incremental_doc_length_histogram(spark, sf_dir):
+    # day-2 corpus report: history (even doc ids) present only as its
+    # ~60-row histogram state; the oracle histograms the full corpus,
+    # so green == merge-equals-batch
+    docs = _docs(spark, sf_dir)
+    return textqa.merge_doc_length_histograms(
+        textqa.doc_length_histogram(docs.filter(F.col("doc_id") % 2 == 0)),
+        textqa.doc_length_histogram(docs.filter(F.col("doc_id") % 2 == 1)),
+    )
+
+
 def _q_tool_retry_runs(spark, sf_dir):
     return windows.tool_retry_runs(tx.transcripts(spark, sf_dir))
 
@@ -1374,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_slowest_tool_calls": _q_incremental_slowest_tool_calls,
         "conv_ending_rollup": _q_conv_ending_rollup,
         "conv_ending_drift": _q_conv_ending_drift,
+        "incremental_doc_length_histogram": _q_incremental_doc_length_histogram,
         # curated_chunks ceded its slot to incremental_conv_dedup (2x
         # driver-green r3/r4; the docs chain's stage semantics stay
         # evidenced in-window by curate_attrition, which shares the

@@ -923,6 +923,22 @@ def doc_length_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def merge_doc_length_histograms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Additive merge of two length-histogram states — the corpus
+    report's day-2 path (the latency-histogram/vocab-counts mergeable
+    contract): day N+1 histograms only its own batch and folds into
+    the ~60-row stored state; the caller's ingest dedup owns
+    exactly-once."""
+    return (
+        a.unionByName(b)
+        .groupBy("bucket_lo")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens_total").cast("long").alias("n_tokens_total"),
+        )
+    )
+
+
 def top_ngrams_per_source(
     docs: DataFrame, k: int = 5, min_count: int = 2, text_col: str = "text"
 ) -> DataFrame:

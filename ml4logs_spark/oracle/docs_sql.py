@@ -1754,3 +1754,11 @@ DOC_ORACLES["curate_attrition"] = f"""
       UNION ALL SELECT 7, 'decontaminated', (SELECT count(*) FROM clean)
     )
 """
+
+
+# day-2 corpus-report mirror: the Spark side merges the even/odd doc-id
+# split histogram states; the oracle is the full-corpus histogram, so
+# green == merge-equals-batch (the mergeable-counts contract)
+DOC_ORACLES["incremental_doc_length_histogram"] = (
+    DOC_ORACLES["doc_length_histogram"]
+)

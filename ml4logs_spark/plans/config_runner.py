@@ -224,6 +224,12 @@ def _a_length_histogram(spark, env, step, cfg):
     return textqa.doc_length_histogram(env[step.get("from", "documents")])
 
 
+def _a_merge_length_histograms(spark, env, step, cfg):
+    from ml4logs_spark.operators import textqa
+
+    return textqa.merge_doc_length_histograms(env[step["a"]], env[step["b"]])
+
+
 def _a_top_ngrams(spark, env, step, cfg):
     from ml4logs_spark.operators import textqa
 
@@ -757,6 +763,7 @@ ACTIONS: dict[str, Callable] = {
     "incremental_span_dedup": _a_incremental_span_dedup,
     "gopher_quality": _a_gopher_quality,
     "length_histogram": _a_length_histogram,
+    "merge_length_histograms": _a_merge_length_histograms,
     "top_ngrams": _a_top_ngrams,
     "curate": _a_curate,
     "curate_attrition": _a_curate_attrition,
