@@ -833,8 +833,18 @@ def incremental_near_dups(
     buckets only, and appending ``lsh_bands(minhash_signatures(new))``
     advances the frontier. Canonical ordering means a batch replayed
     after its bands were already appended yields each pair once, never
-    a (x, x) self-pair."""
-    nb = lsh_bands(minhash_signatures(new_docs))
+    a (x, x) self-pair.
+
+    The new batch's band table is a diamond node — it feeds BOTH the
+    historical-bucket probe and the within-batch pair join — so it is
+    tracked-persisted (guide §2.4: Catalyst has no cross-branch CSE;
+    without the persist the whole minhash pipeline over the batch text
+    evaluates twice per action). Fixed-width rows, batch-sized. The
+    final distinct dedups the union, so hist_hits needs no inner
+    distinct of its own (one less shuffle, identical result set)."""
+    from ml4logs_spark import cache
+
+    nb = cache.track(lsh_bands(minhash_signatures(new_docs)))
     hist_hits = (
         nb.withColumnRenamed("doc_id", "new_id")
         .join(seen_bands.withColumnRenamed("doc_id", "hist_id"), ["band", "h"])
@@ -843,7 +853,6 @@ def incremental_near_dups(
             F.least("new_id", "hist_id").alias("doc_a"),
             F.greatest("new_id", "hist_id").alias("doc_b"),
         )
-        .distinct()
     )
     return hist_hits.unionByName(_band_pairs(nb)).distinct()
 
@@ -927,11 +936,20 @@ def incremental_near_dup_verified(
     entries out of the union, candidate pairs stay canonical with no
     self-pairs, and the verified output is unchanged. Assumes doc_ids
     are stable content ids (a doc_id reused for different text is an
-    upstream bug this operator does not referee)."""
+    upstream bug this operator does not referee).
+
+    The unioned store is tracked-persisted: it feeds both sides of the
+    verification join (sig_a and sig_b), and without the persist the
+    batch's shingle hashing and the anti-join run twice per action
+    (guide §2.4 — no cross-branch CSE). Compact fixed-width arrays."""
+    from ml4logs_spark import cache
+
     cands = incremental_near_dups(new_docs, seen_bands)
     new_store = shingle_store(new_docs)
-    store = seen_store.select("doc_id", "sh_sig").unionByName(
-        new_store.join(seen_store.select("doc_id"), "doc_id", "left_anti")
+    store = cache.track(
+        seen_store.select("doc_id", "sh_sig").unionByName(
+            new_store.join(seen_store.select("doc_id"), "doc_id", "left_anti")
+        )
     )
     return store_jaccard_pairs(store, cands).filter(
         F.col("jaccard") >= threshold
@@ -1084,8 +1102,16 @@ def incremental_conv_near_dups(
     hashed-shingle store (``shingle_store(conv_text_docs(hist))``) —
     fixed-width rows, no text: historical turns never rescan, same as
     the five document-side day-2 families. Returns
-    (conv_a, conv_b, jaccard) with conv_a < conv_b."""
-    new_docs = conv_text_docs(new_turns)
+    (conv_a, conv_b, jaccard) with conv_a < conv_b.
+
+    The conv-as-document adapter output is tracked-persisted: it feeds
+    the minhash/band candidate path AND the shingle-store verify path,
+    and each would otherwise replay the full conv_id text aggregation
+    (guide §2.4 — no cross-branch CSE). One text row per conversation,
+    batch-sized."""
+    from ml4logs_spark import cache
+
+    new_docs = cache.track(conv_text_docs(new_turns))
     return incremental_near_dup_verified(
         new_docs, seen_bands, seen_store, threshold
     ).select(
@@ -1183,8 +1209,21 @@ def _branch_pairs_from_state(
     EXACT frame-hash verification per candidate (the LSH -> Jaccard
     verify pattern): a ~2^-62 sum collision is a discarded candidate,
     not a wrong pair. All joins against ``lens`` reuse the state's
-    conv_id partitioning."""
-    state = state.select("conv_id", "depth", "p1", "p2").distinct()
+    conv_id partitioning.
+
+    The distinct'd state and frame tables are tracked-persisted: each
+    is a diamond node (state feeds lens + both sides of the candidate
+    self-join; frames feeds both sides of the verification join), and
+    Catalyst has no cross-branch CSE, so without the persists the
+    upstream window pass over the batch would evaluate up to 4x per
+    action (guide §2.4; measured 56 parquet scans in one plan before
+    this fix). Both are fixed-width per-turn rows — the same
+    materialization the day-2 state tables pay anyway."""
+    from ml4logs_spark import cache
+
+    state = cache.track(
+        state.select("conv_id", "depth", "p1", "p2").distinct()
+    )
     lens = state.groupBy("conv_id").agg(F.max("depth").alias("conv_len"))
     wide = state.join(lens, "conv_id")
     shorts = (
@@ -1211,7 +1250,9 @@ def _branch_pairs_from_state(
     cand = shorts.join(longs, ["shared_turns", "p1", "p2"]).filter(
         F.col("conv_short") != F.col("conv_long")
     )
-    fr = frames.select("conv_id", "pos", "frame_hash").distinct()
+    fr = cache.track(
+        frames.select("conv_id", "pos", "frame_hash").distinct()
+    )
     af = fr.select(F.col("conv_id").alias("conv_short"), "pos", "frame_hash")
     bf = fr.select(F.col("conv_id").alias("conv_long"), "pos", "frame_hash")
     matched = (
@@ -1298,10 +1339,31 @@ def incremental_conv_prefix_dups(
     pairs (idempotent, matching the verified near-dup family).
     Re-ingesting MORE turns under an EXISTING conv_id merges cleanly
     (conv_len is derived as max depth), and a conversation never pairs
-    with itself."""
-    new_state = conv_prefix_state(new_turns)
-    new_frames = conv_frame_store(new_turns)
-    new_ids = new_state.select("conv_id").distinct()
+    with itself.
+
+    The batch's ``_prefix_terms`` pass is computed ONCE and
+    tracked-persisted, then both state and frame rows project from it —
+    previously ``conv_prefix_state`` and ``conv_frame_store`` each ran
+    their own window pass over the batch, and the downstream diamond
+    consumers multiplied that further (guide §2.4; the same
+    shared-terms shape ``conv_prefix_dups`` already uses)."""
+    from ml4logs_spark import cache
+    from pyspark.sql.window import Window
+
+    terms = cache.track(_prefix_terms(new_turns))
+    run = (
+        Window.partitionBy("conv_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    new_state = terms.select(
+        "conv_id",
+        (F.col("pos") + 1).cast("int").alias("depth"),
+        F.sum("t1").over(run).alias("p1"),
+        F.sum("t2").over(run).alias("p2"),
+    )
+    new_frames = terms.select("conv_id", "pos", "frame_hash")
+    new_ids = terms.select("conv_id").distinct()
     state = seen_state.select("conv_id", "depth", "p1", "p2").unionByName(
         new_state
     )

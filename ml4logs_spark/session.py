@@ -37,6 +37,22 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Respect the advisory partition size when coalescing instead of
+        # inflating tiny shuffles to defaultParallelism partitions (the
+        # Spark tuning guide's own recommendation; guide §2.2 "fewer,
+        # larger reduce partitions"). Scale-adaptive by construction:
+        # partition count follows shuffle BYTES, so the same setting
+        # yields 1 post-shuffle partition for a KB-sized dim aggregate
+        # and hundreds for a TB-sized corpus shuffle. Both knobs stay
+        # env-overridable for cluster tuning.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("ML4S_COALESCE_PARALLELISM_FIRST", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("ML4S_ADVISORY_PARTITION_SIZE", "64m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
