@@ -30,6 +30,26 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Partition floor for the corpus side of map-heavy scoring stages
+    (guide §2.5 'input skew: one huge unsplittable file'): a corpus read
+    from a single parquet split would run every interpreted higher-order
+    cosine/signature lambda in ONE task — measured 29s single-task vs
+    ~1s spread for the kNN vote at sf0.1/32 cores. Round-robin
+    repartition to the session default parallelism ONLY when the
+    planned input has fewer partitions; at cluster scale the corpus
+    arrives in many splits and this is a no-op (no shuffle added).
+    Row order within partitions changes, but every consumer aggregates
+    order-insensitively (rounded-then-ranked scores, min/max/integer
+    sums — the repo determinism rule), so results are unchanged."""
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target) if n < target else df
+
+
 def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return emb.withColumn("l2_norm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
 
@@ -47,7 +67,7 @@ def cosine_topk(
         F.col(vec_col).alias("qvec"),
         F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_qn"),
     )
-    c = emb.select(
+    c = _spread(emb).select(
         F.col("vec_id").alias("cand_id"),
         F.col(vec_col).alias("cvec"),
         F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_cn"),
@@ -99,7 +119,7 @@ def lsh_signatures(
     sig = bits[0]
     for b in bits[1:]:
         sig = sig + b
-    return emb.withColumn("lsh_sig", sig.cast("int"))
+    return _spread(emb).withColumn("lsh_sig", sig.cast("int"))
 
 
 def band_signatures(
@@ -137,7 +157,7 @@ def band_signatures(
         bands.append(
             F.struct(F.lit(b).alias("band"), sig.cast("int").alias("sig"))
         )
-    return emb.select(
+    return _spread(emb).select(
         "vec_id", F.explode(F.array(*bands)).alias("bs")
     ).select("vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
@@ -293,7 +313,7 @@ def _assign_cells(vecs: DataFrame, codebook: DataFrame) -> DataFrame:
     ORDER BY sim DESC, cent_id ASC."""
     # per-row norm hoist (see cosine_topk): each vector scores against
     # k centroids, so both norms compute once per ROW, not per pair
-    vn = vecs.withColumn("_vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    vn = _spread(vecs).withColumn("_vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
     cn = codebook.withColumn(
         "_cn", F.sqrt(_dot(F.col("centvec"), F.col("centvec")))
     )
@@ -544,7 +564,7 @@ def fit_quantizer(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     by construction. min/max are fold-order-independent, so the fit is
     deterministic under any partitioning (unlike mean/variance-based
     scaling, there is no float-summation nondeterminism to pin)."""
-    d = emb.select(F.posexplode(vec_col).alias("dim_idx", "v"))
+    d = _spread(emb).select(F.posexplode(vec_col).alias("dim_idx", "v"))
     return d.groupBy("dim_idx").agg(
         F.min(F.col("v").cast("double")).alias("lo"),
         F.max(F.col("v").cast("double")).alias("hi"),
@@ -574,7 +594,7 @@ def quantize_embeddings(
     array pair, so the corpus side stays map-only: explode-free
     transform-with-index inside whole-stage codegen, no shuffle."""
     q = quant if quant is not None else fit_quantizer(emb, vec_col)
-    out = emb.crossJoin(F.broadcast(_params_row(q)))
+    out = _spread(emb).crossJoin(F.broadcast(_params_row(q)))
     codes = F.transform(
         F.col(vec_col),
         lambda v, i: F.when(
@@ -599,7 +619,7 @@ def dequantize(
     """Reconstruct approximate vectors from int8 codes:
     v'_i = lo_i + (code_i + 128) / 255 * (hi_i - lo_i). Same broadcast
     single-row parameter shape as quantize_embeddings; map-only."""
-    out = codes.crossJoin(F.broadcast(_params_row(quant)))
+    out = _spread(codes).crossJoin(F.broadcast(_params_row(quant)))
     deq = F.transform(
         F.col("codes"),
         lambda c, i: F.element_at("_los", i + 1)
@@ -710,7 +730,8 @@ def knn_label_vote(
         )
     )
     return (
-        rest.withColumn("_qn", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
+        _spread(rest)
+        .withColumn("_qn", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
         .crossJoin(F.broadcast(srow))
         .select(
             "vec_id",
@@ -1079,7 +1100,7 @@ def _pq_subvectors(vecs: DataFrame, m: int, dsub: int,
         )
         for s in range(m)
     ])
-    ex = vecs.select("vec_id", F.explode(parts).alias("e")).select(
+    ex = _spread(vecs).select("vec_id", F.explode(parts).alias("e")).select(
         "vec_id", "e.sub", "e.sv"
     )
     return ex.withColumn("_sn", _dot(F.col("sv"), F.col("sv")))

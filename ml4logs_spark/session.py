@@ -37,17 +37,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Respect the advisory partition size when coalescing instead of
-        # inflating tiny shuffles to defaultParallelism partitions (the
-        # Spark tuning guide's own recommendation; guide §2.2 "fewer,
-        # larger reduce partitions"). Scale-adaptive by construction:
-        # partition count follows shuffle BYTES, so the same setting
-        # yields 1 post-shuffle partition for a KB-sized dim aggregate
-        # and hundreds for a TB-sized corpus shuffle. Both knobs stay
-        # env-overridable for cluster tuning.
+        # AQE partition-coalescing policy, env-overridable. The default
+        # stays parallelismFirst=true (Spark's own): size-based
+        # coalescing (=false) was measured to collapse join-EXPLOSION
+        # stages — small input bytes, millions of output pairs (the
+        # simhash hamming probe: 8.9s -> 27.5s) — onto one task, because
+        # AQE sizes partitions by input bytes, not output compute.
+        # Clusters processing TB-scale shuffles should flip it to false
+        # per the Spark tuning guide ("respect the advisory size").
         .config(
             "spark.sql.adaptive.coalescePartitions.parallelismFirst",
-            os.environ.get("ML4S_COALESCE_PARALLELISM_FIRST", "false"),
+            os.environ.get("ML4S_COALESCE_PARALLELISM_FIRST", "true"),
         )
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
