@@ -78,10 +78,14 @@ def bpe_fit(
     rewriting the symbol arrays — both bounded by vocabulary size, not
     corpus size. The per-round driver collect is the 1-row argmax
     (control flow, same bounded pattern as similarity's Lloyd rounds);
-    lineage is truncated with localCheckpoint each round so the plan
-    never deepens past one rewrite."""
+    lineage is truncated with localCheckpoint every ``_CKPT_EVERY``
+    rounds — checkpointing each round cost one extra job + fresh plan
+    per merge (a large share of the fit wall at 16 merges), while a
+    4-deep chain of map-side folds keeps the plan shallow and the
+    rewrites compose to the identical symbol arrays."""
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
+    _CKPT_EVERY = 4
     types = word_type_counts(docs, text_col).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
@@ -105,9 +109,9 @@ def bpe_fit(
             break
         a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
         merges.append((rank, a, b, cnt))
-        types = types.withColumn(
-            "syms", _merge_pair(F.col("syms"), a, b)
-        ).localCheckpoint()
+        types = types.withColumn("syms", _merge_pair(F.col("syms"), a, b))
+        if (rank + 1) % _CKPT_EVERY == 0:
+            types = types.localCheckpoint()
     return docs.sparkSession.createDataFrame(
         merges, "merge_rank int, tok_a string, tok_b string, pair_count long"
     )

@@ -41,16 +41,28 @@ def nb_fit(
     matrix is vocab × a BROADCAST label dim (labels are few) with the
     counts left-joined back on (label, token) — V·K rows, never an
     all-pairs product over docs."""
+    from ml4logs_spark import cache
+
     toks = docs.select(
         F.col(label_col).alias("label"),
         F.explode(_toks_lower(text_col)).alias("token"),
     )
-    cnt = toks.groupBy("label", "token").agg(F.count(F.lit(1)).alias("_c"))
+    # ONE explode+aggregate pass over the corpus: per-label token
+    # totals and the vocabulary both derive from the (label, token)
+    # count table (sum of counts == occurrence count; its token support
+    # == the token stream's distinct set), where previously each ran
+    # its own explode pass over the training text (guide §2.3
+    # "aggregate before you shuffle" / §2.4 shared subtree). The count
+    # table is V x K rows — vocabulary-bounded, not corpus-bounded —
+    # so the tracked persist is small.
+    cnt = cache.track(
+        toks.groupBy("label", "token").agg(F.count(F.lit(1)).alias("_c"))
+    )
     labels = docs.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("_nd")
     )
-    ntot = toks.groupBy("label").agg(F.count(F.lit(1)).alias("_nk"))
-    vocab = toks.select("token").distinct()
+    ntot = cnt.groupBy("label").agg(F.sum("_c").alias("_nk"))
+    vocab = cnt.select("token").distinct()
     vsz = vocab.agg(F.count(F.lit(1)).alias("_v"))
     lab_dim = labels.join(ntot, "label", "left").select(
         "label", F.coalesce("_nk", F.lit(0)).alias("_nk")

@@ -134,8 +134,11 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         .join(sh.withColumnRenamed("doc_id", "doc_b")
                 .withColumnRenamed("shingles", "sh_b"), "doc_b")
     )
+    # |A ∪ B| = |A| + |B| - |A ∩ B| exactly (both arrays are distinct
+    # sets), so the union array never materializes — one hash-set pass
+    # per pair instead of two (guide §1.2 per-task work).
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return out.select(
         "doc_a", "doc_b",
         F.round(inter / union, 6).alias("jaccard"),
@@ -905,8 +908,11 @@ def store_jaccard_pairs(store: DataFrame, pairs: DataFrame) -> DataFrame:
             "doc_b",
         )
     )
+    # same set identity as jaccard_pairs: |A ∪ B| = |A| + |B| - |A ∩ B|
+    # (sh_sig is array_distinct'd at build time), skipping the union
+    # array materialization per pair.
     inter = F.size(F.array_intersect("sig_a", "sig_b"))
-    union = F.size(F.array_union("sig_a", "sig_b"))
+    union = F.size("sig_a") + F.size("sig_b") - inter
     return out.select(
         "doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard")
     )

@@ -37,7 +37,17 @@ from ml4logs_spark import cache
 def ranged(df: DataFrame, range_cols: list[str], n_parts: int) -> DataFrame:
     """Phase 0: range-partition on the global ordering key and stamp
     ``_pid``. Returns a TRACKED persisted frame (release via
-    cache.release_all() / cache.scope()) — callers always branch it."""
+    cache.release_all() / cache.scope()) — callers always branch it.
+
+    The INPUT is tracked-persisted too: ``repartitionByRange`` samples
+    its child in a separate pass to fit the range boundaries, so an
+    unpersisted input evaluates twice per call (for the latency
+    percentiles that was a full corpus window pass run once for the
+    sample and once for the real partitioning — guide §1.2/§2.4).
+    Every caller passes a slim projection (ordering keys + one value
+    column), which is exactly the lightweight frame the guide's
+    decide-with-small-rows pattern materializes."""
+    df = cache.track(df)
     return cache.track(
         df.repartitionByRange(n_parts, *range_cols)
         .withColumn("_pid", F.spark_partition_id())
