@@ -458,8 +458,14 @@ def simhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     simhash64 aggregate extends to 128 bits as 8 sum columns more) and
     band into 4x32-bit chunks: hamming<=3 still guarantees one clean
     chunk, with 2^32 buckets per band. Chunk width is the knob; no
-    structural change."""
-    bands = _simhash_bands(simhash64(docs))
+    structural change.
+
+    The band table is tracked-persisted: it feeds both sides of the
+    self-join, and the simhash64 explode+aggregate would otherwise run
+    twice per action (guide §2.4)."""
+    from ml4logs_spark import cache
+
+    bands = cache.track(_simhash_bands(simhash64(docs)))
     a, b = bands.alias("a"), bands.alias("b")
     hamming = sum(
         F.bit_count(F.col(f"a.c{i}").bitwiseXOR(F.col(f"b.c{i}")))
@@ -510,8 +516,18 @@ def incremental_simhash_near_dups(
     Replay-safe: signatures are a deterministic function of text, so a
     batch whose signatures were already appended collides with its own
     identical state rows — self-pairs are filtered, cross pairs
-    canonicalize and distinct away, and the output is unchanged."""
-    nb = _simhash_bands(simhash64(new_docs))
+    canonicalize and distinct away, and the output is unchanged.
+
+    The batch band table is tracked-persisted (it feeds the historical
+    probe AND both sides of the within-batch self-join — the simhash64
+    explode+aggregate would otherwise run 3x per action, guide §2.4),
+    and the hamming radius filter runs BEFORE the distinct so only
+    within-radius pairs reach the dedup shuffle (hamming is a pure
+    function of the pair, so filter and distinct commute — guide §2.3
+    'shuffle fewer bytes')."""
+    from ml4logs_spark import cache
+
+    nb = cache.track(_simhash_bands(simhash64(new_docs)))
     hb = _simhash_bands(
         seen_sigs.select("doc_id", *[f"c{b}" for b in range(SIMHASH_CHUNKS)])
     )
@@ -541,8 +557,8 @@ def incremental_simhash_near_dups(
     )
     return (
         hist_hits.unionByName(new_new)
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -1081,8 +1081,14 @@ def pack_sequences(
         raise ValueError(f"seq_tokens must be positive, got {seq_tokens}")
     from pyspark.sql.window import Window
 
+    from ml4logs_spark import cache
     from ml4logs_spark.operators import twophase
 
+    # diamond node: the chunk frame feeds the slim offset computation
+    # AND the final text join-back — without the persist the caller's
+    # chunk explode (the heavy text pass) evaluates twice per action
+    # (guide §2.4). Tracked; looping callers release via cache.scope().
+    chunks = cache.track(chunks)
     slim = chunks.select("doc_id", "chunk_idx", "n_tokens")
     parts = n_parts or chunks.sparkSession.sparkContext.defaultParallelism
     ranged = twophase.ranged(slim, ["doc_id", "chunk_idx"], parts)
