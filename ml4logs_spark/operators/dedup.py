@@ -126,8 +126,13 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
 
 
 def jaccard_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Exact shingle-Jaccard for candidate pairs (verification step)."""
-    sh = with_shingles(docs).select("doc_id", "shingles")
+    """Exact shingle-Jaccard for candidate pairs (verification step).
+    The shingle frame feeds both sides of the pair join (sh_a, sh_b),
+    so it is tracked-persisted — without it the shingle pass over the
+    corpus text runs twice per action (guide §2.4)."""
+    from ml4logs_spark import cache
+
+    sh = cache.track(with_shingles(docs).select("doc_id", "shingles"))
     out = (
         pairs.join(sh.withColumnRenamed("doc_id", "doc_a")
                      .withColumnRenamed("shingles", "sh_a"), "doc_a")
@@ -824,7 +829,14 @@ def incremental_exact_dedup(
 def _band_pairs(bands: DataFrame) -> DataFrame:
     """Bucket-colliding (doc_a < doc_b) pairs from a (doc_id, band, h)
     band table — shared by whole-corpus and incremental candidate
-    generation."""
+    generation. The band frame feeds both sides of the self-join, so
+    it is tracked-persisted — without it the upstream minhash pipeline
+    evaluates twice per action (guide §2.4); fixed-width rows, corpus x
+    bands sized (the same table the incremental path keeps as state
+    anyway). Re-persisting an already-persisted frame is a no-op."""
+    from ml4logs_spark import cache
+
+    bands = cache.track(bands)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
