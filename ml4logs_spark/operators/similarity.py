@@ -564,7 +564,7 @@ def fit_quantizer(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     by construction. min/max are fold-order-independent, so the fit is
     deterministic under any partitioning (unlike mean/variance-based
     scaling, there is no float-summation nondeterminism to pin)."""
-    d = _spread(emb).select(F.posexplode(vec_col).alias("dim_idx", "v"))
+    d = emb.select(F.posexplode(vec_col).alias("dim_idx", "v"))
     return d.groupBy("dim_idx").agg(
         F.min(F.col("v").cast("double")).alias("lo"),
         F.max(F.col("v").cast("double")).alias("hi"),
@@ -594,7 +594,7 @@ def quantize_embeddings(
     array pair, so the corpus side stays map-only: explode-free
     transform-with-index inside whole-stage codegen, no shuffle."""
     q = quant if quant is not None else fit_quantizer(emb, vec_col)
-    out = _spread(emb).crossJoin(F.broadcast(_params_row(q)))
+    out = emb.crossJoin(F.broadcast(_params_row(q)))
     codes = F.transform(
         F.col(vec_col),
         lambda v, i: F.when(
@@ -619,7 +619,7 @@ def dequantize(
     """Reconstruct approximate vectors from int8 codes:
     v'_i = lo_i + (code_i + 128) / 255 * (hi_i - lo_i). Same broadcast
     single-row parameter shape as quantize_embeddings; map-only."""
-    out = _spread(codes).crossJoin(F.broadcast(_params_row(quant)))
+    out = codes.crossJoin(F.broadcast(_params_row(quant)))
     deq = F.transform(
         F.col("codes"),
         lambda c, i: F.element_at("_los", i + 1)
